@@ -1,0 +1,374 @@
+package graft
+
+/** DuckDB oracle SQL for every declared query (SURVEY §2.12).
+  *
+  * Parity rules baked into each statement (mirroring the Spark side
+  * in graft.operators.*):
+  *  - identical column NAMES (driver sorts columns by name, then
+  *    hashes values) and identical logical types: computed integers
+  *    are BIGINT on both sides (DuckDB len()/count()/rank() are
+  *    BIGINT, so Spark int-typed results are cast to long there);
+  *  - every statement ends in an ORDER BY that makes the full row
+  *    sequence deterministic; nullable sort keys are coalesced first
+  *    (Spark sorts NULLS FIRST, DuckDB NULLS LAST);
+  *  - double aggregation goes through DECIMAL casts (exact,
+  *    order-independent) or derives from exact operands;
+  *  - regexp_replace carries the 'g' flag (DuckDB is first-match by
+  *    default; Spark replaces all);
+  *  - float vector math folds sequentially in DOUBLE on both engines
+  *    (list_sum(list_transform(...)) ≡ aggregate(transform(...))).
+  */
+object Oracles {
+
+  // shared fragments ───────────────────────────────────────────────
+  private val tokL = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+  private def guard(v: String) =
+    s"(lower(trim(CAST($v AS VARCHAR))) NOT LIKE '%inf%' AND " +
+      s"lower(trim(CAST($v AS VARCHAR))) NOT LIKE '%nan%' AND " +
+      s"lower(trim(CAST($v AS VARCHAR))) NOT LIKE '%e%')"
+  private val longRe = """^[+-]?[0-9]{1,18}$"""
+  private val dblRe = """^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$"""
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def norm2(a: String) =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private val shinglesExpr =
+    "list_transform(range(greatest(len(l)-2, 0)), i -> concat_ws(' ', l[i+1], l[i+2], l[i+3]))"
+  private val shinglesCte =
+    s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM
+       |  (SELECT doc_id, unnest($shinglesExpr) AS shingle FROM toks))""".stripMargin
+
+  // simhash: 16-bit hash of md5's first 4 hex chars, per token
+  private def hexDigit(i: Int) =
+    s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+  private val h16 =
+    s"(${hexDigit(1)}*4096 + ${hexDigit(2)}*256 + ${hexDigit(3)}*16 + ${hexDigit(4)})"
+  private val voteCols = (0 until 16)
+    .map(b => s"SUM(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+    .mkString(", ")
+  private val simhashAssemble = (0 until 16)
+    .map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
+    .mkString(" + ")
+  private val simhashCte =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+       |h AS (SELECT doc_id, $h16 AS h16 FROM toks),
+       |votes AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM votes)""".stripMargin
+
+  private val minhashLegs = (0 until 8)
+    .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    // ── scans / predicates ─────────────────────────────────────────
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_filter_nonempty" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE length(trim(text)) > 0 AND source <> 'src0'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_linenumber IN (1, 2, 3)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+
+    // ── sort / top-k ───────────────────────────────────────────────
+    "q_topk_desc" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // ── aggregations ───────────────────────────────────────────────
+    "q_groupby_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  count(*) AS cnt,
+        |  round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // ── joins ──────────────────────────────────────────────────────
+    "q_join_enrich" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderdate, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey,
+        |  coalesce(o_orderstatus, 'NONE') AS o_orderstatus
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // ── set ops ────────────────────────────────────────────────────
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    // ── windows ────────────────────────────────────────────────────
+    "q_window_dedup_lww" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        |  FROM orders) WHERE rnk <= 10
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty,
+        |  coalesce(lag(l_quantity) OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey), -1.0) AS prev_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, running_qty, prev_qty""".stripMargin,
+
+    // ── scalar functions ───────────────────────────────────────────
+    "q_regex_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(concat('BIS232Request.', source),
+        |    '^(BIS232Request\.|JSONData\.|BIS232Objection\.)|BIS232ObjectionRebuttal', '', 'g')) AS clean_key,
+        |  coalesce(
+        |    CASE WHEN length(trim(lang)) > 0 THEN trim(lang) END,
+        |    CASE WHEN length(trim(source)) > 0 THEN trim(source) END,
+        |    concat('Untitled', CAST(doc_id AS VARCHAR))) AS keyname,
+        |  regexp_replace(substr(text, 1, 40), '\s+', '_', 'g') AS squished
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_typify_cast" -> {
+      val k = "trim(CAST(json_extract_string(props, '$.k') AS VARCHAR))"
+      val u = "trim(concat(CAST(user_id AS VARCHAR), '.5'))"
+      s"""SELECT event_id,
+         |  CASE WHEN ${guard(k)} AND regexp_matches($k, '$longRe')
+         |       THEN CAST($k AS BIGINT) END AS k_typed,
+         |  coalesce(
+         |    CASE WHEN ${guard(u)} AND regexp_matches($u, '$longRe')
+         |         THEN CAST(CAST($u AS BIGINT) AS DOUBLE) END,
+         |    CASE WHEN ${guard(u)} AND NOT regexp_matches($u, '$longRe')
+         |              AND regexp_matches($u, '$dblRe')
+         |         THEN CAST($u AS DOUBLE) END) AS u_typed,
+         |  ${guard("event_type")} AS guard_pass
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(
+        |    regexp_extract(concat('<script>var x = [{"OriginCountry":"',
+        |      event_type, '"}];</script>'), '\[\{"OriginCountry"[^]]*\]'),
+        |    '$[0].OriginCountry') AS origin_country
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_explode" ->
+      """SELECT doc_id, tok FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE length(tok) > 0 ORDER BY doc_id, tok""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ── text / dedup (SURVEY §2.11) ────────────────────────────────
+    "q_text_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT tok, count(*) AS tf FROM
+         |  (SELECT unnest($tokL) AS tok FROM documents)
+         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+         |  CAST(length(text) AS BIGINT) AS len_chars, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, n_stop, n_tok,
+         |  CASE WHEN n_tok > 0 AND n_stop * 20 >= n_tok THEN 'en' ELSE 'unk' END AS pred_lang,
+         |  lang
+         |FROM (SELECT doc_id, lang,
+         |    CAST(len(list_filter($tokL,
+         |      x -> list_contains(['the','a','of','and','to','in'], x))) AS BIGINT) AS n_stop,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""SELECT doc_id, n_tok,
+         |  round(CAST(nospace AS DOUBLE) / greatest(n_tok, 1), 4) AS avg_tok_len,
+         |  round(CAST(ndig AS DOUBLE) / greatest(nchar, 1), 4) AS digit_ratio,
+         |  (CASE WHEN n_tok BETWEEN 50 AND 1000 THEN 0.5 ELSE 0.0 END
+         |   + CASE WHEN nospace BETWEEN n_tok * 3 AND n_tok * 10 THEN 0.5 ELSE 0.0 END) AS score
+         |FROM (SELECT doc_id,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    length(replace(text, ' ', '')) AS nospace,
+         |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndig,
+         |    length(text) AS nchar
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_exact,
+         |  md5(array_to_string(list_sort(list_distinct($tokL)), ' ')) AS fp_shape
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""$shinglesCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+         |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb,
+         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""$shinglesCte
+         |SELECT doc_id, min(md5(concat('0:', shingle))) AS h0,
+         |  min(md5(concat('1:', shingle))) AS h1,
+         |  min(md5(concat('2:', shingle))) AS h2,
+         |  min(md5(concat('3:', shingle))) AS h3
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_simhash_sig" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""$simhashCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, simhash, 1, simhash & 255 FROM sig)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // ── vectors (SURVEY §2.11) ─────────────────────────────────────
+    "q_sim_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) AS sim FROM (
+         |  SELECT e.vec_id, ${dot("e.embedding", "q.q_emb")} AS dp,
+         |    ${norm2("e.embedding")} AS na, ${norm2("q.q_emb")} AS nq
+         |  FROM embeddings e, q WHERE e.vec_id <> 0)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_vec_norm" ->
+      s"""SELECT label, n, round(CAST(sum_norm AS DOUBLE) / n, 4) AS avg_norm
+         |FROM (SELECT label, count(*) AS n,
+         |    sum(CAST(sqrt(${norm2("embedding")}) AS DECIMAL(18,6))) AS sum_norm
+         |  FROM embeddings GROUP BY label)
+         |ORDER BY label""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+         |    (embedding[1] >= 0) AS s0 FROM embeddings)
+         |SELECT a_id, b_id, label, cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+         |    round(${dot("a.embedding", "b.embedding")} /
+         |      (sqrt(${norm2("a.embedding")}) * sqrt(${norm2("b.embedding")})), 4) AS cos
+         |  FROM v a JOIN v b
+         |    ON a.label = b.label AND a.s0 = b.s0 AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+
+    // ── multimodal ─────────────────────────────────────────────────
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS fake_width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS BIGINT) AS fake_height,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 5 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

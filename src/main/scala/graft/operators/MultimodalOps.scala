@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (builder mandate): media payloads are
+  * opaque `binary` columns beside a typed metadata struct; decode /
+  * feature-extraction runs batched per partition. The actual codec is
+  * STUBBED (no image/audio libs in this container) behind
+  * [[MultimodalOps.decodeStub]] — a clearly-marked deterministic fake
+  * — while everything Spark-side (schema, partitioning, batch shape,
+  * frame fan-out) is real and tested.
+  *
+  * Scale posture: payload bytes never shuffle — metadata is derived
+  * map-side and the per-frame fan-out is a generator (explode over a
+  * bounded sequence), not a join. At 100 TB the binary column stays
+  * in parquet until the decode stage touches it, one partition at a
+  * time.
+  */
+object MultimodalOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** A decoded-media record produced by the (stubbed) codec. */
+  case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
+    height: Int, n_frames: Int, checksum: Long)
+
+  /** Media table synthesized from documents: the text payload cast to
+    * a binary `content` column + typed metadata — the declared
+    * multimodal column layout.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("text/plain").as("mime"),
+        col("source").as("origin"),
+        col("n_chars").as("declared_bytes")).as("meta"))
+
+  /** Declared metadata query: byte length + fake decoded dimensions,
+    * all via integer expressions on the binary column (no stub needed
+    * — this part is real in any deployment).
+    */
+  def q_media_meta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        (length(col("content")) % 640 + 1).cast("long").as("fake_width"),
+        (length(col("content")) % 480 + 1).cast("long").as("fake_height"),
+        (length(col("content")) % 5 + 1).cast("long").as("n_frames"))
+      .orderBy("doc_id")
+
+  /** STUB — stands in for a real image/audio decoder (libs absent in
+    * this container). Deterministic fake: dimensions and checksum
+    * derived from the payload bytes. The mapPartitions plumbing
+    * around it (batching, encoder, schema) is the real deliverable.
+    */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaFeature = {
+    val n = payload.length
+    var ck = 1125899906842597L // deterministic FNV-ish rolling checksum
+    var i = 0
+    while (i < n) { ck = ck * 31 + (payload(i) & 0xff); i += 1 }
+    MediaFeature(docId, n, n % 640 + 1, n % 480 + 1, n % 5 + 1, ck)
+  }
+
+  /** Batched per-partition decode: the shape a real codec integration
+    * takes (one codec instance per partition, streamed batches, typed
+    * output). Returns a Dataset with a fixed schema downstream ops
+    * can rely on.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // codec init would happen here, once per partition
+        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Frame-sampling fan-out: one row per sampled frame index, bounded
+    * by n_frames — generator-style (explode over sequence), the same
+    * plan shape a video pipeline uses to fan a clip into frames.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    q_media_meta(s, dir)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+}

@@ -1,0 +1,350 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Scalars
+
+/** Core relational operator surface (SURVEY §2.1–§2.10, declared
+  * queries). Each def is one `SparkEntry.queries` contract key.
+  *
+  * Determinism rules (SURVEY §2.12) applied throughout:
+  *  - every query ends with an ORDER BY whose key set makes the full
+  *    row sequence deterministic;
+  *  - doubles are cast to DECIMAL before any aggregation (exact,
+  *    order-independent) and only then optionally widened back;
+  *  - nullable output columns are coalesced to sentinels so Spark's
+  *    NULLS FIRST vs DuckDB's NULLS LAST sort default cannot diverge.
+  *
+  * Scale posture (100 TB): only genuinely small dimension tables
+  * (region: 5 rows, nation: 25 rows) are broadcast; fact-fact joins
+  * stay shuffle joins keyed on the join column so AQE can pick
+  * SMJ/shuffled-hash and split skew. No collect() anywhere.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Exact, order-independent sum of a double column: cast each value
+    * to DECIMAL(18,2) first (SURVEY §2.12 rule 2).
+    */
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)")
+
+  // ── §2.1/§2.2 scans, projection, predicates ────────────────────────
+
+  /** P1/S8: projection narrows the parquet ReadSchema to 4 of 11 cols
+    * (reference's fixed column descriptor list, config.py:13-22).
+    */
+  def q_scan_project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata —
+      // sort covers every output column for a deterministic sequence
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+
+  /** P2: equality predicate, pushed to the parquet scan (the
+    * reference pushes HTSUSCode server-side,
+    * clients/exclusion_requests.py:81-82).
+    */
+  def q_filter_eq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** P3/P4: non-empty + de-noise predicates
+    * (clients/exclusion_requests.py:158,161-164).
+    */
+  def q_filter_nonempty(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0 && col("source") =!= "src0")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** P6: range + IN predicates (the reference's Min/Max
+    * Thickness/Diameter GSIs exist to serve exactly these,
+    * __main__.py:39-43). Both reach PushedFilters.
+    */
+  def q_filter_range(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20) && col("l_linenumber").isin(1, 2, 3))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+  // ── §2.6 sort / limit / top-k ──────────────────────────────────────
+
+  /** O1+O2: orderBy desc + limit ⇒ Catalyst plans TakeOrderedAndProject
+    * (a distributed top-k, no global sort — the plan that survives
+    * 100×: each partition keeps k rows, driver merges k·p rows).
+    */
+  def q_topk_desc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  // ── §2.4 aggregations ──────────────────────────────────────────────
+
+  /** A1: per-group count (the reference's len(summaries) per HTS code,
+    * __main__.py:55). Partial aggregation map-side, then one shuffle
+    * on the (low-cardinality) group key.
+    */
+  def q_groupby_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3: hash agg with sum/min/max/avg. Sums are decimal-exact; avg is
+    * derived deterministically as exact-sum / count (double division
+    * of exact operands — no fold-order drift).
+    */
+  def q_agg_sum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("cnt"), 4))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A4 (exact): COUNT(DISTINCT) — Catalyst expands to a two-phase
+    * partial-distinct aggregate; the approx variant is
+    * q_agg_approx_distinct (not oracle-declared).
+    */
+  def q_agg_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** A4 (approx): HyperLogLog++ sketch — the 100 TB path where exact
+    * distinct would shuffle every key. No DuckDB twin (different
+    * sketch) ⇒ rows-only check (SURVEY §2.12 rule on omission).
+    */
+  def q_agg_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("apx_part"))
+      .orderBy("l_returnflag")
+
+  /** A5: rollup (group key null-markers coalesced to 'ALL' sentinels
+    * so sort order is engine-independent).
+    */
+  def q_agg_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  // ── §2.3 joins ─────────────────────────────────────────────────────
+
+  /** J1: enrichment equi-join (summary ⋈ detail by id,
+    * __main__.py:56-57). Shuffle join on the key — both sides are
+    * fact-sized at scale; AQE picks the physical strategy.
+    */
+  def q_join_enrich(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  /** J2: left-outer merge (detail ± optional summary,
+    * clients/exclusion_requests.py:97-99); null sides coalesced to
+    * sentinels per §2.12.
+    */
+  def q_join_left(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+        coalesce(col("o_orderstatus"), lit("NONE")).as("o_orderstatus"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  /** J3/J4: multi-way star join. nation (25 rows) and region (5 rows)
+    * are broadcast — the only sides that stay broadcastable at 100 TB;
+    * lineitem⋈orders⋈customer remain shuffle joins on their keys.
+    */
+  def q_join_multi(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), dsum2(col("l_extendedprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J5: anti join — the integrity check the reference wished for
+    * (TODO at clients/exclusion_requests.py:89).
+    */
+  def q_join_anti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J5: semi join (EXISTS). */
+  def q_join_semi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  // ── §2.7 set operations ────────────────────────────────────────────
+
+  /** Set union (distinct). */
+  def q_set_union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** Set difference. */
+  def q_set_except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ── §2.5 windows ───────────────────────────────────────────────────
+
+  /** W1: last-write-wins dedup — the DynamoDB PUT-by-ID semantics
+    * (__main__.py:11-23) as a ranking window; one shuffle on the
+    * dedup key, tie-broken by event_id for determinism.
+    */
+  def q_window_dedup_lww(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** W2: ranking within partitions (rank + dense_rank agree on
+    * deterministic double comparisons).
+    */
+  def q_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** W3: analytic frame — running decimal-exact sum + lag. The window
+    * order uses the full unique composite (l_linenumber, l_partkey,
+    * l_suppkey) — (l_orderkey, l_linenumber) alone is not unique, and
+    * a tied window order would make running/lag values
+    * engine-dependent.
+    */
+  def q_window_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(run)
+          .cast("decimal(18,2)").as("running_qty"),
+        coalesce(lag(col("l_quantity"), 1).over(w), lit(-1.0)).as("prev_qty"))
+      .orderBy("l_orderkey", "l_linenumber", "running_qty", "prev_qty")
+  }
+
+  // ── §2.8 scalar functions ──────────────────────────────────────────
+
+  /** F1–F3+F8: key normalization pipeline on synthesized scrape-shaped
+    * keys (prefix strip, trim, Untitled fallback, whitespace
+    * squashing).
+    */
+  def q_regex_clean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Scalars.normalizeKey(concat(lit("BIS232Request."), col("source"))).as("clean_key"),
+        Scalars.keyOrUntitled(col("lang"), col("source"), col("doc_id")).as("keyname"),
+        regexp_replace(substring(col("text"), 1, 40), "\\s+", "_").as("squished"))
+      .orderBy("doc_id")
+
+  /** F5+F6: typify cast cascade with the inf/nan/e guard
+    * (clients/dynamodb.py:51-63). k comes from embedded JSON; the
+    * synthesized "<user_id>.5" exercises the float leg; event_type
+    * exercises the guard ('signup' passes it but isn't numeric,
+    * 'purchase'/'error' contain 'e' and are guard-blocked).
+    */
+  def q_typify_cast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        Scalars.typifyLong(get_json_object(col("props"), "$.k")).as("k_typed"),
+        Scalars.typifyNumber(concat(col("user_id").cast("string"), lit(".5"))).as("u_typed"),
+        Scalars.numifiable(col("event_type")).as("guard_pass"))
+      .orderBy("event_id")
+
+  /** F5: regex extraction of embedded JSON + path reads — the
+    * reference's Source-Countries scrape
+    * (clients/exclusion_requests.py:100-106) reproduced end-to-end:
+    * build page-like text, regex-extract the JSON array, read fields.
+    */
+  def q_json_extract(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(lit("<script>var x = [{\"OriginCountry\":\""),
+      col("event_type"), lit("\"}];</script>"))
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(
+          regexp_extract(page, "\\[\\{\"OriginCountry\"[^]]*\\]", 0),
+          "$[0].OriginCountry").as("origin_country"))
+      .orderBy("event_id")
+  }
+
+  /** F7/F10: explode list column to rows, empty tokens dropped (P3). */
+  def q_explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .orderBy("doc_id", "tok")
+
+  /** F9/§2.10 batch-equivalent: event-time tumbling window as
+    * date_trunc (streaming window() twin lives in graft.streaming).
+    */
+  def q_time_bucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+      .orderBy("bucket", "event_type")
+}

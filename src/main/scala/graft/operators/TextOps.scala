@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-corpus operators for LLM-data pipelines (SURVEY §2.11):
+  * exact dedup, token stats, language-ID, quality scoring,
+  * fingerprinting, and three near-dup families (n-gram Jaccard,
+  * MinHash+LSH banding, SimHash).
+  *
+  * Scale notes (100 TB posture):
+  *  - everything is expression-only (codegen'd), no UDFs;
+  *  - the pairwise steps never do an unblocked cross join: Jaccard
+  *    pairs come from a shingle-inverted-index self-join with a
+  *    document-frequency cap (df ≤ maxShingleDf) that bounds the
+  *    per-shingle fan-out (a shingle in d docs contributes d² pairs —
+  *    the cap is part of the declared semantics, not a heuristic);
+  *  - MinHash/SimHash reduce each doc to a constant-size signature
+  *    first, so the candidate join is on tiny band buckets.
+  */
+object TextOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** df cap for the Jaccard inverted-index join — part of the
+    * declared semantics (documented in the oracle SQL too).
+    */
+  val maxShingleDf = 1000
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+
+  /** Distinct (doc_id, 3-gram-shingle) pairs. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+
+  // ── exact dedup (L1) ───────────────────────────────────────────────
+
+  /** Exact dedup by content hash: keeper = min doc_id per md5(text).
+    * One shuffle on the 128-bit hash; at 100 TB this is the standard
+    * first dedup pass (hash is computed map-side, shuffle carries
+    * only (hash, id)).
+    */
+  def q_text_dedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  // ── token stats (L2) ───────────────────────────────────────────────
+
+  /** Tokenize + global term frequency, top-100. */
+  def q_text_tokens(s: SparkSession, dir: String): DataFrame =
+    docTokens(s, dir)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(100)
+
+  /** Per-document token counts, three tokenizers (whitespace,
+    * regex-\s+, BPE-ish regex word/number/punct classes).
+    */
+  def q_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("len_chars"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  // ── language ID + quality (text analysis) ──────────────────────────
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** n-gram/stopword-ratio language heuristic: ≥5% English stopwords
+    * ⇒ 'en'. Integer arithmetic only (20·n_stop ≥ n_tok) so the
+    * decision is exact in any engine.
+    */
+  def q_lang_id(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nstop = size(filter(toks, x => x.isInCollection(stopwords)))
+    val ntok = size(toks)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"), nstop.cast("long").as("n_stop"), ntok.cast("long").as("n_tok"),
+        when(ntok > 0 && nstop * 20 >= ntok, lit("en")).otherwise(lit("unk"))
+          .as("pred_lang"),
+        col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length band + average-token-length band, as
+    * integer comparisons (avg ∈ [3,10] ⇔ 3·n_tok ≤ chars ≤ 10·n_tok)
+    * so the score is float-drift-free.
+    */
+  def q_quality_score(s: SparkSession, dir: String): DataFrame = {
+    val ntok = TextFns.tokenCount(col("text"))
+    val nospace = length(regexp_replace(col("text"), " ", ""))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        ntok.cast("long").as("n_tok"),
+        round(nospace.cast("double") / greatest(ntok, lit(1)), 4).as("avg_tok_len"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+          / greatest(length(col("text")), lit(1)), 4).as("digit_ratio"),
+        (when(ntok.between(50, 1000), 0.5).otherwise(0.0)
+          + when(nospace >= ntok * 3 && nospace <= ntok * 10, 0.5).otherwise(0.0))
+          .as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: exact (normalized md5) and order-invariant
+    * bag-of-words shape hash.
+    */
+  def q_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFns.fingerprintExact(col("text")).as("fp_exact"),
+        TextFns.fingerprintShape(col("text")).as("fp_shape"))
+      .orderBy("doc_id")
+
+  // ── n-gram Jaccard near-dup ────────────────────────────────────────
+
+  /** Jaccard near-dup candidates over 3-gram word shingles via an
+    * inverted-index self-join (df-capped). Output: top-100 pairs by
+    * rounded Jaccard. All arithmetic is integer until one final exact
+    * double division.
+    */
+  def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = docShingles(s, dir)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("shingle")
+    val sh = sh0.join(rare, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // self-join via USING key (renamed ids) — qualified a(col)===b(col)
+    // on a self-derived frame degenerates to a trivially-true predicate
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  // ── MinHash + LSH banding ──────────────────────────────────────────
+
+  /** 8-leg MinHash signature per document (min of seeded md5 over the
+    * shingle set — string-min over hex, identical order in any
+    * engine). Constant-size output per doc ⇒ the LSH join below never
+    * touches raw text again.
+    */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir)
+      .groupBy("doc_id")
+      .agg(
+        TextFns.minhashLeg(col("shingle"), 0).as("h0"),
+        TextFns.minhashLeg(col("shingle"), 1).as("h1"),
+        TextFns.minhashLeg(col("shingle"), 2).as("h2"),
+        TextFns.minhashLeg(col("shingle"), 3).as("h3"),
+        TextFns.minhashLeg(col("shingle"), 4).as("h4"),
+        TextFns.minhashLeg(col("shingle"), 5).as("h5"),
+        TextFns.minhashLeg(col("shingle"), 6).as("h6"),
+        TextFns.minhashLeg(col("shingle"), 7).as("h7"))
+
+  /** Declared parity check for the MinHash computation itself. */
+  def q_minhash_sig(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(s, dir)
+      .select("doc_id", "h0", "h1", "h2", "h3")
+      .orderBy("doc_id")
+
+  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any
+    * band bucket are candidates. Join is on (band, 32-hex bucket) —
+    * tiny constant-width keys.
+    */
+  def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"))).as("bucket")),
+        struct(lit(1).as("band"), md5(concat(col("h2"), col("h3"))).as("bucket")),
+        struct(lit(2).as("band"), md5(concat(col("h4"), col("h5"))).as("bucket")),
+        struct(lit(3).as("band"), md5(concat(col("h6"), col("h7"))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  // ── SimHash ────────────────────────────────────────────────────────
+
+  /** 16-bit SimHash per doc: per-bit ±1 votes from token hashes
+    * (with multiplicity), bit set iff vote sum > 0.
+    */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val h = docTokens(s, dir)
+      .select(col("doc_id"), TextFns.tokenHash16(col("tok")).as("h16"))
+    val voteCols = (0 until 16).map(b =>
+      sum(TextFns.simhashVote(col("h16"), b)).as(s"v$b"))
+    val votes = h.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    // bit b set ⇔ vote sum > 0; reassemble the 16-bit signature
+    votes.select(col("doc_id"),
+      (0 until 16).map(b =>
+        when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+        .cast("long").as("simhash"))
+  }
+
+  /** Declared parity check for the SimHash computation. */
+  def q_simhash_sig(s: SparkSession, dir: String): DataFrame =
+    simhashSignatures(s, dir).orderBy("doc_id")
+
+  /** SimHash near-dup pairs: LSH on the two bytes (candidates share
+    * high or low byte), verified by Hamming distance ≤ 3.
+    */
+  def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(s, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("band"), shiftright(col("simhash"), 8).as("bucket")),
+        struct(lit(1).as("band"), col("simhash").bitwiseAND(lit(255L)).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+}
