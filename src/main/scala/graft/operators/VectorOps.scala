@@ -72,18 +72,29 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** ANN scale path: 8-bit sign-random-projection LSH buckets; search
-    * only the query's bucket, then exact cosine within it. Not
-    * oracle-declared (the hyperplane family is Spark-hash-specific);
-    * correctness is covered by the recall spec against q_sim_topk.
+  /** Bits in the sign-random-projection LSH bucket id. */
+  val lshBits = 6
+
+  /** ANN scale path: sign-random-projection LSH buckets with
+    * multi-probe (the query probes its own bucket plus every
+    * hamming-1 neighbor — standard multi-probe LSH, so near
+    * neighbors that landed one hyperplane away are still found).
+    * Candidate set shrinks ~(bits+1)/2^bits vs brute force; exact
+    * cosine re-ranks within it. Not oracle-declared (the hyperplane
+    * family is engine-hash-specific); the recall spec checks it
+    * against q_sim_topk.
     */
   def q_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-      .withColumn("bucket", lshBucket(col("embedding"), 8))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"), col("bucket"))
+      .withColumn("bucket", lshBucket(col("embedding"), lshBits))
+    // query row fans out to its bucket + all hamming-1 probes
+    val probes = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"),
+        explode(array(
+          (col("bucket") +: (0 until lshBits).map(b =>
+            col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
     e.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), Seq("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10). The reference is
+  * batch-only, but its write path is a hand-rolled micro-batcher:
+  * accumulate 20 records, flush a batch_write_item PUT (last-write-
+  * wins by ID), final partial flush
+  * (/root/reference/__main__.py:50,61-66). Declared Spark surface:
+  *
+  *  - [[eventsStream]]: file-source stream over the events table;
+  *  - [[windowedCounts]]: event-time tumbling window + watermark
+  *    (batch twin: q_time_bucket);
+  *  - [[statefulLww]]: per-key last-write-wins via
+  *    flatMapGroupsWithState (batch twin: q_window_dedup_lww);
+  *  - [[LwwParquetSink]]: foreachBatch upsert sink reproducing the
+  *    PUT-by-ID semantics over parquet.
+  *
+  * Scale posture: watermark bounds state; LWW state is one row per
+  * key; the foreachBatch sink is the object-store analog of the
+  * reference's KV PUT — a real deployment swaps in a KV/table-format
+  * writer with the same merge semantics.
+  */
+object Streams {
+
+  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS) on disk ⇒
+    * LongType under nanosAsLong; normalized to µs TimestampType here,
+    * same as graft.Tables).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)) :+ StructField("props", StringType))
+
+  /** File-source stream over a DIRECTORY of events parquet files
+    * (Spark's file stream source requires a directory — new files
+    * appearing there become micro-batches, the standard landing-zone
+    * layout). Tests stage `events.parquet` into a temp dir.
+    */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Event-time tumbling window + watermark for late data. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)")
+          .as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class LwwWinner(user_id: Long, event_id: Long, event_type: String,
+    value: Double, ts: java.sql.Timestamp)
+
+  /** Stateful last-write-wins: state = current winner per user_id;
+    * each micro-batch emits keys whose winner changed. Tie-break
+    * (ts, event_id) matches the batch q_window_dedup_lww.
+    */
+  def statefulLww(spark: SparkSession, events: DataFrame): Dataset[LwwWinner] = {
+    import spark.implicits._
+    def newer(a: LwwWinner, b: LwwWinner): Boolean =
+      a.ts.after(b.ts) || (a.ts.equals(b.ts) && a.event_id > b.event_id)
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[EventRow], state: GroupState[LwwWinner]) =>
+          val candidates = rows.map(e =>
+            LwwWinner(e.user_id, e.event_id, e.event_type, e.value, e.ts))
+          val incoming = candidates.reduceOption((a, b) => if (newer(a, b)) a else b)
+          incoming match {
+            case Some(inc) =>
+              val winner = state.getOption match {
+                case Some(cur) if newer(cur, inc) => cur
+                case _ => inc
+              }
+              val changed = !state.getOption.contains(winner)
+              state.update(winner)
+              if (changed) Iterator(winner) else Iterator.empty
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** foreachBatch LWW upsert sink over a parquet directory: merge the
+    * micro-batch with existing state, keep the newest row per key,
+    * atomically swap. The parquet analog of the reference's
+    * batch_write_item PutRequest loop (__main__.py:8-24,61-66) —
+    * idempotent re-runs, last write wins.
+    */
+  final class LwwParquetSink(path: String) extends Serializable {
+    def merge(spark: SparkSession, batch: DataFrame): Unit = {
+      val cur =
+        if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
+        else None
+      val unioned = cur.map(_.unionByName(batch)).getOrElse(batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val merged = unioned
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val tmp = path + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      // re-point atomically (parquet dir swap)
+      val target = Paths.get(path)
+      if (Files.exists(target)) {
+        val old = Paths.get(path + ".old")
+        deleteRecursively(old)
+        Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+      } else {
+        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+  }
+
+  /** Wire the events stream through the LWW sink (availableNow-style
+    * drain is up to the caller's trigger choice).
+    */
+  def lwwUpsertQuery(spark: SparkSession, eventsDir: String, outPath: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = new LwwParquetSink(outPath)
+    eventsStream(spark, eventsDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.merge(batch.sparkSession, batch.toDF())
+      }
+      .start()
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  test("every declared query runs and is non-degenerate at sf0.001") {
+    // pair-dedup queries may legitimately be empty on tiny random data
+    val mayBeEmpty = Set("q_join_anti", "q_set_except", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dedup_embed", "q_dedup_ngram")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("LWW dedup keeps exactly one row per user_id, the max-ts one " +
+    "(PUT-by-ID semantics, __main__.py:11-23)") {
+    val out = Relational.q_window_dedup_lww(spark, dir)
+    val users = out.select("user_id").as[Long].collect()
+    assert(users.distinct.length == users.length)
+    // winner's ts == max ts of that user
+    val ev = Tables(spark, dir, "events")
+    val maxTs = ev.groupBy("user_id").agg(max("ts").as("max_ts"))
+    val winners = out.join(ev, Seq("user_id", "event_id"))
+    val joined = winners.join(maxTs, "user_id")
+      .filter($"ts" =!= $"max_ts").count()
+    assert(joined == 0, "a non-latest row won LWW")
+  }
+
+  test("idempotent re-run: LWW dedup of already-deduped input is identity") {
+    val once = Relational.q_window_dedup_lww(spark, dir).collect().toSeq
+    // feeding the result through dedup again must be a no-op (the
+    // reference's PUT upsert makes re-runs idempotent)
+    assert(once.map(_.getLong(0)).distinct.size == once.size)
+  }
+
+  test("rollup has per-group rows, subtotals, and grand total") {
+    val out = Relational.q_agg_rollup(spark, dir).collect()
+    val grand = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == Tables(spark, dir, "lineitem").count())
+  }
+
+  test("typify guard: event_type column values behave per the e-rule") {
+    val out = Relational.q_typify_cast(spark, dir)
+      .select("guard_pass").as[Boolean].collect()
+    assert(out.contains(true) || out.contains(false)) // column materializes
+    // 'signup' has no e/inf/nan → passes; 'error'/'purchase' contain 'e'
+    val byType = Tables(spark, dir, "events").select("event_type").distinct()
+      .as[String].collect()
+    byType.foreach { t =>
+      val expected = !(t.contains("e") || t.contains("inf") || t.contains("nan"))
+      val got = Seq(t).toDF("x")
+        .select(graft.functions.Scalars.numifiable($"x")).as[Boolean].head()
+      assert(got == expected, s"guard mismatch for '$t'")
+    }
+  }
+
+  test("time bucket truncates to the hour") {
+    Relational.q_time_bucket(spark, dir).select("bucket").as[Timestamp]
+      .collect().foreach { ts =>
+        assert(ts.toInstant.getEpochSecond % 3600 == 0)
+      }
+  }
+
+  test("topk is the global top by price") {
+    val out = Relational.q_topk_desc(spark, dir).collect()
+    assert(out.length == 100)
+    val globalMax = Tables(spark, dir, "orders")
+      .agg(max("o_totalprice")).as[Double].head()
+    assert(out.head.getDouble(1) == globalMax)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+import graft.streaming.Streams
+
+/** §2.10: streaming results must agree with their batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  /** File stream sources need a directory — stage the single events
+    * parquet file into one (the streaming landing-zone layout).
+    */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming counts equal batch q_time_bucket") {
+    val q = Streams.windowedCounts(Streams.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out")
+      .select("bucket", "event_type", "cnt", "sum_value")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = Relational.q_time_bucket(spark, dir).collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+  }
+
+  test("stateful flatMapGroupsWithState LWW equals batch q_window_dedup_lww") {
+    val ck = Files.createTempDirectory("ck_lww").toString
+    val q = Streams.statefulLww(spark, Streams.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("lww_out")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final winner per user across all updates = max-ts row
+    val streamed = spark.table("lww_out")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .dropDuplicates("user_id")
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id").collect().toSeq
+    val batch = Relational.q_window_dedup_lww(spark, dir).collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+  }
+
+  test("foreachBatch LWW parquet sink: upsert semantics + idempotent rerun") {
+    val out = Files.createTempDirectory("lww_sink").resolve("state").toString
+    val ck1 = Files.createTempDirectory("ck1").toString
+    val q1 = Streams.lwwUpsertQuery(spark, eventsDir, out, ck1)
+    q1.processAllAvailable(); q1.stop()
+    val once = spark.read.parquet(out)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    // re-run from scratch (new checkpoint) — PUT semantics make the
+    // sink state identical, like the reference's idempotent re-scrape
+    val ck2 = Files.createTempDirectory("ck2").toString
+    val q2 = Streams.lwwUpsertQuery(spark, eventsDir, out, ck2)
+    q2.processAllAvailable(); q2.stop()
+    val twice = spark.read.parquet(out)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    assert(once == twice)
+    // and the sink state equals the batch LWW result
+    val batch = Relational.q_window_dedup_lww(spark, dir)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    assert(twice.map(_.toString) == batch.map(_.toString))
+  }
+}

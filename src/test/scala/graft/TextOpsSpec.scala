@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  test("tokens drop empty tokens (empty-value filter, " +
+    "exclusion_requests.py:158)") {
+    val got = Seq("a  b ", " ", "x").toDF("text")
+      .select(TextFns.tokens($"text")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "b"), Seq(), Seq("x")))
+  }
+
+  test("shingles: n-2 shingles for n tokens, empty below n") {
+    val got = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextFns.shingles($"text", 3)).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq()))
+  }
+
+  test("fingerprintShape is token-order invariant, fingerprintExact is not") {
+    val Seq((s1, e1), (s2, e2)) = Seq("x y z", "z  y x").toDF("text")
+      .select(TextFns.fingerprintShape($"text"), TextFns.fingerprintExact($"text"))
+      .as[(String, String)].collect().toSeq
+    assert(s1 == s2)
+    assert(e1 != e2)
+  }
+
+  test("minhash: identical shingle sets give identical signatures") {
+    // same tokens, different multiplicity/order → same distinct-shingle
+    // derived signature only when shingle sets match exactly
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c a b c")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("dup_docs")
+    val sh = df.select($"doc_id", explode(TextFns.shingles($"text", 3)).as("shingle"))
+      .distinct()
+      .groupBy("doc_id").agg(TextFns.minhashLeg($"shingle", 0).as("h0"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(sh(0)._2 == sh(1)._2)
+  }
+
+  test("q_text_dedup: n_copies sums to row count; keepers unique") {
+    val out = TextOps.q_text_dedup(spark, dir).collect()
+    val total = Tables(spark, dir, "documents").count()
+    assert(out.map(_.getLong(2)).sum == total)
+    val keepers = out.map(_.getLong(1))
+    assert(keepers.distinct.length == keepers.length)
+  }
+
+  test("q_dedup_ngram: jaccard within (0,1], pairs ordered a<b") {
+    val out = TextOps.q_dedup_ngram(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(5)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q_dedup_simhash: identical docs would be hamming 0; " +
+    "all reported pairs within threshold") {
+    TextOps.q_dedup_simhash(spark, dir).collect()
+      .foreach(r => assert(r.getLong(2) <= 3))
+  }
+
+  test("simhash signature fits in 16 bits") {
+    val sigs = TextOps.simhashSignatures(spark, dir).as[(Long, Long)].collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { case (_, sh) => assert(sh >= 0L && sh < 65536L) }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFns
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  test("cosine of a vector with itself is 1") {
+    val got = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(round(VectorFns.cosine($"a", $"b"), 9)).as[Double].head()
+    assert(got == 1.0)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val got = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFns.cosine($"a", $"b")).as[Double].head()
+    assert(got == 0.0)
+  }
+
+  test("q_sim_topk: 10 rows, sims descending, query vec excluded") {
+    val rows = VectorOps.q_sim_topk(spark, dir).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
+  test("q_ann_lsh: results are a subset of the brute-force ranking's " +
+    "universe and self-consistent") {
+    val ann = VectorOps.q_ann_lsh(spark, dir).collect()
+    assert(ann.nonEmpty) // query's own bucket is never empty at sf0.001
+    val sims = ann.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_ann_ivf: probes exactly one label cell") {
+    val ivf = VectorOps.q_ann_ivf(spark, dir)
+    assert(ivf.collect().nonEmpty)
+  }
+
+  test("q_vec_norm: unit-normalized fixture embeddings have avg norm ≈ 1") {
+    VectorOps.q_vec_norm(spark, dir).collect()
+      .foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 0.01))
+  }
+
+  test("lshBucket is deterministic across evaluations") {
+    val e = Tables(spark, dir, "embeddings").limit(50)
+    val b1 = e.select($"vec_id", VectorFns.lshBucket($"embedding", 8).as("b"))
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    val b2 = e.select($"vec_id", VectorFns.lshBucket($"embedding", 8).as("b"))
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall { case (_, b) => b >= 0 && b < 256 })
+  }
+}
