@@ -20,17 +20,12 @@ object TextFns {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles, space-joined; empty array when the doc has
-    * fewer than n tokens. (sequence() is guarded: Spark generates a
-    * *descending* sequence when start > stop, so the < n case must
-    * short-circuit.)
+    * fewer than n tokens. Backed by the codegen'd [[WordShingles]]
+    * expression (the equivalent HOF pipeline —
+    * transform(sequence(...)) over element_at — is CodegenFallback
+    * and dominated shingle-heavy queries when interpreted).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val arr = tokens(text)
-    when(size(arr) >= n,
-      transform(sequence(lit(0), size(arr) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(arr, i + lit(k + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column = WordShingles(text, n)
 
   /** Exact-content fingerprint: lowercase + whitespace-collapse + md5. */
   def fingerprintExact(text: Column): Column =

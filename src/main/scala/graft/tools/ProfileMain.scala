@@ -11,8 +11,8 @@ object ProfileMain {
     val q = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -21,7 +21,7 @@ object ProfileMain {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(q)(spark, dir)
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
-    (1 to 2).foreach { i =>
+    (1 to 5).foreach { i =>
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"[profile] $q run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, TextOps, VectorOps}
+
+/** Scale-posture checks: the physical plans must have the shape that
+  * survives a 100× scale-up — filters and projections pushed into the
+  * parquet scan, small dims broadcast (and only those), top-k as
+  * TakeOrderedAndProject instead of a global sort, no cartesian
+  * products outside the intentional 1-row broadcast cross join.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_filter_eq pushes the predicate into the parquet scan") {
+    val p = planOf(Relational.q_filter_eq(spark, dir))
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+  }
+
+  test("q_scan_project prunes the read schema to selected columns") {
+    val p = planOf(Relational.q_scan_project(spark, dir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_tax"),
+      "scan reads columns the query never touches")
+  }
+
+  test("q_filter_range pushes range + IN predicates down") {
+    val p = planOf(Relational.q_filter_range(spark, dir))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)") ||
+      p.contains("PushedFilters: [In(l_linenumber"), p.take(2000))
+  }
+
+  test("q_join_multi broadcasts only the small dims") {
+    val p = planOf(Relational.q_join_multi(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+  }
+
+  test("q_topk_desc plans a distributed top-k, not a global sort") {
+    val p = planOf(Relational.q_topk_desc(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_sim_topk broadcasts the 1-row query side") {
+    val p = planOf(VectorOps.q_sim_topk(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("shingle queries contain the codegen'd word_shingles expression") {
+    val p = planOf(TextOps.q_minhash_sig(spark, dir))
+    assert(p.contains("word_shingles"), p.take(2000))
+  }
+
+  test("word_shingles is SQL-callable after extension registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT word_shingles('a  b c d ', 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    val two = spark.sql("SELECT word_shingles('a b c', 2) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(two == Seq("a b", "b c"))
+  }
+}
