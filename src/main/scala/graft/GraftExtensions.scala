@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.WordShingles
+import graft.functions.{VectorDot, VectorNorm2, WordShingles}
 
 /** Library registration surface: makes graft's custom Catalyst
   * expressions available to SQL users, either at session build time
@@ -19,7 +19,7 @@ import graft.functions.WordShingles
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftExtensions.wordShinglesFunction)
+    GraftExtensions.functions.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
@@ -41,10 +41,25 @@ object GraftExtensions {
         "word_shingles(text[, n]) takes 1 or 2 arguments")
     })
 
+  /** Codegen'd double dot product: vector_dot(a, b). */
+  val vectorDotFunction: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (args: Seq[Expression]) => VectorDot(args(0), args(1)))
+
+  /** Codegen'd double sum-of-squares: vector_norm2(a). */
+  val vectorNorm2Function: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_norm2"),
+    new ExpressionInfo(classOf[VectorNorm2].getName, "vector_norm2"),
+    (args: Seq[Expression]) => VectorNorm2(args.head))
+
+  val functions = Seq(wordShinglesFunction, vectorDotFunction, vectorNorm2Function)
+
   /** Imperative registration for an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = wordShinglesFunction
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

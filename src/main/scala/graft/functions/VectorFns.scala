@@ -14,16 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Sequential-fold double-precision dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold double-precision dot product (codegen'd
+    * [[VectorDot]]; the equivalent aggregate/zip_with HOF chain is
+    * CodegenFallback and ~5× slower interpreted).
+    */
+  def dot(a: Column, b: Column): Column = VectorExprs.vectorDot(a, b)
 
-  /** Sum of squares (squared L2 norm). */
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sum of squares (squared L2 norm), codegen'd [[VectorNorm2]]. */
+  def norm2(a: Column): Column = VectorExprs.vectorNorm2(a)
 
   def l2norm(a: Column): Column = sqrt(norm2(a))
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.datatables.{FixtureTransport, TransportRegistry}
+
+/** S1: the DataTables-protocol DSv2 source — pushdowns must reach the
+  * transport exactly like the reference's hand-built payloads
+  * (clients/exclusion_requests.py:78-90).
+  */
+class DataTablesSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val records = (1 to 2500).map { i =>
+    Map(
+      "ID" -> f"$i%06d",
+      "Company" -> s"Co${i % 7}",
+      "HTSUSCode" -> s"72${i % 5}",
+      "PublicStatus" -> (if (i % 3 == 0) "GRANTED" else "PENDING"))
+  }
+  TransportRegistry.register("erc_fixture", FixtureTransport(records, "ID"))
+
+  private def read =
+    spark.read.format("graft.sources.datatables.DefaultSource")
+      .option("transport", "erc_fixture")
+      .option("columns", "ID,Company,HTSUSCode,PublicStatus")
+      .option("searchableColumn", "HTSUSCode")
+      .option("pageSize", "1000")
+      .load()
+
+  test("full scan pages through all records in parallel partitions") {
+    assert(read.count() == 2500)
+    assert(read.rdd.getNumPartitions == 3) // 2500 rows / 1000-page
+  }
+
+  test("equality filter on the searchable column is pushed to the server") {
+    val df = read.filter(col("HTSUSCode") === "722")
+    val plan = df.queryExecution.executedPlan.toString
+    // scan description carries the pushed search; Spark keeps only an
+    // isnotnull residual filter post-scan
+    assert(plan.contains("search=Some((HTSUSCode,722))"), plan.take(1500))
+    assert(!plan.contains("Filter (isnotnull(HTSUSCode#") ||
+      !plan.matches("(?s).*Filter .*= 722.*"), "equality re-evaluated post-scan")
+    assert(df.count() == 500)
+    // pushed search shrinks paging: one 500-row page, not three
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("non-searchable filters stay post-scan but still apply") {
+    val df = read.filter(col("Company") === "Co3")
+    assert(df.count() == records.count(_("Company") == "Co3"))
+  }
+
+  test("limit is pushed as the protocol length") {
+    assert(read.limit(42).count() == 42)
+    assert(read.limit(42).rdd.getNumPartitions == 1)
+  }
+
+  test("column pruning reaches the column-descriptor list") {
+    val df = read.select("ID")
+    assert(df.schema.fieldNames.toSeq == Seq("ID"))
+    assert(df.distinct().count() == 2500)
+  }
+}
