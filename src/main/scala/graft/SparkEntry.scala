@@ -46,6 +46,10 @@ object SparkEntry {
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx_distinct" -> (Relational.q_agg_approx_distinct _),
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
+    "q_agg_stats" -> (Relational.q_agg_stats _),
+    "q_agg_quantile" -> (Relational.q_agg_quantile _),
+    "q_time_parts" -> (Relational.q_time_parts _),
+    "q_pivot" -> (Relational.q_pivot _),
     // §2.3 joins
     "q_join_enrich" -> (Relational.q_join_enrich _),
     "q_join_left" -> (Relational.q_join_left _),

@@ -135,6 +135,71 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("apx_part"))
       .orderBy("l_returnflag")
 
+  /** A3 extension: variance/stddev derived from decimal-exact sum and
+    * sum-of-squares (sqrt((Σx² − (Σx)²/n)/(n−1)) over exact operands)
+    * — deterministic in any engine, unlike streaming Welford whose
+    * fold order varies with partitioning.
+    */
+  def q_agg_stats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(x).cast("double").as("s1"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1), 4).as("var_qty"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1)), 4).as("std_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A3 extension: interpolated quantiles — Spark's exact percentile()
+    * and DuckDB's quantile_cont share the (n−1)·q interpolation rule.
+    */
+  def q_agg_quantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** F9 extension: calendar part extraction (year/month/day/hour —
+    * identical numbering in Spark and DuckDB; dayofweek is NOT and is
+    * deliberately excluded).
+    */
+  def q_time_parts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"))
+      .orderBy("event_id")
+
+  /** A5 extension: pivot — expressed as conditional aggregation
+    * (engine-portable; Spark's pivot() compiles to the same plan
+    * for a known value list).
+    */
+  def q_pivot(s: SparkSession, dir: String): DataFrame = {
+    def cnt(status: String) =
+      count(when(col("o_orderstatus") === status, 1)).as(s"n_$status")
+    def rev(status: String) =
+      sum(when(col("o_orderstatus") === status,
+        col("o_totalprice").cast("decimal(18,2)")))
+        .cast("decimal(18,2)").as(s"rev_$status")
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(cnt("F"), cnt("O"), cnt("P"), rev("F"), rev("O"), rev("P"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A5: rollup (group key null-markers coalesced to 'ALL' sentinels
     * so sort order is engine-independent).
     */
