@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{MultimodalOps, Relational, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, MultimodalOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (declared inventory)
   * and §7 (build order). Every declared operator has a `queries`
@@ -56,6 +56,7 @@ object SparkEntry {
     "q_join_multi" -> (Relational.q_join_multi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_semi" -> (Relational.q_join_semi _),
+    "q_join_asof" -> (AsOfJoin.q_join_asof _),
     // §2.7 set ops
     "q_set_union" -> (Relational.q_set_union _),
     "q_set_except" -> (Relational.q_set_except _),

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself (SparkEntry ↔ Oracles drift). */
+class ContractSpec extends AnyFunSuite {
+
+  /** Ops implemented but deliberately not oracle-declared (no faithful
+    * DuckDB twin — SURVEY §2.12 allows omission → rows-only check).
+    */
+  private val rowsOnly = Set("q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf")
+
+  test("every oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query is oracle-declared or a documented rows-only op") {
+    val undeclared =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(undeclared.isEmpty,
+      s"queries silently missing an oracle: $undeclared")
+  }
+
+  test("rows-only list stays minimal") {
+    val stale = rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only entries with no query: $stale")
+  }
+
+  test("every oracle statement ends with an ORDER BY (determinism rule 1)") {
+    val bad = SparkEntry.oracleSql.filterNot { case (_, sql) =>
+      val tail = sql.toUpperCase.replaceAll("\\s+", " ")
+      tail.lastIndexOf("ORDER BY") > tail.lastIndexOf("GROUP BY")
+    }
+    assert(bad.isEmpty, s"oracles without trailing ORDER BY: ${bad.keys}")
+  }
+
+  test("queries map is stable (no duplicate keys lost to Map semantics)") {
+    assert(SparkEntry.queries.size >= 47)
+    assert(SparkEntry.oracleSql.size >= 44)
+  }
+}
