@@ -266,6 +266,9 @@ object Oracles {
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(
+        |    json_extract_string(concat('"', regexp_replace(props, '"', '\\"', 'g'), '"'), '$'),
+        |    '$.k') AS BIGINT) AS k_double_decoded,
         |  json_extract_string(
         |    regexp_extract(concat('<script>var x = [{"OriginCountry":"',
         |      event_type, '"}];</script>'), '\[\{"OriginCountry"[^]]*\]'),

@@ -35,4 +35,13 @@ object Tables {
       case None => df
     }
   }
+
+  /** DDL-on-demand (SURVEY §2.1 S7): idempotently (re)register every
+    * fixture table as a temp view — the `CREATE TABLE IF NOT EXISTS`
+    * analog of the reference's with_table bootstrap
+    * (/root/reference/clients/dynamodb.py:9-49) — so SQL users can
+    * query by bare name: `spark.sql("SELECT ... FROM lineitem")`.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

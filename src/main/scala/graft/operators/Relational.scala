@@ -383,10 +383,18 @@ object Relational {
   def q_json_extract(s: SparkSession, dir: String): DataFrame = {
     val page = concat(lit("<script>var x = [{\"OriginCountry\":\""),
       col("event_type"), lit("\"}];</script>"))
+    // double-encoded JSON (the dashboard endpoints return a JSON
+    // string containing JSON — json.loads(json.loads(r.text)),
+    // clients/exclusion_requests.py:116): decode the outer string,
+    // then path into the inner document
+    val doubleEncoded = concat(lit("\""),
+      regexp_replace(col("props"), "\"", "\\\\\""), lit("\""))
     t(s, dir, "events")
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(get_json_object(doubleEncoded, "$"), "$.k")
+          .cast("long").as("k_double_decoded"),
         get_json_object(
           regexp_extract(page, "\\[\\{\"OriginCountry\"[^]]*\\]", 0),
           "$[0].OriginCountry").as("origin_country"))

@@ -193,6 +193,33 @@ class DataTablesReaderFactory(columns: Array[String], transportName: String,
   }
 }
 
+/** Retry decorator (SURVEY §2.1 S5): the reference retries each GET
+  * up to `maxRetries` times and gives up returning None
+  * (clients/exclusion_requests.py:167-179); here exhaustion surfaces
+  * the error to Spark's own task-retry machinery instead of silently
+  * dropping a page — losing a page of a 100 TB crawl silently is the
+  * reference behavior NOT worth reproducing.
+  */
+case class RetryingTransport(inner: DataTablesTransport, maxRetries: Int)
+  extends DataTablesTransport {
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+  override def count(sc: Option[String], sv: Option[String]): Long =
+    withRetry(inner.count(sc, sv))
+  override def fetch(req: PageRequest): Seq[Seq[String]] =
+    withRetry(inner.fetch(req))
+}
+
 /** Fixture transport: serves the protocol from in-memory records —
   * the stand-in for the portal in this zero-egress environment.
   * Deterministic order (sorted by the first column) so paged reads
