@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/spill scratch on tmpfs: the VM's block device shows
+      // multi-second I/O stalls (high iowait, zero GC) that dwarf the
+      // actual query work at these data sizes
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: JIT-compiles the shared
