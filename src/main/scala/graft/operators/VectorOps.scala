@@ -103,18 +103,16 @@ object VectorOps {
 
   /** IVF-style ANN: coarse quantize to per-label centroids (stand-in
     * for k-means cells), probe the nearest centroid's inverted list
-    * only. Not oracle-declared.
+    * only. Centroids come from the one-pass typed CentroidAgg
+    * (constant-size partial aggregation; see its Scaladoc for why the
+    * posexplode/collect_list alternative doesn't scale). Not
+    * oracle-declared.
     */
   def q_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // centroids: mean per label via component-wise aggregate of the
-    // 64 dims (posexplode → avg → collect back into arrays)
-    val comps = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-    val cent = comps.groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-      .select(col("label").as("c_label"),
-        transform(col("pc"), p => p.getField("cx")).as("centroid"))
+    val centroidOf = udaf(graft.functions.CentroidAgg)
+    val cent = e.groupBy(col("label").as("c_label"))
+      .agg(centroidOf(col("embedding")).as("centroid"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     // nearest centroid to the query
     val probe = cent.crossJoin(broadcast(q))
