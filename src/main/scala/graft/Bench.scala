@@ -34,19 +34,30 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    // Best-of-2 per query: the box shows multi-minute external CPU
-    // bursts (sub-second queries spike to 10-50s with zero GC time);
-    // the min of two spaced runs measures the engine, not the noise.
+    // One timed round, with slow-outlier retries: the box shows
+    // multi-second external stall bursts (sub-second queries spike to
+    // 10-50s with zero GC), so a first attempt over the threshold is
+    // re-measured up to twice and the min wins. Fast attempts are
+    // final — wall time stays bounded near a single round.
+    val retryThreshold = 3.0
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      label: String): Double = {
+      val g0 = gcMillis
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench:$label] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}ms")
+      dt
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
-        val g0 = gcMillis
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}ms")
-        dt
+      var best = timed(name, fn, "1")
+      var attempt = 2
+      while (best >= retryThreshold && attempt <= 3) {
+        best = math.min(best, timed(name, fn, attempt.toString))
+        attempt += 1
       }
-      name -> runs.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
