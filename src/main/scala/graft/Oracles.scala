@@ -332,6 +332,38 @@ object Oracles {
          |  md5(array_to_string(list_sort(list_distinct($tokL)), ' ')) AS fp_shape
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+         |  CAST(length(text) - length(regexp_replace(regexp_replace(text,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '', 'g'),
+         |    '[0-9]{7,}', '', 'g')) AS BIGINT) AS chars_redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  array_to_string(toks, ' ') AS clean_text,
+        |  CAST(len(toks) AS BIGINT) AS n_clean_tok
+        |FROM (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> length(x) > 0 AND NOT list_contains(
+        |        ['the','a','of','and','to','in'], x)) AS toks
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT tf.doc_id, tf.tok, round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+         |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+         |ORDER BY tfidf DESC, tf.doc_id, tf.tok LIMIT 500""".stripMargin,
+
     "q_dedup_ngram" ->
       s"""$shinglesCte,
          |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),

@@ -77,6 +77,9 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.q_lang_id _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_fingerprint" -> (TextOps.q_fingerprint _),
+    "q_redact" -> (TextOps.q_redact _),
+    "q_text_clean" -> (TextOps.q_text_clean _),
+    "q_tfidf" -> (TextOps.q_tfidf _),
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),

@@ -127,6 +127,64 @@ object TextOps {
         TextFns.fingerprintShape(col("text")).as("fp_shape"))
       .orderBy("doc_id")
 
+  /** Training-data scrubbing: redact email-/phone-/id-shaped spans
+    * (regex classes chosen to behave identically under Java regex and
+    * RE2). The fixture corpus has none — the redacted text must
+    * round-trip unchanged, which the oracle also proves — but the
+    * operator is the real scrubbing pass a corpus pipeline runs.
+    */
+  def q_redact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val longnum = "[0-9]{7,}"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          longnum, "<NUM>").as("clean_text"),
+        (length(col("text")) - length(regexp_replace(
+          regexp_replace(col("text"), email, ""), longnum, "")))
+          .cast("long").as("chars_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace, drop stopwords — the canonical cleaning
+    * pass before dedup/fingerprinting.
+    */
+  def q_text_clean(s: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val stripped = regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    val collapsed = trim(regexp_replace(stripped, " +", " "))
+    val noStop = filter(split(collapsed, " "),
+      x => length(x) > 0 && !x.isInCollection(stopwords))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        array_join(noStop, " ").as("clean_text"),
+        size(noStop).cast("long").as("n_clean_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF over the corpus: tf from token multiplicity per doc, idf
+    * = ln(N / df) over distinct doc occurrence. ln of exact integer
+    * ratios is deterministic in both engines; round(4) guards the
+    * final multiply. Top terms per doc are not taken (that would need
+    * a per-doc sort); output is (doc, term, tfidf) for the top-500
+    * global rows — deterministic via (score desc, doc, tok).
+    */
+  def q_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    val n = t(s, dir, "documents").count() // metadata-count, driver-side scalar
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(df_, "tok")
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("tok"))
+      .limit(500)
+  }
+
   // ── n-gram Jaccard near-dup ────────────────────────────────────────
 
   /** Jaccard near-dup candidates over 3-gram word shingles via an
