@@ -54,6 +54,7 @@ object SparkEntry {
     "q_join_enrich" -> (Relational.q_join_enrich _),
     "q_join_left" -> (Relational.q_join_left _),
     "q_join_multi" -> (Relational.q_join_multi _),
+    "q_join_star" -> (Relational.q_join_star _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_asof" -> (AsOfJoin.q_join_asof _),

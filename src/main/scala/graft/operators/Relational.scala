@@ -261,6 +261,25 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** J4 (full star): every fixture dimension in one query —
+    * lineitem ⋈ part ⋈ supplier with broadcast hints on the true
+    * dimension tables (supplier: 10·sf rows; part: 200·sf rows —
+    * both stay broadcastable at cluster scale, unlike orders or
+    * customer).
+    */
+  def q_join_star(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val su = t(s, dir, "supplier")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .groupBy("p_brand", "s_name")
+      .agg(count(lit(1)).as("cnt"),
+        dsum2(col("l_extendedprice")).as("revenue"),
+        min(col("p_retailprice")).as("min_retail"))
+      .orderBy("p_brand", "s_name")
+  }
+
   /** J5: anti join — the integrity check the reference wished for
     * (TODO at clients/exclusion_requests.py:89).
     */
