@@ -244,6 +244,27 @@ object Oracles {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, running_qty, prev_qty""".stripMargin,
 
+    "q_sessionize" ->
+      """SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM (SELECT user_id, ts, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR date_diff('second',
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                  ts) > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |ORDER BY doc_id""".stripMargin,
+
     // ── scalar functions ───────────────────────────────────────────
     "q_regex_clean" ->
       """SELECT doc_id,

@@ -65,6 +65,8 @@ object SparkEntry {
     "q_window_dedup_lww" -> (Relational.q_window_dedup_lww _),
     "q_window_rank" -> (Relational.q_window_rank _),
     "q_window_frame" -> (Relational.q_window_frame _),
+    "q_sessionize" -> (Relational.q_sessionize _),
+    "q_sample_hash" -> (Relational.q_sample_hash _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

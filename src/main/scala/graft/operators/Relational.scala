@@ -364,6 +364,42 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "running_qty", "prev_qty")
   }
 
+  /** §2.10 session windows, batch form: gap-based sessionization via
+    * the portable lag + cumulative-sum formulation (new session when
+    * the gap to the previous event exceeds 30 min; session id = count
+    * of boundaries so far). Streaming twin would be
+    * `session_window($"ts", "30 minutes")`; the lag/cumsum form is
+    * used here because it is expressible identically in the oracle.
+    * One shuffle on user_id.
+    */
+  def q_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Deterministic hash sampling — the reproducible corpus-subsetting
+    * op every training pipeline needs (rand()-based sampling is not
+    * stable across retries/engines). Keeps ids whose md5 starts below
+    * the threshold ⇒ a stable ~1/8 sample.
+    */
+  def q_sample_hash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "20")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   // ── §2.8 scalar functions ──────────────────────────────────────────
 
   /** F1–F3+F8: key normalization pipeline on synthesized scrape-shaped
