@@ -394,6 +394,12 @@ object Oracles {
          |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
          |ORDER BY tfidf DESC, tf.doc_id, tf.tok LIMIT 500""".stripMargin,
 
+    "q_edit_distance" ->
+      """SELECT a.doc_id,
+        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q_dedup_ngram" ->
       s"""$shinglesCte,
          |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_redact" -> (TextOps.q_redact _),
     "q_text_clean" -> (TextOps.q_text_clean _),
     "q_tfidf" -> (TextOps.q_tfidf _),
+    "q_edit_distance" -> (TextOps.q_edit_distance _),
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),

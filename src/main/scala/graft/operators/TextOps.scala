@@ -214,6 +214,22 @@ object TextOps {
       .limit(100)
   }
 
+  /** String-metric near-dup: Levenshtein distance between each doc's
+    * head and the next doc's head (adjacent-id blocking keeps the
+    * comparison linear; the metric itself is the integer DP both
+    * engines implement identically).
+    */
+  def q_edit_distance(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      substring(col("text"), 1, 40).as("head"))
+    val a = d.select(col("doc_id"), col("head"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), col("head").as("next_head"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        levenshtein(col("head"), col("next_head")).cast("long").as("edit_dist"))
+      .orderBy("doc_id")
+  }
+
   // ── MinHash + LSH banding ──────────────────────────────────────────
 
   /** 8-leg MinHash signature per document (min of seeded md5 over the
