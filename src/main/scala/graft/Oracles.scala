@@ -151,6 +151,22 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
+    "q_profile" -> {
+      def one(c: String, expr: String) =
+        s"""SELECT '$c' AS col_name, count($expr) AS n_nonnull,
+           |  count(*) - count($expr) AS n_null,
+           |  count(DISTINCT $expr) AS n_distinct,
+           |  CAST(min($expr) AS VARCHAR) AS min_str,
+           |  CAST(max($expr) AS VARCHAR) AS max_str FROM customer""".stripMargin
+      Seq(
+        one("c_acctbal", "CAST(c_acctbal AS DECIMAL(18,2))"),
+        one("c_custkey", "c_custkey"),
+        one("c_mktsegment", "c_mktsegment"),
+        one("c_name", "c_name"),
+        one("c_nationkey", "c_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     // ── joins ──────────────────────────────────────────────────────
     "q_join_enrich" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderdate, l_extendedprice
