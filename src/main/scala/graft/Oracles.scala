@@ -87,6 +87,10 @@ object Oracles {
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    "q_topk_offset" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 50""".stripMargin,
+
     // ── aggregations ───────────────────────────────────────────────
     "q_groupby_count" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
@@ -95,12 +99,12 @@ object Oracles {
 
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,
         |  count(*) AS cnt,
-        |  round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty
+        |  round(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) / count(*), 4) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -138,16 +142,16 @@ object Oracles {
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_F,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_O,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_P
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS rev_F,
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS rev_O,
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS rev_P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
@@ -182,7 +186,7 @@ object Oracles {
 
     "q_join_multi" ->
       """SELECT r_name, n_name, count(*) AS cnt,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -192,7 +196,7 @@ object Oracles {
 
     "q_join_star" ->
       """SELECT p_brand, s_name, count(*) AS cnt,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
         |  min(p_retailprice) AS min_retail
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -250,10 +254,10 @@ object Oracles {
 
     "q_window_frame" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_orderkey
         |    ORDER BY l_linenumber, l_partkey, l_suppkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty,
         |  coalesce(lag(l_quantity) OVER (
         |    PARTITION BY l_orderkey
         |    ORDER BY l_linenumber, l_partkey, l_suppkey), -1.0) AS prev_qty
@@ -285,7 +289,7 @@ object Oracles {
     "q_regex_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(concat('BIS232Request.', source),
-        |    '^(BIS232Request\.|JSONData\.|BIS232Objection\.)|BIS232ObjectionRebuttal', '', 'g')) AS clean_key,
+        |    '(BIS232Request\.|JSONData\.|BIS232Objection\.|BIS232ObjectionRebuttal)', '', 'g')) AS clean_key,
         |  coalesce(
         |    CASE WHEN length(trim(lang)) > 0 THEN trim(lang) END,
         |    CASE WHEN length(trim(source)) > 0 THEN trim(source) END,
@@ -328,7 +332,7 @@ object Oracles {
 
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ── text / dedup (SURVEY §2.11) ────────────────────────────────
@@ -482,16 +486,29 @@ object Oracles {
          |  FROM embeddings GROUP BY label)
          |ORDER BY label""".stripMargin,
 
-    "q_dedup_embed" ->
-      s"""WITH v AS (SELECT vec_id, label, embedding,
-         |    (embedding[1] >= 0) AS s0 FROM embeddings)
+    "q_dedup_embed" -> {
+      // banded axis-sign LSH: band j's bucket = 4 sign bits from
+      // components [4j+1, 4j+4] (1-based); 8 bands (VectorOps
+      // dedupBands/dedupBandBits)
+      def bucket(j: Int) = (0 until 4)
+        .map(i => s"(CASE WHEN embedding[${j * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSelects = (0 until 8)
+        .map(j => s"SELECT vec_id, label, $j AS band, ${bucket(j)} AS bucket FROM v")
+        .mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label
+         |  FROM bands a JOIN bands b
+         |    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         |      AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, label, cos FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-         |    round(${dot("a.embedding", "b.embedding")} /
-         |      (sqrt(${norm2("a.embedding")}) * sqrt(${norm2("b.embedding")})), 4) AS cos
-         |  FROM v a JOIN v b
-         |    ON a.label = b.label AND a.s0 = b.s0 AND a.vec_id < b.vec_id)
-         |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+         |  SELECT c.a_id, c.b_id, c.label,
+         |    round(${dot("va.embedding", "vb.embedding")} /
+         |      (sqrt(${norm2("va.embedding")}) * sqrt(${norm2("vb.embedding")})), 4) AS cos
+         |  FROM cand c JOIN v va ON c.a_id = va.vec_id JOIN v vb ON c.b_id = vb.vec_id)
+         |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+    },
 
     // ── multimodal ─────────────────────────────────────────────────
     "q_media_meta" ->

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_filter_range" -> (Relational.q_filter_range _),
     // §2.6 sort / top-k
     "q_topk_desc" -> (Relational.q_topk_desc _),
+    "q_topk_offset" -> (Relational.q_topk_offset _),
     // §2.4 aggregations
     "q_groupby_count" -> (Relational.q_groupby_count _),
     "q_agg_sum" -> (Relational.q_agg_sum _),

@@ -55,12 +55,19 @@ object Scalars {
   def typifyNumber(c: Column): Column =
     coalesce(typifyLong(c).cast("double"), typifyDouble(c))
 
-  /** Key normalization: strip the four scrape prefixes
-    * (clients/exclusion_requests.py:45-48) then trim (:53).
+  /** Key normalization: strip the four scrape markers
+    * (clients/exclusion_requests.py:45-48) then trim (:53). The
+    * reference uses str.replace, which removes EVERY occurrence
+    * anywhere in the key (e.g. "JSONData.BIS232Request.Foo" → "Foo"),
+    * so the pattern is deliberately unanchored and regexp_replace's
+    * replace-all matches it. Remaining (documented) drift: Python
+    * applies the four replaces sequentially, so a removal can create
+    * a new match that a single left-to-right regex pass won't rescan
+    * — unreachable for real scraped keys.
     */
   def normalizeKey(c: Column): Column =
     trim(regexp_replace(c,
-      "^(BIS232Request\\.|JSONData\\.|BIS232Objection\\.)|BIS232ObjectionRebuttal", ""))
+      "(BIS232Request\\.|JSONData\\.|BIS232Objection\\.|BIS232ObjectionRebuttal)", ""))
 
   /** Fallback key naming: title, else name, else "Untitled<idx>"
     * (clients/exclusion_requests.py:40-44).

@@ -44,4 +44,17 @@ object VectorFns {
   /** K-bit LSH bucket id from sign-random-projections. */
   def lshBucket(v: Column, bits: Int): Column =
     (0 until bits).map(b => lshSignBit(v, b) * lit(1 << b)).reduce(_ + _)
+
+  /** `bits`-bit sign-LSH band bucket from components
+    * [band·bits, (band+1)·bits) of the vector: bit i set ⇔
+    * v[band·bits+i] ≥ 0. Axis-aligned hyperplanes (rather than the
+    * hashed random projections of [[lshSignBit]]) so the bucket is
+    * expressible identically in the DuckDB oracle — for isotropic or
+    * clustered embeddings the sign of a fixed component is the same
+    * LSH family for cosine distance.
+    */
+  def signBandBucket(v: Column, band: Int, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, band * bits + i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
 }

@@ -34,9 +34,12 @@ object AsOfJoin {
     tie: String, payload: String): DataFrame = {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(right.schema(payload).dataType))
-    val r = right.select(col(key), col(ts), col(tie))
+    // payload is selected in the SAME projection as key/ts/tie — a
+    // withColumn(right(payload)) after the select would reference an
+    // attribute already projected away whenever payload is a distinct
+    // column, failing analysis
+    val r = right.select(col(key), col(ts), col(tie), col(payload).as("__payload"))
       .withColumn("__side", lit(0))
-      .withColumn("__payload", right(payload))
     val unioned = l.select(col(key), col(ts), col(tie), col("__side"), col("__payload"))
       .unionByName(r)
     // right rows sort before left rows at equal ts (so ts-equal rows

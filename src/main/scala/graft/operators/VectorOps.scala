@@ -10,10 +10,11 @@ import graft.functions.VectorFns._
   * scale path), per-class vector stats, and cosine near-dup pairs.
   *
   * Scale posture: the only broadcast is the 1-row query vector; the
-  * near-dup join is blocked (label × first-component sign) so the
-  * pair count is ~n²/(2·|labels|·2) instead of n²/2; the ANN path
-  * reduces the candidate set by 2^bits before any distance math.
-  * No collect() — the query vector travels as a broadcast DataFrame.
+  * near-dup join is blocked by banded sign-LSH buckets whose count
+  * (2^bits per band) is a tunable that grows with corpus size, so
+  * per-bucket pair fan-out stays bounded; the ANN path reduces the
+  * candidate set by 2^bits before any distance math. No collect() —
+  * the query vector travels as a broadcast DataFrame.
   */
 object VectorOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
@@ -52,20 +53,45 @@ object VectorOps {
         round(col("sum_norm").cast("double") / col("n"), 4).as("avg_norm"))
       .orderBy("label")
 
-  /** Embedding-cosine near-dup pairs, blocked by (label, sign of
-    * first component) — both must match for a candidate pair, which
-    * is the classic cheap-blocking step that keeps the join from
-    * going quadratic at corpus scale.
+  /** Bands × bits-per-band for the near-dup sign-LSH blocking. With
+    * 8 bands of 4 axis-sign bits (first 32 components), a pair is a
+    * candidate iff ALL bits of SOME band agree — the same
+    * band-amplification as MinHash-LSH. Per-band match probability
+    * for a pair at angle θ is (1−θ/π)^bits, so at a real near-dup
+    * threshold (cos ≥ 0.9 ⇒ p≈0.86/plane) 8 bands give ~99.8%
+    * recall while non-dups (cos≈0 ⇒ p=0.5/plane) match a band only
+    * 6% of the time. At larger corpus scale, raise `bits` (bucket
+    * count 2^bits grows, bucket size shrinks) — the knob the round-1
+    * (label, sign-of-first-component) blocking lacked: its block
+    * count was constant, so pair count stayed O(n²).
+    */
+  val dedupBands = 8
+  val dedupBandBits = 4
+
+  /** Embedding-cosine near-dup pairs: candidates from banded
+    * axis-sign LSH within label, verified by exact cosine ≥ tau.
+    * Two-phase shape a 100 TB dedup needs: the band self-join touches
+    * only (id, label, band, bucket) rows — constant width, never the
+    * vectors — and the exact cosine verify runs once per DISTINCT
+    * candidate pair after two narrow joins back to the vector table.
     */
   def q_dedup_embed(s: SparkSession, dir: String): DataFrame = {
-    val v = t(s, dir, "embeddings").select(
-      col("vec_id"), col("label"), col("embedding"),
-      (element_at(col("embedding"), 1) >= 0).as("s0"))
-    val a = v.select(col("vec_id").as("a_id"), col("label"), col("s0"),
-      col("embedding").as("emb_a"))
-    val b = v.select(col("vec_id").as("b_id"), col("label"), col("s0"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("label", "s0")).filter(col("a_id") < col("b_id"))
+    val v = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    val bands = v.select(col("vec_id"), col("label"),
+      explode(array((0 until dedupBands).map(j =>
+        struct(lit(j).as("band"),
+          signBandBucket(col("embedding"), j, dedupBandBits).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("vec_id"), col("label"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = bands.select(col("vec_id").as("a_id"), col("label"), col("band"), col("bucket"))
+    val b = bands.select(col("vec_id").as("b_id"), col("label"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("label", "band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "label").distinct()
+    cand
+      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("emb_a")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("emb_b")), "b_id")
       .select(col("a_id"), col("b_id"), col("label"),
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= nearDupTau)

@@ -55,7 +55,9 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)")
+        // decimal-exact sum, projected as rounded DOUBLE — same output
+        // contract as the batch twin q_time_bucket
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
           .as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("cnt"), col("sum_value"))

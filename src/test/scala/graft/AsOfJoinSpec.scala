@@ -25,6 +25,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       Seq(Some(1L), Some(2L), None))
   }
 
+  test("asof join carries a payload column distinct from the tie column") {
+    val left = Seq((1L, ts(10), 100L), (1L, ts(20), 101L), (2L, ts(5), 102L))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, ts(10), 1L, "a"), (1L, ts(15), 2L, "b"), (2L, ts(6), 3L, "c"))
+      .toDF("k", "ts", "id", "tag")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", "id", "tag")
+      .orderBy("id").collect()
+    assert(out.map(r => Option(r.getAs[String]("asof_tag"))).toSeq ==
+      Seq(Some("a"), Some("b"), None))
+  }
+
+  test("salted join rejects right/full outer (small side is replicated)") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    for (jt <- Seq("right_outer", "full_outer", "right", "full"))
+      assertThrows[IllegalArgumentException](
+        SkewUtils.saltedJoin(df, df.select(col("k"), col("v").as("w")), "k",
+          salts = 3, joinType = jt))
+  }
+
   test("q_join_asof: every prev purchase is truly at-or-before, same user") {
     val out = AsOfJoin.q_join_asof(spark, dir)
     val ev = Tables(spark, dir, "events")

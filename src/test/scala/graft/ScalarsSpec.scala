@@ -66,9 +66,12 @@ class ScalarsSpec extends AnyFunSuite {
 
   test("normalizeKey strips scrape prefixes (exclusion_requests.py:45-48)") {
     val got = Seq("BIS232Request.Foo", "JSONData.Bar", "BIS232Objection.Baz",
-      "BIS232ObjectionRebuttalQux", "Plain")
+      "BIS232ObjectionRebuttalQux", "Plain",
+      // str.replace strips occurrences ANYWHERE, not just a prefix
+      // (exclusion_requests.py:45-48)
+      "JSONData.BIS232Request.Foo", "A.BIS232Objection.B")
       .toDF("k").select(Scalars.normalizeKey($"k")).as[String].collect().toSeq
-    assert(got == Seq("Foo", "Bar", "Baz", "Qux", "Plain"))
+    assert(got == Seq("Foo", "Bar", "Baz", "Qux", "Plain", "Foo", "A.B"))
   }
 
   test("keyOrUntitled fallback naming (exclusion_requests.py:40-44)") {
