@@ -330,6 +330,24 @@ object Oracles {
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |WHERE length(tok) > 0 ORDER BY doc_id, tok""".stripMargin,
 
+    // expected parse output derived from the base columns — checks the
+    // Spark side's real HTML parse (key fallback, marker strip, drops,
+    // str(None), textarea trim, URL entry) value-for-value
+    "q_html_inputs" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    substr(text, 1, 30) AS head_raw FROM documents)
+        |SELECT doc_id, key, value FROM (
+        |  SELECT doc_id, 'Lang' AS key, lang AS value FROM d
+        |  UNION ALL SELECT doc_id, 'Source', source FROM d
+        |  UNION ALL SELECT doc_id, 'Untitled2', 'h' FROM d
+        |  UNION ALL SELECT doc_id, 'NoVal', 'None' FROM d
+        |  UNION ALL SELECT doc_id, 'Head',
+        |    CASE WHEN length(head_raw) = 0 THEN 'None' ELSE trim(head_raw) END FROM d
+        |  UNION ALL SELECT doc_id, 'URL',
+        |    concat('https://portal/Forms/Item/', CAST(doc_id AS VARCHAR)) FROM d)
+        |WHERE length(value) > 0
+        |ORDER BY doc_id, key""".stripMargin,
+
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value

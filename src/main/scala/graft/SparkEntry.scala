@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.pipeline.ExclusionPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (declared inventory)
   * and §7 (build order). Every declared operator has a `queries`
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_typify_cast" -> (Relational.q_typify_cast _),
     "q_json_extract" -> (Relational.q_json_extract _),
     "q_explode" -> (Relational.q_explode _),
+    "q_html_inputs" -> (ExclusionPipeline.q_html_inputs _),
     "q_time_bucket" -> (Relational.q_time_bucket _),
     // §2.11 text / dedup
     "q_text_dedup" -> (TextOps.q_text_dedup _),

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Scalars
+import graft.functions.{HtmlInputs, Scalars}
 
 /** The reference's three entry-point pipelines (SURVEY §3, E1–E3) as
   * one declarative DataFrame program: what took the reference a
@@ -20,6 +20,41 @@ import graft.functions.Scalars
   * parallel reads of the source (see graft.sources.datatables).
   */
 object ExclusionPipeline {
+
+  /** Raw detail PAGES → normalized (id, key, value) rows: the
+    * _read_page_inputs transform (clients/exclusion_requests.py:153-165)
+    * end-to-end on page HTML. Input: one row per fetched page with
+    * (idCol, pageCol = HTML text, urlCol). Per page:
+    *   parse input/textarea tags → (key, value) pairs
+    *     (HtmlInputs.pageInputPairs, :156-157)
+    *   → drop empty values (:158)
+    *   → dict build: the LAST occurrence of a key wins (:159)
+    *   → add the URL entry (:160, overwriting any scraped 'URL' key
+    *     like dict assignment does)
+    *   → drop __RequestVerificationToken (:161-164).
+    * Output feeds [[detailsToDocuments]]. Fully distributed: parsing
+    * is per-row expressions; the only shuffle is the per-(id,key)
+    * last-wins window.
+    */
+  def parsePages(pages: DataFrame, idCol: String = "id",
+    pageCol: String = "page", urlCol: String = "url"): DataFrame = {
+    val pairs = pages
+      .select(col(idCol).as("id"), col(urlCol).as("url"),
+        posexplode(HtmlInputs.pageInputPairs(col(pageCol))))
+      .select(col("id"), col("url"), col("pos").as("ord"),
+        col("col.key").as("key"), col("col.value").as("value"))
+      .filter(length(col("value")) > 0)
+    val lastWins = Window.partitionBy("id", "key").orderBy(col("ord").desc)
+    val deduped = pairs
+      .withColumn("__rn", row_number().over(lastWins))
+      .filter(col("__rn") === 1)
+      .select("id", "key", "value")
+      .filter(col("key") =!= "__RequestVerificationToken" &&
+        col("key") =!= "URL")
+    val urlRows = pages.select(col(idCol).as("id"), lit("URL").as("key"),
+      col(urlCol).as("value"))
+    deduped.unionByName(urlRows)
+  }
 
   /** Detail rows as scraped: one row per parsed `<input>` tag
     * (id, title, name, idx, value) — the _parse_input_tag shape
@@ -79,6 +114,33 @@ object ExclusionPipeline {
     val w = Window.partitionBy(key).orderBy(ts.desc, tieBreak.desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Declared S2 query: synthesize a detail page per document row
+    * (HTML-safe fixture text), run the real input-tag parser over it,
+    * and emit the parsed (doc_id, key, value) rows. The oracle
+    * derives the expected pairs straight from the base columns, so
+    * the driver hash-checks the whole parse path: title/name/Untitled
+    * key fallback, marker strip, empty-value drop, token drop,
+    * str(None) quirk, textarea trim, and the URL entry.
+    */
+  def q_html_inputs(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><body><form action=\"/f\" method=\"post\">"),
+      lit("<input title=\"BIS232Request.Lang\" value=\""), col("lang"), lit("\"/>"),
+      lit("<input name=\"JSONData.Source\" value=\""), col("source"), lit("\"/>"),
+      lit("<input type=\"hidden\" value=\"h\"/>"),
+      lit("<input title=\"Empty\" value=\"\"/>"),
+      lit("<input name=\"__RequestVerificationToken\" value=\"tok\"/>"),
+      lit("<input title=\"NoVal\"/>"),
+      lit("<textarea name=\"Head\">"), substring(col("text"), 1, 30), lit("</textarea>"),
+      lit("</form></body></html>"))
+    val pages = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"), page.as("page"),
+        concat(lit("https://portal/Forms/Item/"), col("doc_id")).as("url"))
+    parsePages(pages)
+      .select(col("id").cast("long").as("doc_id"), col("key"), col("value"))
+      .orderBy("doc_id", "key")
   }
 
   /** End-to-end E1: summaries source + raw detail rows → load-ready

@@ -4,7 +4,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -28,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    column (the reference pushes HTSUSCode, :81-82); non-equality
   *    filters stay post-scan;
   *  - SupportsPushDownLimit → `length` (the reference's 1000/5000);
+  *  - SupportsPushDownTopN → the `order` payload + `length` (the
+  *    reference sends order:[{column,dir}] and overrides it to
+  *    HTSUSCode desc, config.py:26 / exclusion_requests.py:85), so an
+  *    orderBy+limit fetches only ⌈k/pageSize⌉ pages instead of the
+  *    whole table;
   *  - paging → one InputPartition per page, so a 100 TB-scale crawl
   *    fetches pages in parallel across executors instead of the
   *    reference's fully serialized loop (__main__.py:48-57).
@@ -48,14 +53,17 @@ class DefaultSource extends TableProvider {
 }
 
 /** One page of the DataTables protocol: the exact knobs the reference
-  * POSTs (config.py:23-30).
+  * POSTs (config.py:23-30). `order` is (column, ascending) pairs —
+  * the protocol's order:[{column,dir}] payload; empty means the
+  * server's default order.
   */
 case class PageRequest(
   columns: Seq[String],
   searchColumn: Option[String],
   searchValue: Option[String],
   start: Int,
-  length: Int)
+  length: Int,
+  order: Seq[(String, Boolean)] = Nil)
 
 /** Pluggable wire transport. Implementations must be serializable —
   * they execute inside tasks (one page per task).
@@ -106,13 +114,16 @@ class DataTablesTable(tableSchema: StructType, options: CaseInsensitiveStringMap
 class DataTablesScanBuilder(fullSchema: StructType,
   options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private val searchable = options.getOrDefault("searchablecolumn", "")
+  private val pageSize = options.getOrDefault("pagesize", "1000").toInt
   private var schema: StructType = fullSchema
   private var pushedSearch: Option[(String, String)] = None
   private var postScan: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var order: Seq[(String, Boolean)] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // the protocol supports ONE equality via search.value on the
@@ -140,19 +151,47 @@ class DataTablesScanBuilder(fullSchema: StructType,
     true // fully pushed: the server's `length` caps the result
   }
 
+  /** ORDER BY + LIMIT → the protocol's order payload + length. Spark
+    * only offers a TopN when the sort sits directly on the (filtered)
+    * scan, so pushing is always sound; the scan then plans only
+    * ⌈n/pageSize⌉ pages. All sort keys must be plain columns (the
+    * protocol orders by column index).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    val cols = orders.toSeq.map(o => o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some((nr.fieldNames()(0), o.direction() == SortDirection.ASCENDING))
+      case _ => None
+    })
+    if (cols.nonEmpty && cols.forall(_.isDefined)) {
+      order = cols.flatten
+      limit = Some(limit.fold(n)(math.min(_, n)))
+      true
+    } else false
+  }
+
+  /** Exact (not partial) only when the TopN fits in one protocol page:
+    * a single fetch returns the rows already globally ordered. Across
+    * several pages Spark keeps its (cheap, n-row) final sort — the
+    * page fetch saving is the point.
+    */
+  override def isPartiallyPushed(): Boolean =
+    !(order.nonEmpty && limit.exists(_ <= pageSize))
+
   override def build(): Scan = new DataTablesScan(
     schema, options.getOrDefault("transport", ""), pushedSearch, limit,
-    options.getOrDefault("pagesize", "1000").toInt)
+    pageSize, order)
 }
 
 class DataTablesScan(schema: StructType, transportName: String,
-  search: Option[(String, String)], limit: Option[Int], pageSize: Int)
+  search: Option[(String, String)], limit: Option[Int], pageSize: Int,
+  order: Seq[(String, Boolean)] = Nil)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"DataTablesScan(search=$search, limit=$limit, pageSize=$pageSize)"
+    s"DataTablesScan(search=$search, limit=$limit, pageSize=$pageSize, order=$order)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val transport = TransportRegistry.get(transportName)
@@ -169,19 +208,20 @@ class DataTablesScan(schema: StructType, transportName: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DataTablesReaderFactory(schema.fieldNames, transportName, search)
+    new DataTablesReaderFactory(schema.fieldNames, transportName, search, order)
 }
 
 case class DataTablesPartition(start: Int, length: Int) extends InputPartition
 
 class DataTablesReaderFactory(columns: Array[String], transportName: String,
-  search: Option[(String, String)]) extends PartitionReaderFactory {
+  search: Option[(String, String)], order: Seq[(String, Boolean)] = Nil)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DataTablesPartition]
     new PartitionReader[InternalRow] {
       private val rows = TransportRegistry.get(transportName)
         .fetch(PageRequest(columns.toSeq, search.map(_._1), search.map(_._2),
-          part.start, part.length))
+          part.start, part.length, order))
         .iterator
       private var cur: Seq[String] = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
@@ -222,25 +262,34 @@ case class RetryingTransport(inner: DataTablesTransport, maxRetries: Int)
 
 /** Fixture transport: serves the protocol from in-memory records —
   * the stand-in for the portal in this zero-egress environment.
-  * Deterministic order (sorted by the first column) so paged reads
-  * are stable, like the reference's server-side `order` payload.
+  * Honors the `order` payload (lexicographic per key, like the
+  * DataTables default string ordering), tie-broken by `sortKey` so
+  * paged reads stay stable; with no order payload it sorts by
+  * `sortKey` — a deterministic server default.
   */
 case class FixtureTransport(records: Seq[Map[String, String]], sortKey: String)
   extends DataTablesTransport {
 
-  private def filtered(sc: Option[String], sv: Option[String]) = {
+  private def filtered(sc: Option[String], sv: Option[String],
+    order: Seq[(String, Boolean)] = Nil) = {
     val base = (sc, sv) match {
       case (Some(c), Some(v)) => records.filter(_.get(c).contains(v))
       case _ => records
     }
-    base.sortBy(_.getOrElse(sortKey, ""))
+    val keys = order :+ (sortKey -> true)
+    base.sortWith { (a, b) =>
+      keys.iterator.map { case (c, asc) =>
+        val r = a.getOrElse(c, "").compareTo(b.getOrElse(c, ""))
+        if (asc) r else -r
+      }.find(_ != 0).getOrElse(0) < 0
+    }
   }
 
   override def count(sc: Option[String], sv: Option[String]): Long =
     filtered(sc, sv).size.toLong
 
   override def fetch(req: PageRequest): Seq[Seq[String]] =
-    filtered(req.searchColumn, req.searchValue)
+    filtered(req.searchColumn, req.searchValue, req.order)
       .slice(req.start, req.start + req.length)
       .map(r => req.columns.map(c => r.getOrElse(c, null)))
 }

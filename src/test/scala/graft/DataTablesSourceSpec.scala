@@ -1,8 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.datatables.{FixtureTransport, TransportRegistry}
+import graft.sources.datatables.{DataTablesTransport, FixtureTransport, PageRequest, TransportRegistry}
 
 /** S1: the DataTables-protocol DSv2 source — pushdowns must reach the
   * transport exactly like the reference's hand-built payloads
@@ -60,5 +61,47 @@ class DataTablesSourceSpec extends AnyFunSuite {
     val df = read.select("ID")
     assert(df.schema.fieldNames.toSeq == Seq("ID"))
     assert(df.distinct().count() == 2500)
+  }
+
+  test("orderBy+limit is pushed as server-side order (TopN) and fetches only ⌈k/pageSize⌉ pages") {
+    TransportRegistry.register("erc_counting",
+      CountingTransport(FixtureTransport(records, "ID"), DataTablesSourceSpec.fetches))
+    val counted = spark.read.format("graft.sources.datatables.DefaultSource")
+      .option("transport", "erc_counting")
+      .option("columns", "ID,Company,HTSUSCode,PublicStatus")
+      .option("searchableColumn", "HTSUSCode")
+      .option("pageSize", "1000")
+      .load()
+    DataTablesSourceSpec.fetches.set(0)
+    val top = counted.orderBy(col("ID").desc).limit(5)
+    val got = top.select("ID").collect().map(_.getString(0)).toSeq
+    // correct top-5 by ID desc, served from ONE page, not all three
+    assert(got == records.map(_("ID")).sorted.reverse.take(5))
+    assert(DataTablesSourceSpec.fetches.get() == 1,
+      s"expected 1 page fetch, saw ${DataTablesSourceSpec.fetches.get()}")
+    assert(top.queryExecution.executedPlan.toString.contains("(ID,false)"),
+      "pushed order missing from scan description")
+
+    // k spanning two pages: still only ⌈1500/1000⌉ = 2 fetches
+    DataTablesSourceSpec.fetches.set(0)
+    assert(counted.orderBy(col("ID").asc).limit(1500).count() == 1500)
+    assert(DataTablesSourceSpec.fetches.get() == 2)
+  }
+}
+
+object DataTablesSourceSpec {
+  val fetches = new AtomicInteger(0)
+}
+
+/** Decorator counting page fetches — asserts the TopN pushdown's
+  * paging claim.
+  */
+case class CountingTransport(inner: DataTablesTransport, counter: AtomicInteger)
+  extends DataTablesTransport {
+  override def count(sc: Option[String], sv: Option[String]): Long =
+    inner.count(sc, sv)
+  override def fetch(req: PageRequest): Seq[Seq[String]] = {
+    counter.incrementAndGet()
+    inner.fetch(req)
   }
 }

@@ -72,4 +72,73 @@ class ExclusionPipelineSpec extends AnyFunSuite {
     assert(r9.getAs[String]("Company") == null)
     assert(r9.getAs[Map[String, String]]("fields")("Org") == "ACME")
   }
+
+  // ── S2: raw page HTML → key/value rows (_read_page_inputs) ─────────
+
+  private val pageHtml =
+    """<html><body><div>outside form: <input title="Ignored" value="x"/></div>
+      |<form method="post" action="/Forms/ExclusionRequestItem/1">
+      |  <input type="text" title="BIS232Request.Product" value="steel pipe"/>
+      |  <input name="JSONData.Grade" value="X42"/>
+      |  <input type="hidden" value="untitled-value"/>
+      |  <input title="Empty" value=""/>
+      |  <input name="__RequestVerificationToken" value="tok123"/>
+      |  <input title="Dup" value="first"/>
+      |  <input title="Dup" value="second"/>
+      |  <input title="NoValueAttr" type="checkbox"/>
+      |  <input title='Single &amp; Quoted' value='a &lt;b&gt;'/>
+      |  <textarea name="BIS232Objection.Comments">  some comment  </textarea>
+      |  <textarea name="EmptyArea"></textarea>
+      |  <textarea name="BlankArea">   </textarea>
+      |</form>
+      |<form><input title="SecondForm" value="nope"/></form>
+      |</body></html>""".stripMargin
+
+  private lazy val parsed = {
+    val pages = Seq(("1", pageHtml, "https://example.test/Forms/ExclusionRequestItem/1"))
+      .toDF("id", "page", "url")
+    ExclusionPipeline.parsePages(pages).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+  }
+
+  test("parsePages: only the first form is parsed; keys fall back title→name→Untitled") {
+    assert(parsed("Product") == "steel pipe")      // title + marker strip
+    assert(parsed("Grade") == "X42")               // name + marker strip
+    assert(parsed("Untitled2") == "untitled-value") // no title/name, input idx 2
+    assert(!parsed.contains("Ignored"))            // outside the form
+    assert(!parsed.contains("SecondForm"))         // soup.form = FIRST form only
+  }
+
+  test("parsePages: empty values and the verification token are dropped") {
+    assert(!parsed.contains("Empty"))
+    assert(!parsed.contains("__RequestVerificationToken"))
+    assert(!parsed.contains("BlankArea"))          // whitespace-only → stripped → dropped
+  }
+
+  test("parsePages: duplicate keys keep the LAST occurrence (dict build)") {
+    assert(parsed("Dup") == "second")
+  }
+
+  test("parsePages: textarea inner text is the value, trimmed") {
+    assert(parsed("Comments") == "some comment")
+  }
+
+  test("parsePages: missing value attr / empty textarea is str(None), like the reference") {
+    assert(parsed("NoValueAttr") == "None")
+    assert(parsed("EmptyArea") == "None")
+  }
+
+  test("parsePages: entities decode in keys and values; URL entry is added") {
+    assert(parsed("Single & Quoted") == "a <b>")
+    assert(parsed("URL") == "https://example.test/Forms/ExclusionRequestItem/1")
+  }
+
+  test("parsePages feeds detailsToDocuments end-to-end") {
+    val pages = Seq(("1", pageHtml, "u1")).toDF("id", "page", "url")
+    val docs = ExclusionPipeline.detailsToDocuments(
+      ExclusionPipeline.parsePages(pages)).collect()
+    assert(docs.length == 1)
+    val fields = docs(0).getAs[Map[String, String]]("fields")
+    assert(fields("Product") == "steel pipe" && fields("URL") == "u1")
+  }
 }

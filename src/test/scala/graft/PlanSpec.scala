@@ -51,6 +51,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("profile is one scan; approx avoids the Expand of exact multi-distinct") {
+    val df = Tables(spark, dir, "customer")
+    val exact = planOf(graft.operators.Profiler.profile(df))
+    val approx = planOf(graft.operators.Profiler.profile(df, exact = false))
+    // single Scan in both modes — the profile must never multiply
+    // table scans by column count
+    assert("Scan parquet".r.findAllIn(exact).size == 1, exact.take(1500))
+    assert("Scan parquet".r.findAllIn(approx).size == 1)
+    assert(exact.contains("Expand"), "exact multi-distinct should Expand")
+    assert(!approx.contains("Expand"), "approx profile must stay one-pass")
+    // sketch counts are within HLL tolerance of the truth on this data
+    val e = graft.operators.Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.operators.Profiler.profile(df, exact = false).collect().foreach { r =>
+      val (c, nd) = (r.getString(0), r.getLong(3))
+      assert(math.abs(nd - e(c)) <= math.max(3L, (e(c) * 0.05).toLong), s"col $c")
+    }
+  }
+
   test("shingle queries contain the codegen'd word_shingles expression") {
     val p = planOf(TextOps.q_minhash_sig(spark, dir))
     assert(p.contains("word_shingles"), p.take(2000))
