@@ -155,6 +155,14 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
     "q_profile" -> {
       def one(c: String, expr: String) =
         s"""SELECT '$c' AS col_name, count($expr) AS n_nonnull,
@@ -235,6 +243,11 @@ object Oracles {
         |EXCEPT SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
     // ── windows ────────────────────────────────────────────────────
     "q_window_dedup_lww" ->
       """SELECT user_id, event_id, event_type, value FROM (
@@ -264,6 +277,12 @@ object Oracles {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, running_qty, prev_qty""".stripMargin,
 
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
     "q_sessionize" ->
       """SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
@@ -275,7 +294,7 @@ object Oracles {
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |             OR date_diff('second',
         |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |                  ts) > 1800
+        |                  ts) >= 1800
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM events))
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
@@ -471,6 +490,32 @@ object Oracles {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // same candidate pairs as q_dedup_minhash, closed into connected
+    // components with a recursive CTE (min reachable id = cluster id);
+    // docs in no pair cluster to themselves
+    "q_dedup_cluster" ->
+      s"""${shinglesCte.replace("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         |SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN
+         |  (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) m
+         |  ON d.doc_id = m.id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_simhash_sig" ->
       s"""$simhashCte

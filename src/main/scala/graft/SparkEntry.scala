@@ -48,6 +48,7 @@ object SparkEntry {
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx_distinct" -> (Relational.q_agg_approx_distinct _),
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
+    "q_agg_cube" -> (Relational.q_agg_cube _),
     "q_agg_stats" -> (Relational.q_agg_stats _),
     "q_agg_quantile" -> (Relational.q_agg_quantile _),
     "q_time_parts" -> (Relational.q_time_parts _),
@@ -64,10 +65,12 @@ object SparkEntry {
     // §2.7 set ops
     "q_set_union" -> (Relational.q_set_union _),
     "q_set_except" -> (Relational.q_set_except _),
+    "q_set_intersect" -> (Relational.q_set_intersect _),
     // §2.5 windows
     "q_window_dedup_lww" -> (Relational.q_window_dedup_lww _),
     "q_window_rank" -> (Relational.q_window_rank _),
     "q_window_frame" -> (Relational.q_window_frame _),
+    "q_window_ntile" -> (Relational.q_window_ntile _),
     "q_sessionize" -> (Relational.q_sessionize _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
     // §2.8 scalar functions
@@ -91,6 +94,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),
+    "q_dedup_cluster" -> (TextOps.q_dedup_cluster _),
     "q_simhash_sig" -> (TextOps.q_simhash_sig _),
     "q_dedup_simhash" -> (TextOps.q_dedup_simhash _),
     // §2.11 vectors

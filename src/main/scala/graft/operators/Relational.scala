@@ -232,6 +232,21 @@ object Relational {
         col("cnt"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** A5: cube — all four grouping-set combinations, null markers
+    * coalesced to 'ALL' sentinels (same determinism trick as rollup).
+    */
+  def q_agg_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("rev"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("rev"))
+      .orderBy("status", "priority")
+
   // ── §2.3 joins ─────────────────────────────────────────────────────
 
   /** J1: enrichment equi-join (summary ⋈ detail by id,
@@ -334,6 +349,12 @@ object Relational {
       .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** Set intersection (distinct semantics in both engines). */
+  def q_set_intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
   // ── §2.5 windows ───────────────────────────────────────────────────
 
   /** W1: last-write-wins dedup — the DynamoDB PUT-by-ID semantics
@@ -364,6 +385,19 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }
 
+  /** W2 extension: ntile quartiles — identical bucket-boundary rule
+    * ((i·n)/k split) in Spark and DuckDB when the window order is
+    * unique (totalprice desc, orderkey).
+    */
+  def q_window_ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** W3: analytic frame — running decimal-exact sum + lag. The window
     * order uses the full unique composite (l_linenumber, l_partkey,
     * l_suppkey) — (l_orderkey, l_linenumber) alone is not unique, and
@@ -385,11 +419,13 @@ object Relational {
 
   /** §2.10 session windows, batch form: gap-based sessionization via
     * the portable lag + cumulative-sum formulation (new session when
-    * the gap to the previous event exceeds 30 min; session id = count
-    * of boundaries so far). Streaming twin would be
-    * `session_window($"ts", "30 minutes")`; the lag/cumsum form is
-    * used here because it is expressible identically in the oracle.
-    * One shuffle on user_id.
+    * the gap to the previous event is ≥ 30 min; session id = count of
+    * boundaries so far). The ≥ boundary matches Spark's
+    * `session_window` rule (windows are [start, last+gap), so an
+    * exactly-gap-sized pause starts a new session) — the streaming
+    * twin graft.streaming.Streams.sessionCounts is spec'd equal to
+    * this query. The lag/cumsum form is used here because it is
+    * expressible identically in the oracle. One shuffle on user_id.
     */
   def q_sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -398,7 +434,7 @@ object Relational {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          col("ts").cast("long") - col("prev_ts").cast("long") >= 1800, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(run))
       .groupBy("user_id", "session_id")

@@ -300,6 +300,55 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-dup CLUSTERS from the MinHash-LSH candidate pairs: treat
+    * pairs as undirected edges, compute connected components by
+    * iterative min-label propagation to fixpoint, and assign every
+    * document its component's minimum doc_id as `cluster_id`
+    * (singletons cluster to themselves). This is the canonicalization
+    * step an actual dedup pipeline runs after candidate generation —
+    * "keep one doc per near-dup cluster".
+    *
+    * Scale shape: the iteration runs only over nodes that appear in
+    * some candidate pair (a small fraction of the corpus when LSH is
+    * tuned sanely), each step one join + one aggregate on that frame,
+    * persisted per step with the previous step freed. Driver-side
+    * work per step is a single empty-check — the standard
+    * Pregel/GraphX-style loop, inherent to iterate-to-fixpoint graph
+    * algorithms (unlike a scalar COUNT, it cannot be folded into one
+    * declarative plan). Convergence takes ≤ diameter steps; LSH
+    * near-dup components are shallow (clusters of copies, not long
+    * chains).
+    */
+  def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q_dedup_minhash(s, dir).select("a_id", "b_id")
+    val edges = cached(pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst"))
+    // start: every candidate node labels itself
+    var labels = cached(edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id")))
+    var converged = false
+    while (!converged) {
+      // candidate label for id = min over neighbors' labels ∪ own
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = cached(labels.select(col("id"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label")))
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────
 
   /** 16-bit SimHash per doc: per-bit ±1 votes from token hashes

@@ -62,6 +62,24 @@ object Streams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Event-time SESSION windows (30-minute gap) + watermark — the
+    * native streaming form of gap sessionization. Batch twin:
+    * q_sessionize (lag/cumsum formulation, oracle-checkable); the
+    * spec asserts the two agree on (user, session_start, session_end,
+    * n_events). Gap rule: windows are [start, last+gap), so a pause of
+    * exactly the gap starts a new session — q_sessionize uses the
+    * same ≥ boundary.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
   case class LwwWinner(user_id: Long, event_id: Long, event_type: String,

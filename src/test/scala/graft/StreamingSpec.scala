@@ -35,6 +35,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString) == batch.map(_.toString))
   }
 
+  test("streaming session_window sessions equal batch q_sessionize") {
+    val q = Streams.sessionCounts(Streams.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = Relational.q_sessionize(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+  }
+
   test("stateful flatMapGroupsWithState LWW equals batch q_window_dedup_lww") {
     val ck = Files.createTempDirectory("ck_lww").toString
     val q = Streams.statefulLww(spark, Streams.eventsStream(spark, eventsDir))
