@@ -310,36 +310,45 @@ object TextOps {
     *
     * Scale shape: the iteration runs only over nodes that appear in
     * some candidate pair (a small fraction of the corpus when LSH is
-    * tuned sanely), each step one join + one aggregate on that frame,
-    * persisted per step with the previous step freed. Driver-side
-    * work per step is a single empty-check — the standard
-    * Pregel/GraphX-style loop, inherent to iterate-to-fixpoint graph
-    * algorithms (unlike a scalar COUNT, it cannot be folded into one
-    * declarative plan). Convergence takes ≤ diameter steps; LSH
-    * near-dup components are shallow (clusters of copies, not long
-    * chains).
+    * tuned sanely), each step one join + one aggregate on that frame.
+    * Each step's result is `localCheckpoint()`ed — iterative
+    * algorithms MUST truncate lineage, not merely cache: persisting
+    * and unpersisting the previous step makes Spark clear and
+    * recompile the dependent cache entries (non-cascading unpersist),
+    * after which every later step re-derives the whole doubling union
+    * chain from raw data — measured exponential blowup (iterations of
+    * 1s, 1s, 230s, 830s at sf0.1). With per-step checkpoints each
+    * iteration starts from a materialized RDD and costs the same.
+    * (On a cluster, swap localCheckpoint for reliable `checkpoint` —
+    * local checkpoint blocks die with an executor.) Driver-side work
+    * per step is a single empty-check — the standard Pregel-style
+    * loop, inherent to iterate-to-fixpoint graph algorithms.
+    * Convergence takes ≤ diameter steps; LSH near-dup components are
+    * shallow (clusters of copies, not long chains).
     */
   def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
     val pairs = q_dedup_minhash(s, dir).select("a_id", "b_id")
-    val edges = cached(pairs
+    val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst"))
+      .toDF("src", "dst")
+      .localCheckpoint()
     // start: every candidate node labels itself
-    var labels = cached(edges.select(col("src").as("id"))
+    var labels = edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("label", col("id")))
+      .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     while (!converged) {
       // candidate label for id = min over neighbors' labels ∪ own
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = cached(labels.select(col("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
         .union(viaNeighbors)
-        .groupBy("id").agg(min(col("label")).as("label")))
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).isEmpty
-      labels.unpersist()
       labels = next
     }
     t(s, dir, "documents").select(col("doc_id"))
