@@ -222,6 +222,19 @@ object Oracles {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
 
+    // plain range-join statement of q_join_range's semantics — the
+    // Spark side reaches the same result through the bucketed
+    // equi-join rewrite
+    "q_join_range" ->
+      """SELECT e.event_id, CAST(count(p.ts) AS BIGINT) AS n_recent_purchases
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, ts FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON p.user_id = e.user_id AND p.ts <= e.ts
+        |     AND p.ts >= e.ts - INTERVAL 1 HOUR
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
     "q_join_asof" ->
       """SELECT event_id, coalesce((
         |    SELECT p.event_id FROM events p
@@ -302,6 +315,12 @@ object Oracles {
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
 
     // ── scalar functions ───────────────────────────────────────────
@@ -580,6 +599,13 @@ object Oracles {
         |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS fake_width,
         |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS BIGINT) AS fake_height,
         |  CAST(octet_length(CAST(text AS BLOB)) % 5 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT doc_id, n_frames, unnest(range(n_frames)) AS frame_idx
+        |FROM (SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) % 5 + 1 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_asof" -> (AsOfJoin.q_join_asof _),
+    "q_join_range" -> (Relational.q_join_range _),
     // §2.7 set ops
     "q_set_union" -> (Relational.q_set_union _),
     "q_set_except" -> (Relational.q_set_except _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q_window_ntile" -> (Relational.q_window_ntile _),
     "q_sessionize" -> (Relational.q_sessionize _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
+    "q_sample_stratified" -> (Relational.q_sample_stratified _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),
@@ -104,7 +106,8 @@ object SparkEntry {
     "q_ann_lsh" -> (VectorOps.q_ann_lsh _),
     "q_ann_ivf" -> (VectorOps.q_ann_ivf _),
     // multimodal
-    "q_media_meta" -> (MultimodalOps.q_media_meta _)
+    "q_media_meta" -> (MultimodalOps.q_media_meta _),
+    "q_media_frames" -> (MultimodalOps.q_media_frames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

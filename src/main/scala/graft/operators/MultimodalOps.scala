@@ -90,4 +90,8 @@ object MultimodalOps {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
+
+  /** Declared twin of [[frameSample]] (oracle: unnest(range(n))). */
+  def q_media_frames(s: SparkSession, dir: String): DataFrame =
+    frameSample(s, dir)
 }

@@ -314,6 +314,38 @@ object Relational {
       .orderBy("p_brand", "s_name")
   }
 
+  /** J6 (range/interval join): for each error event, count the same
+    * user's purchases in the preceding hour. Naively this is a
+    * non-equi join (BroadcastNestedLoop at scale = death); here it is
+    * composed as an EQUI-join on (user_id, hour-bucket): each
+    * purchase claims its own bucket and the next one (the only two
+    * buckets whose errors can look back at it), the join runs on the
+    * bucket key, and the exact range predicate is a residual filter.
+    * Shuffle cost = one equi-join at 2× the purchase rows — the plan
+    * that survives 100 TB, vs. the quadratic per-user nested loop.
+    * The oracle states the same semantics as a plain range join.
+    */
+  def q_join_range(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("e_ts"),
+        floor(col("ts").cast("long") / 3600).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        explode(array(
+          floor(col("ts").cast("long") / 3600),
+          floor(col("ts").cast("long") / 3600) + 1)).as("bucket"))
+    errors.join(purchases, Seq("user_id", "bucket"), "left_outer")
+      .withColumn("hit",
+        when(col("p_ts").isNotNull &&
+          col("p_ts") <= col("e_ts") &&
+          col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L))
+      .groupBy("event_id")
+      .agg(sum(col("hit")).as("n_recent_purchases"))
+      .orderBy("event_id")
+  }
+
   /** J5: anti join — the integrity check the reference wished for
     * (TODO at clients/exclusion_requests.py:89).
     */
@@ -452,6 +484,20 @@ object Relational {
   def q_sample_hash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "20")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sampling: per-stratum rates (here ~50%
+    * of English, ~12.5% of everything else — the language-rebalancing
+    * pass of a training-corpus mix). Hash includes the stratum key so
+    * strata subsample independently; still one scan, no shuffle, and
+    * retry-stable like q_sample_hash.
+    */
+  def q_sample_stratified(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(
+        substring(md5(concat(col("lang"), lit(":"), col("doc_id").cast("string"))), 1, 2) <
+          when(col("lang") === "en", lit("80")).otherwise(lit("20")))
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 

@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_join_range is a bucketed equi-join, not a nested loop") {
+    val p = planOf(Relational.q_join_range(spark, dir))
+    assert(!p.contains("NestedLoop"),
+      "range join fell back to a nested loop:\n" + p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("profile is one scan; approx avoids the Expand of exact multi-distinct") {
     val df = Tables(spark, dir, "customer")
     val exact = planOf(graft.operators.Profiler.profile(df))
