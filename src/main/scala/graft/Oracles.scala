@@ -380,7 +380,8 @@ object Oracles {
         |  UNION ALL SELECT doc_id, 'Untitled2', 'h' FROM d
         |  UNION ALL SELECT doc_id, 'NoVal', 'None' FROM d
         |  UNION ALL SELECT doc_id, 'Head',
-        |    CASE WHEN length(head_raw) = 0 THEN 'None' ELSE trim(head_raw) END FROM d
+        |    CASE WHEN length(head_raw) = 0 THEN 'None'
+        |         ELSE regexp_replace(head_raw, '^\s+|\s+$', '', 'g') END FROM d
         |  UNION ALL SELECT doc_id, 'URL',
         |    concat('https://portal/Forms/Item/', CAST(doc_id AS VARCHAR)) FROM d)
         |WHERE length(value) > 0

@@ -30,8 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object HtmlInputs {
 
-  private val markers =
-    "(BIS232Request\\.|JSONData\\.|BIS232Objection\\.|BIS232ObjectionRebuttal)"
+  private val markers = Scalars.markerPattern
+
+  /** Python str.strip() strips ALL whitespace (\t\n\r\f etc.), not
+    * just spaces like Spark's trim() — a multi-line textarea body
+    * must strip its newline edges exactly like the reference.
+    */
+  private def pyStrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   private def unescape(c: Column): Column =
     Seq("&quot;" -> "\"", "&#39;" -> "'", "&lt;" -> "<", "&gt;" -> ">",
@@ -62,14 +68,14 @@ object HtmlInputs {
 
   private def inputValue(tag: Column): Column = {
     val v = attrVal(tag, "value")
-    when(v.isNotNull, trim(unescape(v))).otherwise(lit("None"))
+    when(v.isNotNull, pyStrip(unescape(v))).otherwise(lit("None"))
   }
 
   private def textareaValue(tag: Column): Column = {
     val inner = regexp_extract(tag,
       "(?is)^<textarea[^>]*>([\\s\\S]*?)</textarea>$", 1)
     // empty body ⇒ BeautifulSoup .string is None ⇒ str(None)
-    when(length(inner) > 0, trim(unescape(inner))).otherwise(lit("None"))
+    when(length(inner) > 0, pyStrip(unescape(inner))).otherwise(lit("None"))
   }
 
   /** Page HTML → array<struct<key,value>> of parsed pairs in the

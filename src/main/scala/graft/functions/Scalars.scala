@@ -65,9 +65,14 @@ object Scalars {
     * a new match that a single left-to-right regex pass won't rescan
     * — unreachable for real scraped keys.
     */
+  /** The four scrape markers (single source of truth — HtmlInputs'
+    * tag parser strips the same set, without the trim).
+    */
+  val markerPattern: String =
+    "(BIS232Request\\.|JSONData\\.|BIS232Objection\\.|BIS232ObjectionRebuttal)"
+
   def normalizeKey(c: Column): Column =
-    trim(regexp_replace(c,
-      "(BIS232Request\\.|JSONData\\.|BIS232Objection\\.|BIS232ObjectionRebuttal)", ""))
+    trim(regexp_replace(c, markerPattern, ""))
 
   /** Fallback key naming: title, else name, else "Untitled<idx>"
     * (clients/exclusion_requests.py:40-44).

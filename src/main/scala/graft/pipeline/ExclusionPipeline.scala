@@ -32,6 +32,11 @@ object ExclusionPipeline {
     *   → add the URL entry (:160, overwriting any scraped 'URL' key
     *     like dict assignment does)
     *   → drop __RequestVerificationToken (:161-164).
+    * Pages with no `<form>` (error pages, null bodies) produce NO
+    * rows — deliberate deviation from the reference, which raises
+    * AttributeError on `soup.form.find_all` and kills the whole run;
+    * an engine drops the unparseable page instead of fabricating a
+    * URL-only document for it.
     * Output feeds [[detailsToDocuments]]. Fully distributed: parsing
     * is per-row expressions; the only shuffle is the per-(id,key)
     * last-wins window.
@@ -51,8 +56,10 @@ object ExclusionPipeline {
       .select("id", "key", "value")
       .filter(col("key") =!= "__RequestVerificationToken" &&
         col("key") =!= "URL")
-    val urlRows = pages.select(col(idCol).as("id"), lit("URL").as("key"),
-      col(urlCol).as("value"))
+    val urlRows = pages
+      .filter(col(pageCol).isNotNull && col(pageCol).rlike("(?is)<form"))
+      .select(col(idCol).as("id"), lit("URL").as("key"),
+        col(urlCol).as("value"))
     deduped.unionByName(urlRows)
   }
 

@@ -4,7 +4,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -155,11 +155,18 @@ class DataTablesScanBuilder(fullSchema: StructType,
     * only offers a TopN when the sort sits directly on the (filtered)
     * scan, so pushing is always sound; the scan then plans only
     * ⌈n/pageSize⌉ pages. All sort keys must be plain columns (the
-    * protocol orders by column index).
+    * protocol orders by column index) carrying Spark's DEFAULT null
+    * ordering (asc⇒NULLS FIRST, desc⇒NULLS LAST) — the server sorts
+    * absent values like empty strings, which matches only the
+    * defaults, so a non-default null ordering is not pushed at all.
     */
   override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
     val cols = orders.toSeq.map(o => o.expression() match {
-      case nr: NamedReference if nr.fieldNames().length == 1 =>
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        ((o.direction() == SortDirection.ASCENDING &&
+          o.nullOrdering() == NullOrdering.NULLS_FIRST) ||
+          (o.direction() == SortDirection.DESCENDING &&
+            o.nullOrdering() == NullOrdering.NULLS_LAST)) =>
         Some((nr.fieldNames()(0), o.direction() == SortDirection.ASCENDING))
       case _ => None
     })

@@ -87,6 +87,16 @@ class DataTablesSourceSpec extends AnyFunSuite {
     assert(counted.orderBy(col("ID").asc).limit(1500).count() == 1500)
     assert(DataTablesSourceSpec.fetches.get() == 2)
   }
+
+  test("non-default null ordering is not pushed (server sorts absent-as-empty)") {
+    val top = read.orderBy(col("ID").asc_nulls_last).limit(5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("(ID,true)") && !plan.contains("(ID,false)"),
+      "NULLS LAST asc must not reach the order payload:\n" + plan.take(1500))
+    // Spark keeps its own sort; the result is still the correct top-5
+    assert(top.select("ID").collect().map(_.getString(0)).toSeq ==
+      records.map(_("ID")).sorted.take(5))
+  }
 }
 
 object DataTablesSourceSpec {

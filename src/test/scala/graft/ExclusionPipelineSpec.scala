@@ -90,6 +90,11 @@ class ExclusionPipelineSpec extends AnyFunSuite {
       |  <textarea name="BIS232Objection.Comments">  some comment  </textarea>
       |  <textarea name="EmptyArea"></textarea>
       |  <textarea name="BlankArea">   </textarea>
+      |  <textarea name="MultiLine">
+      |    spans lines
+      |  </textarea>
+      |  <textarea name="NewlineOnly">
+      |</textarea>
       |</form>
       |<form><input title="SecondForm" value="nope"/></form>
       |</body></html>""".stripMargin
@@ -119,8 +124,20 @@ class ExclusionPipelineSpec extends AnyFunSuite {
     assert(parsed("Dup") == "second")
   }
 
-  test("parsePages: textarea inner text is the value, trimmed") {
+  test("parsePages: textarea inner text is the value, stripped like str.strip()") {
     assert(parsed("Comments") == "some comment")
+    // Python strip removes newline/indent edges, not just spaces
+    assert(parsed("MultiLine") == "spans lines")
+    // a newline-only body strips to "" and is dropped (reference :158)
+    assert(!parsed.contains("NewlineOnly"))
+  }
+
+  test("parsePages: pages without a form produce no rows (not even URL)") {
+    val pages = Seq(
+      ("7", "<html><body>Error 500</body></html>", "u7"),
+      ("8", null.asInstanceOf[String], "u8"))
+      .toDF("id", "page", "url")
+    assert(ExclusionPipeline.parsePages(pages).count() == 0)
   }
 
   test("parsePages: missing value attr / empty textarea is str(None), like the reference") {
