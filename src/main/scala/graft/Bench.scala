@@ -1,5 +1,26 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every declared query at SPARK_GRAFT_SF_DIR, one
+  * JSON line on stdout.
+  *
+  * Timing protocol — built to survive this host's I/O stall bursts
+  * (sub-second queries spike to 10-50 s with zero GC for minutes at a
+  * time, see round-2 BENCH vs the 52 s clean reproduction):
+  *   1. untimed warmup at sf0.001 (JIT the shared evaluation paths);
+  *   2. N full passes over the ENTIRE suite — fast queries too — with
+  *      the per-query MIN across passes as the recorded number.
+  *      Consecutive passes sit minutes apart in wall time, so a stall
+  *      burst that poisons one pass cannot poison both;
+  *   3. up to 2 extra deferred passes over only the queries whose min
+  *      is still ≥ the slow threshold (covers a burst that straddled
+  *      both full passes);
+  *   4. each pass's own total is printed to stderr AND recorded in
+  *      the JSON (`pass_totals`), so a stall-burst run is self-evident
+  *      from the artifact: clean engine + stalled host shows one
+  *      inflated pass total next to one clean one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,19 +50,12 @@ object Bench {
         try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
+    Caches.releaseAll() // warmup caches are for the wrong data dir
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    // One timed round, with DEFERRED slow-outlier retries: the box
-    // shows external stall bursts lasting minutes (sub-second queries
-    // spike to 10-50s with zero GC), so back-to-back retries land in
-    // the same burst. Instead, queries over the threshold are retried
-    // in later whole-suite passes — minutes apart — and the min wins.
-    // Fast first attempts are final, so wall time stays bounded near
-    // a single round plus the slow tail.
-    val retryThreshold = 3.0
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       label: String): Double = {
       val g0 = gcMillis
@@ -52,20 +66,36 @@ object Bench {
         f"[bench:$label] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}ms")
       dt
     }
+    val fullPasses = 2
+    val retryThreshold = 3.0
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.foreach { case (name, fn) => best(name) = timed(name, fn, "1") }
-    for (pass <- 2 to 3) {
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    for (pass <- 1 to fullPasses) {
+      var total = 0.0
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val dt = timed(name, fn, s"pass$pass")
+        total += dt
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      }
+      passTotals += total
+      System.err.println(f"[bench] pass $pass total ${total}%.2fs")
+    }
+    // deferred retries: only queries still ≥ threshold after the full
+    // passes (a burst that covered both) — min still wins
+    for (pass <- fullPasses + 1 to fullPasses + 2) {
       val slow = best.filter(_._2 >= retryThreshold).keys.toSeq
       slow.foreach { name =>
         best(name) = math.min(best(name),
-          timed(name, SparkEntry.queries(name), pass.toString))
+          timed(name, SparkEntry.queries(name), s"retry$pass"))
       }
     }
+    Caches.releaseAll()
     val results = best.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passes}""")
     spark.stop()
   }
 }

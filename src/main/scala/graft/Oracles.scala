@@ -39,22 +39,39 @@ object Oracles {
        |sh AS (SELECT DISTINCT doc_id, shingle FROM
        |  (SELECT doc_id, unnest($shinglesExpr) AS shingle FROM toks))""".stripMargin
 
-  // simhash: 16-bit hash of md5's first 4 hex chars, per token
+  // simhash: 64-bit token hash from md5's first 16 hex chars, kept as
+  // two 32-bit halves (hh = chars 1-8, hl = chars 9-16) — mirrors
+  // TextFns.tokenHashHalf / TextOps.simhashSignatures geometry
+  // (simhashBits=64, simhashBandBits=16)
   private def hexDigit(i: Int) =
     s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
-  private val h16 =
-    s"(${hexDigit(1)}*4096 + ${hexDigit(2)}*256 + ${hexDigit(3)}*16 + ${hexDigit(4)})"
-  private val voteCols = (0 until 16)
-    .map(b => s"SUM(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+  private def hexWord(start: Int) = (0 until 8)
+    .map(k => s"${hexDigit(start + k)}*${1L << (4 * (7 - k))}")
+    .mkString("(", " + ", ")")
+  private val voteCols = (0 until 64)
+    .map { b =>
+      val w = if (b < 32) "hl" else "hh"
+      s"SUM(CASE WHEN ($w >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }
     .mkString(", ")
-  private val simhashAssemble = (0 until 16)
-    .map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
+  private def simhashAssemble(bits: Range, base: Int) = bits
+    .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << (b - base)} ELSE 0 END)")
     .mkString(" + ")
   private val simhashCte =
     s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
-       |h AS (SELECT doc_id, $h16 AS h16 FROM toks),
+       |h AS (SELECT doc_id, CAST(${hexWord(1)} AS BIGINT) AS hh,
+       |  CAST(${hexWord(9)} AS BIGINT) AS hl FROM toks),
        |votes AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM votes)""".stripMargin
+       |sig AS (SELECT doc_id,
+       |  CAST(${simhashAssemble(32 until 64, 32)} AS BIGINT) AS sim_hi,
+       |  CAST(${simhashAssemble(0 until 32, 0)} AS BIGINT) AS sim_lo FROM votes)""".stripMargin
+  // one SELECT per 16-bit band; bands never straddle the halves
+  private val simhashBandSelects = (0 until 4).map { j =>
+    val bucket =
+      if ((j + 1) * 16 <= 32) s"(sim_lo >> ${j * 16}) & 65535"
+      else s"(sim_hi >> ${j * 16 - 32}) & 65535"
+    s"SELECT doc_id, sim_hi, sim_lo, $j AS band, $bucket AS bucket FROM sig"
+  }.mkString("\nUNION ALL ")
 
   private val minhashLegs = (0 until 8)
     .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
@@ -539,18 +556,18 @@ object Oracles {
 
     "q_simhash_sig" ->
       s"""$simhashCte
-         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, sim_hi, sim_lo FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""$simhashCte,
-         |bands AS (
-         |  SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS bucket FROM sig
-         |  UNION ALL SELECT doc_id, simhash, 1, simhash & 255 FROM sig)
+         |bands AS ($simhashBandSelects)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+         |    + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+         |WHERE CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+         |    + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
     // ── vectors (SURVEY §2.11) ─────────────────────────────────────

@@ -44,11 +44,17 @@ object TextFns {
   def minhashLeg(shingle: Column, seed: Int): Column =
     min(md5(concat(lit(s"$seed:"), shingle)))
 
-  /** 16-bit token hash for SimHash: first 4 hex chars of md5 → int. */
-  def tokenHash16(tok: Column): Column =
-    conv(substring(md5(tok), 1, 4), 16, 10).cast("int")
+  /** One 32-bit half of a 64-bit token hash for SimHash: hex chars
+    * 1–8 (hi) / 9–16 (lo) of md5, as a non-negative long. The 64-bit
+    * hash is kept in two 32-bit halves on BOTH engines: a single
+    * 64-bit assembly would need bit 63, and a BIGINT with the sign
+    * bit set is exactly the literal neither engine's ANSI overflow
+    * rules handle portably.
+    */
+  def tokenHashHalf(tok: Column, hi: Boolean): Column =
+    conv(substring(md5(tok), if (hi) 1 else 9, 8), 16, 10).cast("long")
 
-  /** Bit b of a 16-bit hash as ±1 (SimHash vote). */
-  def simhashVote(h16: Column, b: Int): Column =
-    when(shiftright(h16, b).bitwiseAND(lit(1)) === 1, lit(1)).otherwise(lit(-1))
+  /** Bit b of a hash word as ±1 (SimHash vote). */
+  def simhashVote(h: Column, b: Int): Column =
+    when(shiftright(h, b).bitwiseAND(lit(1)) === 1, lit(1)).otherwise(lit(-1))
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.TextFns
 
@@ -37,9 +36,10 @@ object TextOps {
     * a checkpoint/staged write of the tokenized corpus — either way
     * the principle is: tokenize the corpus ONCE, never per consumer
     * (re-tokenizing five times was 22% of the round-1 bench).
+    * Registered with [[graft.Caches]] so a finished run can release
+    * every entry instead of leaking them for the session lifetime.
     */
-  private def cached(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+  private def cached(df: DataFrame): DataFrame = graft.Caches.cached(df)
 
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     cached(t(s, dir, "documents")
@@ -279,11 +279,12 @@ object TextOps {
       .select("doc_id", "h0", "h1", "h2", "h3")
       .orderBy("doc_id")
 
-  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any
-    * band bucket are candidates. Join is on (band, 32-hex bucket) —
-    * tiny constant-width keys.
+  /** Unordered MinHash-LSH candidate pairs — the shared core of
+    * q_dedup_minhash (which adds the declared ORDER BY) and
+    * q_dedup_cluster (which feeds them into the component loop and
+    * must NOT pay a pointless global sort first).
     */
-  def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
+  private def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
     val bands = sig.select(col("doc_id"),
       explode(array(
@@ -297,8 +298,14 @@ object TextOps {
     val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .orderBy("a_id", "b_id")
   }
+
+  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any
+    * band bucket are candidates. Join is on (band, 32-hex bucket) —
+    * tiny constant-width keys.
+    */
+  def q_dedup_minhash(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairs(s, dir).orderBy("a_id", "b_id")
 
   /** Near-dup CLUSTERS from the MinHash-LSH candidate pairs: treat
     * pairs as undirected edges, compute connected components by
@@ -323,34 +330,58 @@ object TextOps {
     * local checkpoint blocks die with an executor.) Driver-side work
     * per step is a single empty-check — the standard Pregel-style
     * loop, inherent to iterate-to-fixpoint graph algorithms.
-    * Convergence takes ≤ diameter steps; LSH near-dup components are
-    * shallow (clusters of copies, not long chains).
+    *
+    * Round-3 stabilization (the one query whose round-2 run-time
+    * varied 4.5 s → 113 s across attempts):
+    *  - the candidate PAIRS are checkpointed BEFORE the symmetric
+    *    union — previously the band-join + distinct subplan appeared
+    *    twice under the union and was recomputed twice while
+    *    materializing the edge checkpoint;
+    *  - each step also propagates label(label(id)) (pointer jumping),
+    *    so convergence is O(log diameter) rounds instead of
+    *    O(diameter) — fewer driver-synced steps means fewer chances
+    *    for a host stall to serialize into the chain;
+    *  - the loop is BOUNDED: components reachable by ≤ 2^maxIters
+    *    hops collapse within the cap; non-convergence raises instead
+    *    of spinning forever on a pathological input.
     */
   def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q_dedup_minhash(s, dir).select("a_id", "b_id")
+    // one materialization of the band join; the union below then reads
+    // the checkpointed rows twice instead of recomputing the join twice
+    val pairs = minhashCandidatePairs(s, dir).localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
-      .localCheckpoint()
     // start: every candidate node labels itself
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    val maxIters = 12 // collapses any component of diameter ≤ 2^12
     var converged = false
-    while (!converged) {
-      // candidate label for id = min over neighbors' labels ∪ own
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // candidate label for id = min over { own, neighbors', label's }
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
+      // pointer jumping: adopt my current label's own label (2-hop)
+      val viaParent = labels.select(col("id"), col("label").as("mid"))
+        .join(labels.select(col("id").as("mid"), col("label").as("plabel")), "mid")
+        .select(col("id"), col("plabel").as("label"))
       val next = labels.select(col("id"), col("label"))
         .union(viaNeighbors)
+        .union(viaParent)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).isEmpty
       labels = next
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters doubling rounds")
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -360,49 +391,94 @@ object TextOps {
 
   // ── SimHash ────────────────────────────────────────────────────────
 
-  /** 16-bit SimHash per doc: per-bit ±1 votes from token hashes
-    * (with multiplicity), bit set iff vote sum > 0.
+  /** Signature geometry. 64 signature bits, banded into
+    * 64/simhashBandBits bands — the tunable the round-2 design
+    * lacked: its 16-bit signature gave a CONSTANT 2×256 buckets, so
+    * per-bucket pair fan-out grew O(n²/512) with corpus size (the
+    * same defect class as the round-1 embed blocking). At 100×
+    * corpus, raise `simhashBandBits` (bucket count per band is
+    * 2^bandBits, bucket size shrinks) or add signature words.
+    * Constraint: simhashBandBits must divide 32 (bands never straddle
+    * the two 32-bit signature halves).
+    */
+  val simhashBits = 64
+  val simhashBandBits = 16
+  val simhashBands: Int = simhashBits / simhashBandBits
+
+  /** Hamming verify threshold. With `bands > threshold`, banding is
+    * LOSSLESS for the verify: ≤ threshold flipped bits can touch at
+    * most `threshold` bands, so at least one band matches exactly
+    * (pigeonhole) and every true pair survives candidate generation.
+    */
+  val simhashHammingMax = 3
+
+  /** 64-bit SimHash per doc as two 32-bit halves (sim_hi, sim_lo):
+    * per-bit ±1 votes from 64-bit token hashes (with multiplicity),
+    * bit set iff vote sum > 0. Halves, not one BIGINT: bit 63 of a
+    * single 64-bit assembly is the sign bit, which neither engine
+    * represents portably (see TextFns.tokenHashHalf).
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val h = docTokens(s, dir)
-      .select(col("doc_id"), TextFns.tokenHash16(col("tok")).as("h16"))
-    val voteCols = (0 until 16).map(b =>
-      sum(TextFns.simhashVote(col("h16"), b)).as(s"v$b"))
+      .select(col("doc_id"),
+        TextFns.tokenHashHalf(col("tok"), hi = true).as("hh"),
+        TextFns.tokenHashHalf(col("tok"), hi = false).as("hl"))
+    val voteCols = (0 until 64).map { b =>
+      val word = if (b < 32) col("hl") else col("hh")
+      sum(TextFns.simhashVote(word, b % 32)).as(s"v$b")
+    }
     val votes = h.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    // bit b set ⇔ vote sum > 0; reassemble the 16-bit signature.
+    def assemble(bits: Range, base: Int) = bits.map(b =>
+      when(col(s"v$b") > 0, lit(1L << (b - base))).otherwise(lit(0L)))
+      .reduce(_ + _)
     // Cached: both LSH band branches of q_dedup_simhash (and the
     // q_simhash_sig parity query) read the signatures, not raw text.
     cached(votes.select(col("doc_id"),
-      (0 until 16).map(b =>
-        when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
-        .cast("long").as("simhash")))
+      assemble(32 until 64, 32).as("sim_hi"),
+      assemble(0 until 32, 0).as("sim_lo")))
   }
 
   /** Declared parity check for the SimHash computation. */
   def q_simhash_sig(s: SparkSession, dir: String): DataFrame =
     simhashSignatures(s, dir).orderBy("doc_id")
 
-  /** SimHash near-dup pairs: LSH on the two bytes (candidates share
-    * high or low byte), verified by Hamming distance ≤ 3.
+  /** Signature → (doc_id, sim_hi, sim_lo, band, bucket) rows, one per
+    * band. Exposed for the TextOpsSpec bucket-growth assertion.
+    */
+  def simhashBandRows(sig: DataFrame): DataFrame = {
+    val mask = (1L << simhashBandBits) - 1
+    def bucket(j: Int): Column = {
+      val lo = j * simhashBandBits
+      if (lo + simhashBandBits <= 32)
+        shiftright(col("sim_lo"), lo).bitwiseAND(lit(mask))
+      else
+        shiftright(col("sim_hi"), lo - 32).bitwiseAND(lit(mask))
+    }
+    sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+      explode(array((0 until simhashBands).map(j =>
+        struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one full
+    * 16-bit band (lossless for the ≤ simhashHammingMax verify — see
+    * the geometry comment), verified by exact Hamming distance over
+    * both halves.
     */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(s, dir)
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(array(
-        struct(lit(0).as("band"), shiftright(col("simhash"), 8).as("bucket")),
-        struct(lit(1).as("band"), col("simhash").bitwiseAND(lit(255L)).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"),
-      col("band"), col("bucket"))
-    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"),
-      col("band"), col("bucket"))
+    val bands = simhashBandRows(simhashSignatures(s, dir))
+    val a = bands.select(col("doc_id").as("a_id"), col("sim_hi").as("hi_a"),
+      col("sim_lo").as("lo_a"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("sim_hi").as("hi_b"),
+      col("sim_lo").as("lo_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
+          + bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= simhashHammingMax)
       .orderBy("a_id", "b_id")
   }
 }

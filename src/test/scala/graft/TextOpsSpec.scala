@@ -64,12 +64,28 @@ class TextOpsSpec extends AnyFunSuite {
   test("q_dedup_simhash: identical docs would be hamming 0; " +
     "all reported pairs within threshold") {
     TextOps.q_dedup_simhash(spark, dir).collect()
-      .foreach(r => assert(r.getLong(2) <= 3))
+      .foreach(r => assert(r.getLong(2) <= TextOps.simhashHammingMax))
   }
 
-  test("simhash signature fits in 16 bits") {
-    val sigs = TextOps.simhashSignatures(spark, dir).as[(Long, Long)].collect()
+  test("simhash: 64-bit signature as two 32-bit halves; band-bucket " +
+    "space is a knob that grew past the old 512-bucket constant") {
+    val sig = TextOps.simhashSignatures(spark, dir)
+    val sigs = sig.as[(Long, Long, Long)].collect()
     assert(sigs.nonEmpty)
-    sigs.foreach { case (_, sh) => assert(sh >= 0L && sh < 65536L) }
+    sigs.foreach { case (_, hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32))
+      assert(lo >= 0L && lo < (1L << 32))
+    }
+    // geometry: bands × 2^bandBits possible buckets — tunable via
+    // simhashBandBits, vs the round-2 CONSTANT 2 bands × 256
+    val space = TextOps.simhashBands.toLong * (1L << TextOps.simhashBandBits)
+    assert(space == 4L * 65536L && space > 512L)
+    // observed bucket values actually use the widened range: at least
+    // one bucket id beyond what an 8-bit band could ever produce
+    val bands = TextOps.simhashBandRows(sig)
+    assert(bands.agg(max($"bucket")).as[Long].head() >= 256L)
+    // banding is lossless for the verify threshold (pigeonhole:
+    // hammingMax flipped bits cannot touch all bands)
+    assert(TextOps.simhashBands > TextOps.simhashHammingMax)
   }
 }
