@@ -164,17 +164,25 @@ object Oracles {
         |  round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS rev_P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // GROUPING() distinguishes subtotal rows from genuine NULL key
+    // values (coalesce alone would conflate them on nullable keys)
     "q_agg_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE coalesce(l_returnflag, 'NULL') END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE coalesce(l_linestatus, 'NULL') END AS linestatus,
         |  count(*) AS cnt,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q_agg_cube" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         |  count(*) AS cnt,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)

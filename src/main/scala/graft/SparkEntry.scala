@@ -54,6 +54,7 @@ object SparkEntry {
     "q_time_parts" -> (Relational.q_time_parts _),
     "q_pivot" -> (Relational.q_pivot _),
     "q_profile" -> (operators.Profiler.q_profile _),
+    "q_profile_approx" -> (operators.Profiler.q_profile_approx _),
     // §2.3 joins
     "q_join_enrich" -> (Relational.q_join_enrich _),
     "q_join_left" -> (Relational.q_join_left _),

@@ -46,6 +46,12 @@ object HtmlInputs {
 
   /** Attribute value, or null when the attribute is absent (an
     * attribute preceded by whitespace, either quote style).
+    * Known approximation beyond the quote/entity notes above: the
+    * regex scans the whole tag, so an attr-shaped sequence INSIDE
+    * another attribute's quoted value (e.g. title="my name=x" making
+    * `name=` resolve from the title text) would match. ASP.NET's
+    * generated markup never nests attr-shaped text in values; parsing
+    * hand-written HTML would need a quote-span-aware scanner here.
     */
   private def attrVal(tag: Column, name: String): Column =
     coalesce(

@@ -62,4 +62,16 @@ object Profiler {
   def q_profile(s: SparkSession, dir: String): DataFrame =
     profile(Tables(s, dir, "customer")
       .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)")))
+
+  /** The 100 TB profiling default, declared: approx_count_distinct
+    * (HLL++) keeps the plan ONE pass — a single Aggregate, no Expand
+    * multiplying scanned rows by column count (PlanSpec asserts the
+    * shape). Rows-only check: the sketch is engine-specific, so no
+    * DuckDB twin (SURVEY §2.12 omission rule), same as
+    * q_agg_approx_distinct.
+    */
+  def q_profile_approx(s: SparkSession, dir: String): DataFrame =
+    profile(Tables(s, dir, "customer")
+      .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)")),
+      exact = false)
 }

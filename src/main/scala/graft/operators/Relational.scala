@@ -33,7 +33,12 @@ object Relational {
     * every DECIMAL-emitting query was value-correct yet hash-red;
     * every rounded-DOUBLE one was green). Exactness is preserved:
     * the sum itself is still decimal, only the output representation
-    * changes.
+    * changes. Magnitude bound of that representation: a double holds
+    * cents exactly up to 2^53/100 ≈ 9e13 — beyond that the EMITTED
+    * value rounds to the nearest representable double (identically in
+    * both engines, so parity is unaffected); a consumer needing exact
+    * trillion-scale cents should read the decimal aggregate, not this
+    * display projection.
     */
   private def dsum2(c: org.apache.spark.sql.Column) =
     round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
@@ -219,31 +224,47 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** A5: rollup (group key null-markers coalesced to 'ALL' sentinels
-    * so sort order is engine-independent).
+  /** Subtotal-row marker for rollup/cube output keys: 'ALL' only
+    * where grouping() said the key was rolled away (carried out of
+    * the Aggregate as g_<col> — Spark only allows grouping() inside
+    * the agg projection), 'NULL' for a GENUINE null key value. A bare
+    * coalesce(key, 'ALL') would conflate the two on nullable keys —
+    * safe on TPC-H, unsafe as a pattern; DuckDB supports GROUPING()
+    * too, so parity holds.
+    */
+  private def gkey(c: String, flag: String, out: String) =
+    when(col(flag) === 1, lit("ALL"))
+      .otherwise(coalesce(col(c), lit("NULL"))).as(out)
+
+  /** A5: rollup (subtotal markers via grouping(), engine-independent
+    * sort order).
     */
   def q_agg_rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("cnt"), dsum2(col("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("cnt"), dsum2(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        gkey("l_returnflag", "g_rf", "returnflag"),
+        gkey("l_linestatus", "g_ls", "linestatus"),
         col("cnt"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
-  /** A5: cube — all four grouping-set combinations, null markers
-    * coalesced to 'ALL' sentinels (same determinism trick as rollup).
+  /** A5: cube — all four grouping-set combinations, subtotal markers
+    * via grouping() (same determinism + null-safety as rollup).
     */
   def q_agg_cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
-          .as("rev"))
+          .as("rev"),
+        grouping(col("o_orderstatus")).as("g_st"),
+        grouping(col("o_orderpriority")).as("g_pr"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        gkey("o_orderstatus", "g_st", "status"),
+        gkey("o_orderpriority", "g_pr", "priority"),
         col("cnt"), col("rev"))
       .orderBy("status", "priority")
 

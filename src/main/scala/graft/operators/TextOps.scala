@@ -28,6 +28,18 @@ object TextOps {
     */
   val maxShingleDf = 1000
 
+  /** The df-cap's truncation, made observable: the shingles the
+    * inverted index DROPS (df > cap), with their document frequency.
+    * A silent cap reads as full coverage — a pipeline operator that
+    * bounds its work must let the operator's user audit what was
+    * bounded away (TextOpsSpec asserts the skewed-fixture count; a
+    * production run would write this frame next to the pair output).
+    * Input: (doc_id, shingle) rows, e.g. the docShingles table.
+    */
+  def shingleDfCapDropped(shingles: DataFrame, cap: Int): DataFrame =
+    shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+
   /** Persist a shared intermediate so consumers scan it once instead
     * of re-deriving it from raw text per branch. Spark's CacheManager
     * dedups cache entries by logical plan, so the same call from two

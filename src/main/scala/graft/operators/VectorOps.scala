@@ -127,26 +127,73 @@ object VectorOps {
       .limit(10)
   }
 
-  /** IVF-style ANN: coarse quantize to per-label centroids (stand-in
-    * for k-means cells), probe the nearest centroid's inverted list
-    * only. Centroids come from the one-pass typed CentroidAgg
-    * (constant-size partial aggregation; see its Scaladoc for why the
-    * posexplode/collect_list alternative doesn't scale). Not
-    * oracle-declared.
+  /** Lloyd refinement rounds for the IVF coarse quantizer. */
+  val ivfLloydIters = 2
+
+  /** K-means cells for IVF: seeded from the per-label centroids,
+    * refined with `iters` Lloyd iterations, then one final assignment
+    * against the refined centroids (the inverted lists an IVF index
+    * actually stores). Each round is (a) assign: every vector to its
+    * nearest current centroid — one crossJoin against the BROADCAST
+    * k-row centroid table (k = cell count; the vectors never
+    * shuffle) reduced by a per-vec_id max aggregate, ties broken
+    * deterministically by (cosine, cell) struct ordering — and
+    * (b) update: one CentroidAgg pass per cell (constant-size partial
+    * aggregation). At 100 TB cell quality determines recall:
+    * per-label seeds inherit whatever the labels happened to mean;
+    * Lloyd rounds move the cells to the embedding geometry.
+    *
+    * @return (assignments (vec_id, cell, embedding), centroids
+    *         (cell, centroid)) — assignments are against the FINAL
+    *         centroids, so probe routing and list membership agree.
+    */
+  def kmeansCells(e: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val centroidOf = udaf(graft.functions.CentroidAgg)
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"),
+          struct(cosine(col("embedding"), col("centroid")).as("cc"),
+            col("cell").as("cell")).as("sc"))
+        .groupBy("vec_id")
+        // embedding is functionally dependent on vec_id (the fan-out
+        // only multiplied the centroid side), so first() is exact
+        .agg(max(col("sc")).as("sc"), first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("sc.cell").as("cell"), col("embedding"))
+    var cent = e.groupBy(col("label").as("cell"))
+      .agg(centroidOf(col("embedding")).as("centroid"))
+    for (_ <- 1 to iters)
+      cent = assign(cent).groupBy("cell")
+        .agg(centroidOf(col("embedding")).as("centroid"))
+    (assign(cent), cent)
+  }
+
+  /** Cells probed per query — the standard IVF recall/cost dial: a
+    * query near a cell boundary has true neighbors in the adjacent
+    * cell, so nprobe=1 caps recall no matter how good the centroids
+    * are. Candidate set is still ~nprobe/k of the corpus.
+    */
+  val ivfNProbe = 2
+
+  /** IVF-style ANN: coarse quantize to k-means cells ([[kmeansCells]]:
+    * per-label seeds + Lloyd refinement), probe the [[ivfNProbe]]
+    * nearest refined cells' inverted lists only. Centroids come from
+    * the one-pass typed CentroidAgg (constant-size partial
+    * aggregation; see its Scaladoc for why the posexplode/
+    * collect_list alternative doesn't scale). Not oracle-declared
+    * (rows-only); VectorOpsSpec holds the recall bar vs the
+    * brute-force q_sim_topk.
     */
   def q_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val centroidOf = udaf(graft.functions.CentroidAgg)
-    val cent = e.groupBy(col("label").as("c_label"))
-      .agg(centroidOf(col("embedding")).as("centroid"))
+    val (cells, cent) = kmeansCells(e, ivfLloydIters)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    // nearest centroid to the query
-    val probe = cent.crossJoin(broadcast(q))
-      .select(col("c_label"), col("q_emb"), cosine(col("centroid"), col("q_emb")).as("cc"))
-      .orderBy(col("cc").desc, col("c_label")).limit(1)
-    // search only that cell's inverted list
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe), e("label") === probe("c_label"))
+    // nprobe nearest refined centroids to the query
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cell"), col("q_emb"), cosine(col("centroid"), col("q_emb")).as("cc"))
+      .orderBy(col("cc").desc, col("cell")).limit(ivfNProbe)
+    // search only those cells' inverted lists
+    cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), Seq("cell"))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -56,8 +56,13 @@ object ExclusionPipeline {
       .select("id", "key", "value")
       .filter(col("key") =!= "__RequestVerificationToken" &&
         col("key") =!= "URL")
+    // URL rows gate on the SAME extraction the pair parse uses (a full
+    // <form>…</form> match) — an rlike("<form") here would fabricate a
+    // URL-only row for a page whose truncated/unclosed form yields no
+    // pairs, contradicting "no parseable form ⇒ NO rows"
     val urlRows = pages
-      .filter(col(pageCol).isNotNull && col(pageCol).rlike("(?is)<form"))
+      .filter(length(regexp_extract(col(pageCol),
+        "(?is)<form[\\s\\S]*?</form>", 0)) > 0)
       .select(col(idCol).as("id"), lit("URL").as("key"),
         col(urlCol).as("value"))
     deduped.unionByName(urlRows)

@@ -8,7 +8,8 @@ class ContractSpec extends AnyFunSuite {
   /** Ops implemented but deliberately not oracle-declared (no faithful
     * DuckDB twin — SURVEY §2.12 allows omission → rows-only check).
     */
-  private val rowsOnly = Set("q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf")
+  private val rowsOnly = Set("q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
+    "q_profile_approx")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -61,6 +61,21 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram df-cap truncation is observable, not silent") {
+    // skewed fixture: one shingle above the cap, one below
+    val sh = ((1 to 6).map(i => (i.toLong, "hot")) ++
+      Seq((1L, "cold"), (2L, "cold"))).toDF("doc_id", "shingle")
+    val dropped = TextOps.shingleDfCapDropped(sh, 5).collect()
+    assert(dropped.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("hot", 6L)))
+    // the production cap drops nothing on this fixture — "no silent
+    // truncation" is auditable, not assumed
+    val real = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(TextFns.shingles($"text", 3)).as("shingle"))
+      .distinct()
+    assert(TextOps.shingleDfCapDropped(real, TextOps.maxShingleDf).isEmpty)
+  }
+
   test("q_dedup_simhash: identical docs would be hamming 0; " +
     "all reported pairs within threshold") {
     TextOps.q_dedup_simhash(spark, dir).collect()

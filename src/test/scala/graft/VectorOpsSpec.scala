@@ -39,9 +39,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
-  test("q_ann_ivf: probes exactly one label cell") {
-    val ivf = VectorOps.q_ann_ivf(spark, dir)
-    assert(ivf.collect().nonEmpty)
+  test("q_ann_ivf: Lloyd-refined cells hold the recall bar vs brute force") {
+    val exact = VectorOps.q_sim_topk(spark, dir).collect().map(_.getLong(0)).toSet
+    val ivf = VectorOps.q_ann_ivf(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    val got = ivf.map(_.getLong(0)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF one-probe recall $recall below bar")
+  }
+
+  test("kmeansCells: assignments agree with final centroids and cover " +
+    "every vector exactly once") {
+    val e = Tables(spark, dir, "embeddings")
+    val (cells, cent) = VectorOps.kmeansCells(e, VectorOps.ivfLloydIters)
+    assert(cells.count() == e.count())
+    assert(cells.select("vec_id").distinct().count() == e.count())
+    // every assigned cell exists in the centroid table
+    assert(cells.join(cent, Seq("cell"), "left_anti").count() == 0)
   }
 
   test("q_vec_norm: unit-normalized fixture embeddings have avg norm ≈ 1") {
