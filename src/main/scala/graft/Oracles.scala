@@ -562,6 +562,40 @@ object Oracles {
          |  ON d.doc_id = m.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // composed curation pipeline: lang gate → quality gate → exact
+    // dedup keep-min → greedy near-dup pair-drop over survivors
+    "q_curate" ->
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |stats AS (SELECT doc_id, text,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    (CASE WHEN len($tokL) BETWEEN 50 AND 1000 THEN 0.5 ELSE 0.0 END
+         |     + CASE WHEN length(replace(text, ' ', ''))
+         |         BETWEEN len($tokL) * 3 AND len($tokL) * 10
+         |       THEN 0.5 ELSE 0.0 END) AS score,
+         |    CASE WHEN len($tokL) > 0 AND len(list_filter($tokL,
+         |        x -> list_contains(['the','a','of','and','to','in'], x))) * 20
+         |          >= len($tokL)
+         |      THEN 'en' ELSE 'unk' END AS pred_lang
+         |  FROM documents),
+         |gated AS (SELECT * FROM stats WHERE pred_lang = 'en' AND score >= 0.5),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |surv AS (SELECT g.* FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+         |dropb AS (SELECT DISTINCT c.b_id FROM cand c
+         |  JOIN surv sa ON c.a_id = sa.doc_id
+         |  JOIN surv sb ON c.b_id = sb.doc_id)
+         |SELECT s.doc_id, n_tok, score, pred_lang
+         |FROM surv s LEFT JOIN dropb d ON s.doc_id = d.b_id
+         |WHERE d.b_id IS NULL ORDER BY doc_id""".stripMargin,
+
     "q_simhash_sig" ->
       s"""$simhashCte
          |SELECT doc_id, sim_hi, sim_lo FROM sig ORDER BY doc_id""".stripMargin,

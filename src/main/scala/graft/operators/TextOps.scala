@@ -493,4 +493,56 @@ object TextOps {
       .filter(col("hamming") <= simhashHammingMax)
       .orderBy("a_id", "b_id")
   }
+
+  /** End-to-end curation pipeline — the composed workload a training-
+    * data user actually runs, stage by stage over one pass of the
+    * corpus:
+    *
+    *   1. language gate (the q_lang_id heuristic, keep 'en'),
+    *   2. quality gate (the q_quality_score bands, keep score ≥ 0.5),
+    *   3. exact dedup (keep the min doc_id per content md5),
+    *   4. near-dup removal over the MinHash-LSH candidate pairs
+    *      RESTRICTED to survivors of 1-3 (pairs whose loser was
+    *      already filtered must not kill the remaining copy): greedy
+    *      pair-drop — the larger doc_id of each surviving pair is
+    *      dropped. Greedy-by-pair, not cluster-min (q_dedup_cluster):
+    *      on a chain a–b, b–c the rule keeps {a, c} — each kept doc
+    *      has no SURVIVING smaller near-dup, which is the common
+    *      one-pass semantics and needs no iteration.
+    *
+    * Scale shape: stages 1-3 are scan + one groupBy-per-hash; stage 4
+    * reuses the cached signature subplan (the pairs frame is the same
+    * one q_dedup_minhash declares) and two semi-joins + one anti-join
+    * on doc_id — every join key is the document id or a constant-width
+    * hash, nothing quadratic, no iteration.
+    */
+  def q_curate(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nstop = size(filter(toks, x => x.isInCollection(stopwords)))
+    val ntok = size(toks)
+    val nospace = length(regexp_replace(col("text"), " ", ""))
+    val stats = t(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      ntok.cast("long").as("n_tok"),
+      (when(ntok.between(50, 1000), 0.5).otherwise(0.0)
+        + when(nospace >= ntok * 3 && nospace <= ntok * 10, 0.5).otherwise(0.0))
+        .as("score"),
+      when(ntok > 0 && nstop * 20 >= ntok, lit("en")).otherwise(lit("unk"))
+        .as("pred_lang"))
+    val gated = stats
+      .filter(col("pred_lang") === "en" && col("score") >= 0.5)
+    val exactKeep = gated
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val surv = gated.join(exactKeep, Seq("doc_id"), "left_semi")
+    val ids = surv.select("doc_id")
+    val dropB = minhashCandidatePairs(s, dir)
+      .join(ids.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .select(col("b_id").as("doc_id")).distinct()
+    surv.join(dropB, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_tok", "score", "pred_lang")
+      .orderBy("doc_id")
+  }
 }
