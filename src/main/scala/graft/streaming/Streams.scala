@@ -170,4 +170,30 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming form of the KV upsert: each micro-batch flows through
+    * [[graft.sinks.KvSink.upsert]] — per-partition grouped PUT batches
+    * with unprocessed-item retry. Exactly-once story: KvSink
+    * LWW-reduces the batch per key and PUTs are full-item overwrites,
+    * so a replayed micro-batch (foreachBatch is at-least-once) writes
+    * the same items again — idempotent, no dedup ledger needed. The
+    * one semantics caveat is cross-batch regression: a replay of an
+    * OLD micro-batch after a newer one has written could regress a
+    * key, which the ts-conditional PUT of a real store (DynamoDB
+    * ConditionExpression on ts) would reject; the in-memory fake
+    * models the unconditional reference behavior
+    * (__main__.py:8-24 PutRequest has no condition).
+    */
+  def kvUpsertQuery(spark: SparkSession, eventsDir: String, checkpoint: String,
+    clientFor: graft.sinks.KvClientFactory):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    eventsStream(spark, eventsDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.KvSink.upsert(batch.toDF(), "user_id", "ts", "event_id",
+          clientFor)
+      }
+      .start()
 }
