@@ -1,0 +1,98 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Output-layout management — the piece of a 100 TB pipeline that
+  * lives AFTER the query: how results land on storage decides every
+  * later scan's cost.
+  *
+  *  - [[writePartitioned]]: hive-style partition layout so downstream
+  *    filters on the partition column become directory pruning
+  *    (LayoutSpec asserts PartitionFilters in the scan, i.e. pruning
+  *    happens at planning, before any file is opened);
+  *  - [[compact]]: small-file compaction. Streaming sinks and
+  *    per-task writers leave thousands of tiny files per partition;
+  *    at 100 TB the resulting open/seek storm dominates scan time
+  *    (the classic small-files problem). Compaction rewrites a
+  *    directory into ~[[defaultTargetBytes]] files and reports what
+  *    it did — observable, not silent.
+  */
+object Layout {
+
+  /** Target compacted file size. 128 MB = one HDFS-ish block / one
+    * comfortable parquet row-group span; also the default
+    * files.maxPartitionBytes, so one compacted file ≈ one scan task.
+    */
+  val defaultTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Hard per-file row bound for skew: hash-partitioning by the
+    * partition column puts each partition value in ONE task, so a hot
+    * partition would otherwise become one giant file.
+    */
+  val maxRecordsPerFile: Long = 5000000L
+
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** What a compaction did. bytesTotal is the input payload size —
+    * the caller can alert on filesBefore/filesAfter ratios.
+    */
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int,
+    bytesTotal: Long)
+
+  /** Rewrite the parquet directory at `path` into ~targetBytes files,
+    * preserving a hive partition layout when `partitionCol` is given
+    * (each partition value collapses to one file, bounded by
+    * [[maxRecordsPerFile]]). The rewrite stages to a sibling
+    * directory and swaps atomically, so readers never see a partial
+    * state — same contract as the LWW sink's swap.
+    *
+    * Scale note: this is the local-filesystem form; on an object
+    * store the swap is a metastore location flip or a table-format
+    * (rewrite-files) commit, and compaction runs per-partition so one
+    * job never rewrites the whole table.
+    */
+  def compact(spark: SparkSession, path: String,
+    partitionCol: Option[String] = None,
+    targetBytes: Long = defaultTargetBytes): CompactionStats = {
+    val (before, bytes) = stats(path)
+    val df = spark.read.parquet(path)
+    val reshaped = partitionCol match {
+      // one task per partition value ⇒ one file per leaf dir
+      case Some(p) => df.repartition(col(p))
+      case None =>
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        df.repartition(n)
+    }
+    val tmp = path + ".compacting"
+    val w = reshaped.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    partitionCol.fold(w)(w.partitionBy(_)).parquet(tmp)
+    swap(tmp, path)
+    CompactionStats(before, stats(path)._1, bytes)
+  }
+
+  /** (data file count, total data bytes) under `path`. */
+  private def stats(path: String): (Int, Long) = {
+    val files = Files.walk(Paths.get(path)).filter(f =>
+      f.getFileName.toString.startsWith("part-")).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+    (files.size, files.map(Files.size).sum)
+  }
+
+  private def swap(tmp: String, path: String): Unit = {
+    val target = Paths.get(path)
+    val old = Paths.get(path + ".old")
+    deleteRecursively(old)
+    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+}

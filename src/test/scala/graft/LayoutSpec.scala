@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("partitioned layout prunes at plan time (PartitionFilters, " +
+    "not data filters)") {
+    val path = Files.createTempDirectory("layout_part").resolve("t").toString
+    val orders = Tables(spark, dir, "orders")
+    Layout.writePartitioned(orders, path, "o_orderstatus")
+    val scan = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val physical = scan.queryExecution.executedPlan.toString
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning before any file opens), NOT survive as a row-level Filter
+    assert(physical.contains("PartitionFilters"))
+    assert(physical.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("o_orderstatus"))
+    assert(scan.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("compact collapses a small-file explosion and preserves data") {
+    val path = Files.createTempDirectory("layout_comp").resolve("t").toString
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // simulate a streaming sink's small-file debris
+    orders.repartition(40).write.parquet(path)
+    val before = orders.orderBy("o_orderkey").collect().toSeq
+    val st = Layout.compact(spark, path)
+    assert(st.filesBefore == 40)
+    assert(st.filesAfter < 40)
+    assert(st.filesAfter == math.max(1,
+      math.ceil(st.bytesTotal.toDouble / Layout.defaultTargetBytes).toInt))
+    val after = spark.read.parquet(path)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(after == before)
+  }
+
+  test("partitioned compact keeps the layout: one file per leaf, " +
+    "pruning still works") {
+    val path = Files.createTempDirectory("layout_pcomp").resolve("t").toString
+    val orders = Tables(spark, dir, "orders")
+    // partitioned write with multiple tasks ⇒ several files per leaf
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(path)
+    val st = Layout.compact(spark, path, Some("o_orderstatus"))
+    val statuses = orders.select("o_orderstatus").distinct().count()
+    assert(st.filesAfter == statuses)  // one file per partition value
+    assert(st.filesBefore > st.filesAfter)
+    val scan = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    assert(scan.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    assert(scan.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+}
