@@ -562,6 +562,26 @@ object Oracles {
          |  ON d.doc_id = m.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(greatest(len(l)-1, 0)),
+         |    i -> concat_ws(' ', l[i+1], l[i+2])) AS g2 FROM toks),
+         |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok FROM
+         |    (SELECT doc_id, tok, count(*) AS c FROM
+         |      (SELECT doc_id, unnest(l) AS tok FROM toks)
+         |     GROUP BY doc_id, tok)
+         |  GROUP BY doc_id)
+         |SELECT g.doc_id,
+         |  CAST(len(g2) AS BIGINT) AS n_2gram,
+         |  CAST(len(list_distinct(g2)) AS BIGINT) AS n_2gram_distinct,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+         |         / len(g2), 4) END AS dup_2gram_ratio,
+         |  coalesce(round(CAST(top_c AS DOUBLE) / n_tok, 4), 0.0)
+         |    AS top_tok_ratio
+         |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+
     // composed curation pipeline: lang gate → quality gate → exact
     // dedup keep-min → greedy near-dup pair-drop over survivors
     "q_curate" ->

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),
     "q_dedup_cluster" -> (TextOps.q_dedup_cluster _),
     "q_curate" -> (TextOps.q_curate _),
+    "q_repetition" -> (TextOps.q_repetition _),
     "q_simhash_sig" -> (TextOps.q_simhash_sig _),
     "q_dedup_simhash" -> (TextOps.q_dedup_simhash _),
     // §2.11 vectors

@@ -494,6 +494,38 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Repetition quality signals, the Gopher/RefinedWeb-style filters
+    * real curation stacks gate on: within-document duplicate 2-gram
+    * fraction (boilerplate/template detector) and top-token share
+    * (keyword-stuffing detector). The 2-gram stats are pure per-row
+    * expressions over the codegen'd WordShingles; top-token share
+    * reuses the cached docTokens explode and two hash aggregates on
+    * doc_id — one shuffle, no joins wider than the id.
+    */
+  def q_repetition(s: SparkSession, dir: String): DataFrame = {
+    val g2 = TextFns.shingles(col("text"), 2)
+    val base = t(s, dir, "documents").select(
+      col("doc_id"),
+      size(g2).cast("long").as("n_2gram"),
+      size(array_distinct(g2)).cast("long").as("n_2gram_distinct"))
+      .withColumn("dup_2gram_ratio",
+        when(col("n_2gram") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("n_2gram_distinct").cast("double")
+            / col("n_2gram"), 4)))
+    val top = docTokens(s, dir)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_tok"), 4)
+          .as("top_tok_ratio"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_2gram"), col("n_2gram_distinct"),
+        col("dup_2gram_ratio"),
+        coalesce(col("top_tok_ratio"), lit(0.0)).as("top_tok_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the composed workload a training-
     * data user actually runs, stage by stage over one pass of the
     * corpus:

@@ -36,6 +36,23 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Globally-ordered layout: repartitionByRange gives file k keys
+    * that all precede file k+1's, and sortWithinPartitions orders
+    * rows inside each file — a TOTAL order across the directory
+    * without ever sorting on one task. Parquet row-group min/max
+    * stats become tight, disjoint intervals, so a range predicate
+    * skips whole files/row-groups at scan time (the poor man's
+    * clustered index; at 100 TB this is the difference between
+    * reading one file and reading all of them for a point lookup).
+    * The range boundaries come from Spark's reservoir sampling of the
+    * key — no prior knowledge of the distribution needed.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+    nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** What a compaction did. bytesTotal is the input payload size —
     * the caller can alert on filesBefore/filesAfter ratios.
     */

@@ -42,6 +42,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("writeSorted produces disjoint ascending per-file key ranges " +
+    "(total order across files)") {
+    val path = Files.createTempDirectory("layout_sort").resolve("t").toString
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeSorted(orders, path, "o_totalprice", 4)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString).filter(_.matches(".*part-.*\\.parquet"))
+      .sorted
+    assert(files.length == 4)
+    // range partitions map ascending key ranges to ascending file ids
+    val bounds = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    bounds.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file ranges overlap: $hi > $lo")
+    }
+    // nothing lost in the reshape
+    assert(spark.read.parquet(path).count() == orders.count())
+  }
+
   test("partitioned compact keeps the layout: one file per leaf, " +
     "pruning still works") {
     val path = Files.createTempDirectory("layout_pcomp").resolve("t").toString
