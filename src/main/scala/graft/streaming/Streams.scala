@@ -80,6 +80,21 @@ object Streams {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup: first-seen event_id wins. The watermark
+    * is what makes this scale — dropDuplicatesWithinWatermark keeps a
+    * key's dedup state only until the watermark passes it, instead of
+    * growing state forever the way plain dropDuplicates does on a
+    * stream (the batch twin q_text_dedup has no such problem; a
+    * stream does). Duplicates arriving within the horizon — the
+    * at-least-once redelivery case, e.g. the same landing file picked
+    * up twice — are dropped; later-than-horizon replays are the
+    * ts-conditional sink's job (see kvUpsertQuery).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
   case class LwwWinner(user_id: Long, event_id: Long, event_type: String,
@@ -180,7 +195,8 @@ object Streams {
     * one semantics caveat is cross-batch regression: a replay of an
     * OLD micro-batch after a newer one has written could regress a
     * key, which the ts-conditional PUT of a real store (DynamoDB
-    * ConditionExpression on ts) would reject; the in-memory fake
+    * ConditionExpression on ts) would reject — KvSinkSpec's
+    * ConditionalFakeKvClient proves that upgrade path; the plain fake
     * models the unconditional reference behavior
     * (__main__.py:8-24 PutRequest has no condition).
     */

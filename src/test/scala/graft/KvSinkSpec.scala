@@ -35,6 +35,26 @@ object FakeKvFactory extends KvClientFactory {
   def apply(): KvClient = new FakeKvClient
 }
 
+/** ts-conditional PUT (DynamoDB ConditionExpression shape): a stale
+  * write loses against newer stored state instead of overwriting it —
+  * the store-side upgrade that closes the cross-batch replay caveat
+  * documented on Streams.kvUpsertQuery.
+  */
+class ConditionalFakeKvClient extends KvClient {
+  override def putBatch(items: Seq[Map[String, String]]): Seq[Map[String, String]] = {
+    items.foreach { i =>
+      val cur = FakeKv.store.get(i("ID"))
+      if (cur == null || cur("ts").toLong <= i("ts").toLong)
+        FakeKv.store.put(i("ID"), i)
+    }
+    Nil
+  }
+}
+
+object ConditionalFakeKvFactory extends KvClientFactory {
+  def apply(): KvClient = new ConditionalFakeKvClient
+}
+
 class KvSinkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -90,6 +110,17 @@ class KvSinkSpec extends AnyFunSuite {
       KvSink.upsert(df, "doc_id", "ts", "doc_id", FakeKvFactory)
     }
     assert(FakeKv.store.isEmpty)       // rejected items were not stored
+  }
+
+  test("ts-conditional client: replaying an older batch cannot regress " +
+    "state (cross-batch LWW)") {
+    FakeKv.reset()
+    val newer = Seq((1L, "new", 5L)).toDF("doc_id", "v", "ts")
+    val older = Seq((1L, "old", 3L)).toDF("doc_id", "v", "ts")
+    KvSink.upsert(newer, "doc_id", "ts", "doc_id", ConditionalFakeKvFactory)
+    // a replayed stale micro-batch arrives after the newer write
+    KvSink.upsert(older, "doc_id", "ts", "doc_id", ConditionalFakeKvFactory)
+    assert(FakeKv.store.get("1")("v") == "new")
   }
 
   test("backoff grows exponentially and caps") {

@@ -89,6 +89,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(twice.map(_.toString) == batch.map(_.toString))
   }
 
+  test("dropDuplicatesWithinWatermark: redelivered landing files dedup " +
+    "to the batch distinct count") {
+    // stage the SAME events file twice — the at-least-once redelivery
+    // shape (a landing file picked up under two names)
+    val d = Files.createTempDirectory("events_dup")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("b.parquet"))
+    val q = Streams.dedupEvents(Streams.eventsStream(spark, d.toString))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_out").count()
+    val batchDistinct = Tables(spark, dir, "events")
+      .select("event_id").distinct().count()
+    assert(streamed == batchDistinct)
+  }
+
   test("foreachBatch KV sink: streamed store equals the batch LWW result " +
     "and re-streaming is idempotent") {
     FakeKv.reset()
