@@ -562,6 +562,31 @@ object Oracles {
          |  ON d.doc_id = m.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS cnt,
+        |  round(CAST(min(o_totalprice) AS DOUBLE), 2) AS lo,
+        |  round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""SELECT pred_lang, count(*) AS n_docs, sum(n_tok) AS total_tok,
+         |  count(DISTINCT source) AS n_sources,
+         |  round(CAST(avg(score) AS DOUBLE), 4) AS avg_score
+         |FROM (SELECT
+         |    CASE WHEN len($tokL) > 0 AND len(list_filter($tokL,
+         |        x -> list_contains(['the','a','of','and','to','in'], x))) * 20
+         |          >= len($tokL)
+         |      THEN 'en' ELSE 'unk' END AS pred_lang,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    source,
+         |    (CASE WHEN len($tokL) BETWEEN 50 AND 1000 THEN 0.5 ELSE 0.0 END
+         |     + CASE WHEN length(replace(text, ' ', ''))
+         |         BETWEEN len($tokL) * 3 AND len($tokL) * 10
+         |       THEN 0.5 ELSE 0.0 END) AS score
+         |  FROM documents)
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
          |g AS (SELECT doc_id, list_transform(range(greatest(len(l)-1, 0)),

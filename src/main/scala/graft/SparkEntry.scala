@@ -100,6 +100,8 @@ object SparkEntry {
     "q_dedup_cluster" -> (TextOps.q_dedup_cluster _),
     "q_curate" -> (TextOps.q_curate _),
     "q_repetition" -> (TextOps.q_repetition _),
+    "q_corpus_stats" -> (TextOps.q_corpus_stats _),
+    "q_histogram" -> (Relational.q_histogram _),
     "q_simhash_sig" -> (TextOps.q_simhash_sig _),
     "q_dedup_simhash" -> (TextOps.q_dedup_simhash _),
     // §2.11 vectors

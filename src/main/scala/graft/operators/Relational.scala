@@ -193,6 +193,20 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** A-family extension: equi-width histogram — floor-bucket the
+    * value then one hash aggregate; the profiling shape for value
+    * distributions at scale (no sort, no window; bucket count is
+    * data-independent). Both engines evaluate floor(double/width)
+    * identically.
+    */
+  def q_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("o_totalprice")).cast("double"), 2).as("lo"),
+        round(max(col("o_totalprice")).cast("double"), 2).as("hi"))
+      .orderBy("bucket")
+
   /** F9 extension: calendar part extraction (year/month/day/hour —
     * identical numbering in Spark and DuckDB; dayofweek is NOT and is
     * deliberately excluded).

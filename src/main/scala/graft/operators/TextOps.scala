@@ -526,6 +526,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level reporting rollup: per predicted language, document
+    * count, total tokens, source diversity, and mean quality score —
+    * the summary a curation run publishes next to its output. One
+    * scan, one hash aggregate on a tiny key; count_distinct(source)
+    * expands to a two-phase distinct aggregate that still partial-
+    * aggregates map-side.
+    */
+  def q_corpus_stats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nstop = size(filter(toks, x => x.isInCollection(stopwords)))
+    val ntok = size(toks)
+    val nospace = length(regexp_replace(col("text"), " ", ""))
+    t(s, dir, "documents")
+      .select(
+        when(ntok > 0 && nstop * 20 >= ntok, lit("en")).otherwise(lit("unk"))
+          .as("pred_lang"),
+        ntok.cast("long").as("n_tok"),
+        col("source"),
+        (when(ntok.between(50, 1000), 0.5).otherwise(0.0)
+          + when(nospace >= ntok * 3 && nospace <= ntok * 10, 0.5)
+            .otherwise(0.0)).as("score"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("score")), 4).as("avg_score"))
+      .orderBy("pred_lang")
+  }
+
   /** End-to-end curation pipeline — the composed workload a training-
     * data user actually runs, stage by stage over one pass of the
     * corpus:
