@@ -562,6 +562,19 @@ object Oracles {
          |  ON d.doc_id = m.id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  count(*) AS cnt,

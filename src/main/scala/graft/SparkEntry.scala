@@ -102,6 +102,7 @@ object SparkEntry {
     "q_repetition" -> (TextOps.q_repetition _),
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
+    "q_grouping_sets" -> (Relational.q_grouping_sets _),
     "q_simhash_sig" -> (TextOps.q_simhash_sig _),
     "q_dedup_simhash" -> (TextOps.q_dedup_simhash _),
     // §2.11 vectors

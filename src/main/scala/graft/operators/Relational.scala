@@ -193,6 +193,28 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** A5 completion: explicit GROUPING SETS — exactly the two
+    * single-key subtotal sets, which neither rollup (adds the grand
+    * total + hierarchy) nor cube (adds the full cross) expresses.
+    * SQL form because the Dataset API has no grouping-sets verb; one
+    * Expand + one hash aggregate, same engine shape as rollup/cube.
+    * Subtotal markers via grouping(), same null-safety as q_agg_cube.
+    */
+  def q_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""SELECT
+      |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+      |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+      |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
+      |  count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS rev
+      |FROM orders_gs
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin)
+  }
+
   /** A-family extension: equi-width histogram — floor-bucket the
     * value then one hash aggregate; the profiling shape for value
     * distributions at scale (no sort, no window; bucket count is

@@ -95,6 +95,27 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: for each event, the same user's
+    * follow-up events within the next 10 minutes. Both sides carry
+    * watermarks and the join condition bounds b.ts to a finite range
+    * of a.ts — that pair is what lets Spark EXPIRE buffered state
+    * (an unbounded stream-stream join would buffer both streams
+    * forever). State per key ≈ one watermark horizon of events.
+    * Batch twin in StreamingSpec: the identical join over the static
+    * events table.
+    */
+  def followupJoin(a: DataFrame, b: DataFrame): DataFrame =
+    a.withWatermark("ts", "1 hour").alias("a")
+      .join(
+        b.withWatermark("ts", "1 hour").alias("b"),
+        expr("""a.user_id = b.user_id AND
+                b.event_id != a.event_id AND
+                b.ts > a.ts AND
+                b.ts <= a.ts + interval 10 minutes"""))
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("a_event"), col("b.event_id").as("b_event"),
+        col("a.ts").as("a_ts"), col("b.ts").as("b_ts"))
+
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
   case class LwwWinner(user_id: Long, event_id: Long, event_type: String,

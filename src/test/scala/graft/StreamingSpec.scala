@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
@@ -106,6 +107,27 @@ class StreamingSpec extends AnyFunSuite {
     val batchDistinct = Tables(spark, dir, "events")
       .select("event_id").distinct().count()
     assert(streamed == batchDistinct)
+  }
+
+  test("stream-stream interval join equals the batch self-join twin") {
+    val q = Streams.followupJoin(
+      Streams.eventsStream(spark, eventsDir),
+      Streams.eventsStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("followup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("followup_out")
+      .select("a_event", "b_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables(spark, dir, "events").select("event_id", "ts", "user_id")
+    val batch = ev.alias("a")
+      .join(ev.alias("b"),
+        expr("""a.user_id = b.user_id AND b.event_id != a.event_id AND
+                b.ts > a.ts AND b.ts <= a.ts + interval 10 minutes"""))
+      .select(col("a.event_id"), col("b.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // the fixture must actually exercise the join
   }
 
   test("foreachBatch KV sink: streamed store equals the batch LWW result " +
