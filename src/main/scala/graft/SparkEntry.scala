@@ -103,6 +103,7 @@ object SparkEntry {
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
     "q_grouping_sets" -> (Relational.q_grouping_sets _),
+    "q_agg_quantile_approx" -> (Relational.q_agg_quantile_approx _),
     "q_simhash_sig" -> (TextOps.q_simhash_sig _),
     "q_dedup_simhash" -> (TextOps.q_dedup_simhash _),
     // §2.11 vectors

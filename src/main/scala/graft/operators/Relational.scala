@@ -229,6 +229,22 @@ object Relational {
         round(max(col("o_totalprice")).cast("double"), 2).as("hi"))
       .orderBy("bucket")
 
+  /** A3 scale path: approx_percentile (KLL-style sketch) — constant-
+    * size partial aggregates where exact percentile buffers every
+    * value per group (q_agg_quantile's collect-and-interpolate shape
+    * cannot stream 100 TB through an executor). Engine-specific
+    * sketch ⇒ rows-only check, same declaration rule as
+    * q_agg_approx_distinct.
+    */
+  def q_agg_quantile_approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.25, 1000)"), 2).as("p25"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("p50"),
+        round(expr("approx_percentile(l_extendedprice, 0.75, 1000)"), 2).as("p75"))
+      .orderBy("l_returnflag")
+
   /** F9 extension: calendar part extraction (year/month/day/hour —
     * identical numbering in Spark and DuckDB; dayofweek is NOT and is
     * deliberately excluded).

@@ -77,4 +77,16 @@ class RelationalSpec extends AnyFunSuite {
       .agg(max("o_totalprice")).as[Double].head()
     assert(out.head.getDouble(1) == globalMax)
   }
+
+  test("approx quantiles track the exact ones within sketch tolerance") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag(Relational.q_agg_quantile(spark, dir))
+    val approx = byFlag(Relational.q_agg_quantile_approx(spark, dir))
+    assert(approx.keySet == exact.keySet)
+    for ((flag, ex) <- exact; (e, a) <- ex.zip(approx(flag)))
+      assert(math.abs(e - a) / e < 0.05,
+        s"$flag: approx $a vs exact $e drifts > 5%")
+  }
 }
