@@ -94,7 +94,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    // Locale.ROOT: the f interpolator is locale-sensitive and a
+    // comma-decimal locale would corrupt the JSON artifact
+    val passes = passTotals.map(t => String.format(java.util.Locale.ROOT,
+      "%.2f", Double.box(t))).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passes}""")
     spark.stop()
   }

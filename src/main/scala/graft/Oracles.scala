@@ -32,6 +32,19 @@ object Oracles {
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def norm2(a: String) =
     s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  // shared curation-gate snippets (DuckDB twins of TextOps.predLangC /
+  // scoreC — one definition, interpolated into every consuming oracle)
+  private val predLangSql =
+    s"""CASE WHEN len($tokL) > 0 AND len(list_filter($tokL,
+       |      x -> list_contains(['the','a','of','and','to','in'], x))) * 20
+       |        >= len($tokL)
+       |    THEN 'en' ELSE 'unk' END""".stripMargin
+  private val scoreSql =
+    s"""(CASE WHEN len($tokL) BETWEEN 50 AND 1000 THEN 0.5 ELSE 0.0 END
+       |   + CASE WHEN length(replace(text, ' ', ''))
+       |       BETWEEN len($tokL) * 3 AND len($tokL) * 10
+       |     THEN 0.5 ELSE 0.0 END)""".stripMargin
+
   private val shinglesExpr =
     "list_transform(range(greatest(len(l)-2, 0)), i -> concat_ws(' ', l[i+1], l[i+2], l[i+3]))"
   private val shinglesCte =
@@ -587,16 +600,10 @@ object Oracles {
          |  count(DISTINCT source) AS n_sources,
          |  round(CAST(avg(score) AS DOUBLE), 4) AS avg_score
          |FROM (SELECT
-         |    CASE WHEN len($tokL) > 0 AND len(list_filter($tokL,
-         |        x -> list_contains(['the','a','of','and','to','in'], x))) * 20
-         |          >= len($tokL)
-         |      THEN 'en' ELSE 'unk' END AS pred_lang,
+         |    $predLangSql AS pred_lang,
          |    CAST(len($tokL) AS BIGINT) AS n_tok,
          |    source,
-         |    (CASE WHEN len($tokL) BETWEEN 50 AND 1000 THEN 0.5 ELSE 0.0 END
-         |     + CASE WHEN length(replace(text, ' ', ''))
-         |         BETWEEN len($tokL) * 3 AND len($tokL) * 10
-         |       THEN 0.5 ELSE 0.0 END) AS score
+         |    $scoreSql AS score
          |  FROM documents)
          |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
 
@@ -635,14 +642,8 @@ object Oracles {
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          |stats AS (SELECT doc_id, text,
          |    CAST(len($tokL) AS BIGINT) AS n_tok,
-         |    (CASE WHEN len($tokL) BETWEEN 50 AND 1000 THEN 0.5 ELSE 0.0 END
-         |     + CASE WHEN length(replace(text, ' ', ''))
-         |         BETWEEN len($tokL) * 3 AND len($tokL) * 10
-         |       THEN 0.5 ELSE 0.0 END) AS score,
-         |    CASE WHEN len($tokL) > 0 AND len(list_filter($tokL,
-         |        x -> list_contains(['the','a','of','and','to','in'], x))) * 20
-         |          >= len($tokL)
-         |      THEN 'en' ELSE 'unk' END AS pred_lang
+         |    $scoreSql AS score,
+         |    $predLangSql AS pred_lang
          |  FROM documents),
          |gated AS (SELECT * FROM stats WHERE pred_lang = 'en' AND score >= 0.5),
          |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),

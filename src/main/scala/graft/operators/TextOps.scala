@@ -104,42 +104,53 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  // ── shared curation-gate expressions over col("text") ──────────────
+  // One definition each for the lang-ID heuristic and quality score,
+  // consumed by q_lang_id / q_quality_score / q_corpus_stats /
+  // q_curate (threshold tweaks must not fork the gates across
+  // queries; the DuckDB twins share snippets in Oracles the same way).
+  private def toksC = TextFns.tokens(col("text"))
+  private def nstopC = size(filter(toksC, x => x.isInCollection(stopwords)))
+  private def ntokC = size(toksC)
+  private def nospaceC = length(regexp_replace(col("text"), " ", ""))
+
+  /** ≥5% English stopwords ⇒ 'en' (integer arithmetic, engine-exact). */
+  private def predLangC =
+    when(ntokC > 0 && nstopC * 20 >= ntokC, lit("en")).otherwise(lit("unk"))
+
+  /** Length band + avg-token-length band, integer comparisons. */
+  private def scoreC =
+    when(ntokC.between(50, 1000), 0.5).otherwise(0.0) +
+      when(nospaceC >= ntokC * 3 && nospaceC <= ntokC * 10, 0.5).otherwise(0.0)
+
   /** n-gram/stopword-ratio language heuristic: ≥5% English stopwords
     * ⇒ 'en'. Integer arithmetic only (20·n_stop ≥ n_tok) so the
     * decision is exact in any engine.
     */
-  def q_lang_id(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nstop = size(filter(toks, x => x.isInCollection(stopwords)))
-    val ntok = size(toks)
+  def q_lang_id(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
-        col("doc_id"), nstop.cast("long").as("n_stop"), ntok.cast("long").as("n_tok"),
-        when(ntok > 0 && nstop * 20 >= ntok, lit("en")).otherwise(lit("unk"))
-          .as("pred_lang"),
+        col("doc_id"), nstopC.cast("long").as("n_stop"),
+        ntokC.cast("long").as("n_tok"),
+        predLangC.as("pred_lang"),
         col("lang"))
       .orderBy("doc_id")
-  }
 
   /** Quality scoring: length band + average-token-length band, as
     * integer comparisons (avg ∈ [3,10] ⇔ 3·n_tok ≤ chars ≤ 10·n_tok)
     * so the score is float-drift-free.
     */
-  def q_quality_score(s: SparkSession, dir: String): DataFrame = {
-    val ntok = TextFns.tokenCount(col("text"))
-    val nospace = length(regexp_replace(col("text"), " ", ""))
+  def q_quality_score(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        ntok.cast("long").as("n_tok"),
-        round(nospace.cast("double") / greatest(ntok, lit(1)), 4).as("avg_tok_len"),
+        ntokC.cast("long").as("n_tok"),
+        round(nospaceC.cast("double") / greatest(ntokC, lit(1)), 4)
+          .as("avg_tok_len"),
         round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
           / greatest(length(col("text")), lit(1)), 4).as("digit_ratio"),
-        (when(ntok.between(50, 1000), 0.5).otherwise(0.0)
-          + when(nospace >= ntok * 3 && nospace <= ntok * 10, 0.5).otherwise(0.0))
-          .as("score"))
+        scoreC.as("score"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprints: exact (normalized md5) and order-invariant
     * bag-of-words shape hash.
@@ -534,19 +545,12 @@ object TextOps {
     * aggregates map-side.
     */
   def q_corpus_stats(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nstop = size(filter(toks, x => x.isInCollection(stopwords)))
-    val ntok = size(toks)
-    val nospace = length(regexp_replace(col("text"), " ", ""))
     t(s, dir, "documents")
       .select(
-        when(ntok > 0 && nstop * 20 >= ntok, lit("en")).otherwise(lit("unk"))
-          .as("pred_lang"),
-        ntok.cast("long").as("n_tok"),
+        predLangC.as("pred_lang"),
+        ntokC.cast("long").as("n_tok"),
         col("source"),
-        (when(ntok.between(50, 1000), 0.5).otherwise(0.0)
-          + when(nospace >= ntok * 3 && nospace <= ntok * 10, 0.5)
-            .otherwise(0.0)).as("score"))
+        scoreC.as("score"))
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tok"),
@@ -564,12 +568,16 @@ object TextOps {
     *   3. exact dedup (keep the min doc_id per content md5),
     *   4. near-dup removal over the MinHash-LSH candidate pairs
     *      RESTRICTED to survivors of 1-3 (pairs whose loser was
-    *      already filtered must not kill the remaining copy): greedy
-    *      pair-drop — the larger doc_id of each surviving pair is
-    *      dropped. Greedy-by-pair, not cluster-min (q_dedup_cluster):
-    *      on a chain a–b, b–c the rule keeps {a, c} — each kept doc
-    *      has no SURVIVING smaller near-dup, which is the common
-    *      one-pass semantics and needs no iteration.
+    *      already filtered must not kill the remaining copy): one-shot
+    *      pair-drop — EVERY doc that is the larger endpoint of ANY
+    *      surviving pair is dropped, decisions taken simultaneously
+    *      over the pair set. On a chain a–b, b–c this keeps {a} only
+    *      (c is dropped for its pair with b even though b is dropped
+    *      too). Stricter than cluster-min (q_dedup_cluster keeps one
+    *      doc per component) but needs no iteration — the standard
+    *      trade when a pass over 100 TB must stay join-only; use
+    *      q_dedup_cluster's representatives when chain-aware keeps
+    *      matter.
     *
     * Scale shape: stages 1-3 are scan + one groupBy-per-hash; stage 4
     * reuses the cached signature subplan (the pairs frame is the same
@@ -578,18 +586,11 @@ object TextOps {
     * hash, nothing quadratic, no iteration.
     */
   def q_curate(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nstop = size(filter(toks, x => x.isInCollection(stopwords)))
-    val ntok = size(toks)
-    val nospace = length(regexp_replace(col("text"), " ", ""))
     val stats = t(s, dir, "documents").select(
       col("doc_id"), col("text"),
-      ntok.cast("long").as("n_tok"),
-      (when(ntok.between(50, 1000), 0.5).otherwise(0.0)
-        + when(nospace >= ntok * 3 && nospace <= ntok * 10, 0.5).otherwise(0.0))
-        .as("score"),
-      when(ntok > 0 && nstop * 20 >= ntok, lit("en")).otherwise(lit("unk"))
-        .as("pred_lang"))
+      ntokC.cast("long").as("n_tok"),
+      scoreC.as("score"),
+      predLangC.as("pred_lang"))
     val gated = stats
       .filter(col("pred_lang") === "en" && col("score") >= 0.5)
     val exactKeep = gated

@@ -164,7 +164,12 @@ object VectorOps {
     for (_ <- 1 to iters)
       cent = assign(cent).groupBy("cell")
         .agg(centroidOf(col("embedding")).as("centroid"))
-    (assign(cent), cent)
+    // materialize the (k-row) final centroids: both return values hang
+    // off them, and without this each consumer re-runs the whole
+    // seed + iters×(assign+update) chain — 2× three corpus-wide
+    // passes for q_ann_ivf's (probes, cells) pair
+    val centF = cent.localCheckpoint()
+    (assign(centF), centF)
   }
 
   /** Cells probed per query — the standard IVF recall/cost dial: a

@@ -88,14 +88,22 @@ object KvSink {
   /** Row → item map: every non-null column stringified, plus `ID`
     * copied from the id field (reference item shape,
     * __main__.py:16-19). Nulls are omitted — a KV PUT replaces the
-    * whole item, so an absent attribute IS the null representation.
+    * whole item, so an absent attribute IS the null representation —
+    * EXCEPT the id field: a KV item cannot have a null key, and
+    * failing with the cause beats a bare key-not-found four retries
+    * deep in an executor.
     */
   private[sinks] def itemOf(cols: Array[String], idField: String,
     row: Row): Map[String, String] = {
     val base = cols.iterator.zipWithIndex.collect {
       case (c, i) if !row.isNullAt(i) => c -> row.get(i).toString
     }.toMap
-    base + ("ID" -> base(idField))
+    base.get(idField) match {
+      case Some(id) => base + ("ID" -> id)
+      case None => sys.error(
+        s"KV upsert row has null id field '$idField' — KV keys cannot " +
+          "be null; filter or repair upstream")
+    }
   }
 }
 

@@ -63,17 +63,24 @@ object Layout {
     * preserving a hive partition layout when `partitionCol` is given
     * (each partition value collapses to one file, bounded by
     * [[maxRecordsPerFile]]). The rewrite stages to a sibling
-    * directory and swaps atomically, so readers never see a partial
-    * state — same contract as the LWW sink's swap.
-    *
-    * Scale note: this is the local-filesystem form; on an object
-    * store the swap is a metastore location flip or a table-format
-    * (rewrite-files) commit, and compaction runs per-partition so one
-    * job never rewrites the whole table.
+    * directory, then swaps via two renames. Readers never see MIXED
+    * old/new data, but on a plain filesystem there is a sub-ms window
+    * between the renames where `path` does not exist — a racing
+    * reader must retry, and a crash inside the window leaves the live
+    * data at `path + ".old"` ([[compact]] restores it on the next
+    * call). True atomicity needs what production storage provides: a
+    * metastore location flip or a table-format rewrite-files commit —
+    * there, compaction also runs per-partition so one job never
+    * rewrites the whole table.
     */
   def compact(spark: SparkSession, path: String,
     partitionCol: Option[String] = None,
     targetBytes: Long = defaultTargetBytes): CompactionStats = {
+    // crash recovery: a previous swap that died between its renames
+    // left the live data at .old and no target — restore, don't lose
+    val old = Paths.get(path + ".old")
+    if (!Files.exists(Paths.get(path)) && Files.exists(old))
+      Files.move(old, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     val (before, bytes) = stats(path)
     val df = spark.read.parquet(path)
     val reshaped = partitionCol match {
@@ -93,10 +100,13 @@ object Layout {
 
   /** (data file count, total data bytes) under `path`. */
   private def stats(path: String): (Int, Long) = {
-    val files = Files.walk(Paths.get(path)).filter(f =>
-      f.getFileName.toString.startsWith("part-")).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
-    (files.size, files.map(Files.size).sum)
+    val walk = Files.walk(Paths.get(path))
+    try {
+      val files = walk.filter(f =>
+        f.getFileName.toString.startsWith("part-")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+      (files.size, files.map(Files.size).sum)
+    } finally walk.close()
   }
 
   private def swap(tmp: String, path: String): Unit = {
@@ -105,11 +115,15 @@ object Layout {
     deleteRecursively(old)
     Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    // only after the new target is live is the old state disposable
     deleteRecursively(old)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 }

@@ -185,14 +185,25 @@ class DataTablesScanBuilder(fullSchema: StructType,
   override def isPartiallyPushed(): Boolean =
     !(order.nonEmpty && limit.exists(_ <= pageSize))
 
+  /** Columns fetched on the wire: the pruned output schema PLUS any
+    * pushed sort column pruning removed (the protocol orders by
+    * column DESCRIPTOR index, so a sort-only column must still ride
+    * in the request — e.g. orderBy(HTSUSCode).limit(5).select(Company)
+    * prunes HTSUSCode from the output but the server still needs its
+    * descriptor to sort; the reader projects it away).
+    */
+  private def fetchCols: Seq[String] =
+    schema.fieldNames.toSeq ++
+      order.map(_._1).filterNot(schema.fieldNames.contains)
+
   override def build(): Scan = new DataTablesScan(
-    schema, options.getOrDefault("transport", ""), pushedSearch, limit,
-    pageSize, order)
+    schema, fetchCols, options.getOrDefault("transport", ""), pushedSearch,
+    limit, pageSize, order)
 }
 
-class DataTablesScan(schema: StructType, transportName: String,
-  search: Option[(String, String)], limit: Option[Int], pageSize: Int,
-  order: Seq[(String, Boolean)] = Nil)
+class DataTablesScan(schema: StructType, fetchCols: Seq[String],
+  transportName: String, search: Option[(String, String)],
+  limit: Option[Int], pageSize: Int, order: Seq[(String, Boolean)] = Nil)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -215,26 +226,33 @@ class DataTablesScan(schema: StructType, transportName: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DataTablesReaderFactory(schema.fieldNames, transportName, search, order)
+    new DataTablesReaderFactory(schema.fieldNames, fetchCols, transportName,
+      search, order)
 }
 
 case class DataTablesPartition(start: Int, length: Int) extends InputPartition
 
-class DataTablesReaderFactory(columns: Array[String], transportName: String,
+class DataTablesReaderFactory(outputCols: Array[String],
+  fetchCols: Seq[String], transportName: String,
   search: Option[(String, String)], order: Seq[(String, Boolean)] = Nil)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DataTablesPartition]
     new PartitionReader[InternalRow] {
+      // project wire cells down to the output schema (fetchCols may
+      // carry sort-only columns the output pruned away)
+      private val outIdx = outputCols.map(fetchCols.indexOf)
       private val rows = TransportRegistry.get(transportName)
-        .fetch(PageRequest(columns.toSeq, search.map(_._1), search.map(_._2),
+        .fetch(PageRequest(fetchCols, search.map(_._1), search.map(_._2),
           part.start, part.length, order))
         .iterator
       private var cur: Seq[String] = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
       override def get(): InternalRow =
-        InternalRow.fromSeq(cur.map(v =>
-          if (v == null) null else UTF8String.fromString(v)))
+        InternalRow.fromSeq(outIdx.toSeq.map { i =>
+          val v = cur(i)
+          if (v == null) null else UTF8String.fromString(v)
+        })
       override def close(): Unit = ()
     }
   }

@@ -43,6 +43,11 @@ import org.json4s.jackson.JsonMethods
   * single 1-row probe. Serializable — holds only strings — so each
   * task fetches its own page ([[DataTablesPartition]] → one POST).
   */
+object HttpTransport {
+  val connectTimeoutMs = 15000
+  val readTimeoutMs = 60000
+}
+
 case class HttpTransport(
   endpoint: String,
   columns: Seq[String],
@@ -64,8 +69,13 @@ case class HttpTransport(
     val order: List[JValue] =
       if (req.order.isEmpty) List(("column" -> 0) ~ ("dir" -> "desc"))
       else req.order.toList.map { case (c, asc) =>
-        ("column" -> colIdx.getOrElse(c, 0)) ~
-          ("dir" -> (if (asc) "asc" else "desc"))
+        // the protocol orders by descriptor INDEX — a sort column
+        // absent from the descriptors cannot be encoded; failing
+        // loudly beats silently sorting by column 0 (the scan builder
+        // always includes pushed sort columns in fetchCols)
+        val idx = colIdx.getOrElse(c, throw new IllegalArgumentException(
+          s"order column '$c' not among request columns ${req.columns}"))
+        ("column" -> idx) ~ ("dir" -> (if (asc) "asc" else "desc"))
       }
     val body =
       ("draw" -> 1) ~ ("columns" -> cols) ~ ("order" -> order) ~
@@ -77,6 +87,11 @@ case class HttpTransport(
   private def post(body: String): String = {
     val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
+    // HttpURLConnection defaults to INFINITE timeouts — a stalled
+    // server would wedge the Spark task (or the driver, via the
+    // count() probe in planInputPartitions) forever
+    conn.setConnectTimeout(HttpTransport.connectTimeoutMs)
+    conn.setReadTimeout(HttpTransport.readTimeoutMs)
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", "application/json")
     sessionHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }

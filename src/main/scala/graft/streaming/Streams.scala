@@ -186,8 +186,10 @@ object Streams {
 
     private def deleteRecursively(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))
+        finally walk.close()
       }
   }
 

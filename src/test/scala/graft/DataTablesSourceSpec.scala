@@ -88,6 +88,32 @@ class DataTablesSourceSpec extends AnyFunSuite {
     assert(DataTablesSourceSpec.fetches.get() == 2)
   }
 
+  test("TopN on a column the projection prunes still sorts by THAT " +
+    "column (sort-only column rides in the wire request)") {
+    // orderBy(ID desc).limit(3).select(Company): pruning drops ID from
+    // the output schema, but the wire request must still carry its
+    // descriptor or the server would sort by column 0 (= Company)
+    TransportRegistry.register("erc_recording",
+      RecordingTransport(FixtureTransport(records, "ID"),
+        DataTablesSourceSpec.lastRequest))
+    val rec = spark.read.format("graft.sources.datatables.DefaultSource")
+      .option("transport", "erc_recording")
+      .option("columns", "ID,Company,HTSUSCode,PublicStatus")
+      .option("searchableColumn", "HTSUSCode")
+      .option("pageSize", "1000")
+      .load()
+    val got = rec.orderBy(col("ID").desc).limit(3)
+      .select("Company").collect().map(_.getString(0)).toSeq
+    val expected = records.sortBy(_("ID")).reverse.take(3).map(_("Company"))
+    assert(got == expected,
+      s"rows not ordered by the pruned sort column: $got vs $expected")
+    val sent = DataTablesSourceSpec.lastRequest.get()
+    assert(sent.order == Seq("ID" -> false))
+    assert(sent.columns.contains("ID"),
+      s"sort-only column missing from wire columns ${sent.columns} — " +
+        "an index-addressed order payload cannot reference it")
+  }
+
   test("non-default null ordering is not pushed (server sorts absent-as-empty)") {
     val top = read.orderBy(col("ID").asc_nulls_last).limit(5)
     val plan = top.queryExecution.executedPlan.toString
@@ -101,6 +127,21 @@ class DataTablesSourceSpec extends AnyFunSuite {
 
 object DataTablesSourceSpec {
   val fetches = new AtomicInteger(0)
+  val lastRequest = new java.util.concurrent.atomic.AtomicReference[PageRequest]()
+}
+
+/** Decorator recording the last PageRequest — asserts wire-request
+  * content (e.g. sort-only columns present for the order payload).
+  */
+case class RecordingTransport(inner: DataTablesTransport,
+  ref: java.util.concurrent.atomic.AtomicReference[PageRequest])
+  extends DataTablesTransport {
+  override def count(sc: Option[String], sv: Option[String]): Long =
+    inner.count(sc, sv)
+  override def fetch(req: PageRequest): Seq[Seq[String]] = {
+    ref.set(req)
+    inner.fetch(req)
+  }
 }
 
 /** Decorator counting page fetches — asserts the TopN pushdown's

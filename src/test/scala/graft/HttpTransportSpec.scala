@@ -129,6 +129,16 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       JObject("column" -> JInt(0), "dir" -> JString("desc")))))
   }
 
+  test("order column absent from the descriptors fails loudly instead of " +
+    "silently sorting by column 0") {
+    val t = HttpTransport(s"$base/index", columns, Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      t.payload(PageRequest(Seq("Company"), None, None, 0, 5,
+        order = Seq("HTSUSCode" -> false)))
+    }
+    assert(e.getMessage.contains("HTSUSCode"))
+  }
+
   test("session bootstrap over real HTTP: cookie munging + CSRF scrape + " +
     "post-login token re-scrape") {
     val anon = SessionBootstrap.bootstrap(UrlConnectionHttpClient, base)
