@@ -289,6 +289,12 @@ object Oracles {
         |UNION SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
+    "q_set_union_all" ->
+      """SELECT nationkey, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
     "q_set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier

@@ -448,6 +448,17 @@ object Relational {
       .distinct()
       .orderBy("nationkey")
 
+  /** Bag union (UNION ALL): no dedup shuffle at all — union is pure
+    * partition concatenation, the zero-cost combinator at any scale.
+    * Aggregated per key so the declared output is deterministic while
+    * the multiplicity (the bag part) stays observable.
+    */
+  def q_set_union_all(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("nationkey")
+
   /** Set difference. */
   def q_set_except(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))

@@ -16,6 +16,18 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("no declared query plans a CartesianProduct") {
+    // a same-lineage self-join silently degenerating to trivially-true
+    // (the classic a(c)===b(c) trap) would surface here as a cartesian;
+    // intentional 1-row broadcast cross joins plan as
+    // BroadcastNestedLoopJoin and are allowed
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = planOf(fn(spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(2000)}")
+    }
+  }
+
   test("q_filter_eq pushes the predicate into the parquet scan") {
     val p = planOf(Relational.q_filter_eq(spark, dir))
     assert(p.contains("PushedFilters") &&
