@@ -295,6 +295,18 @@ object Oracles {
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
 
+    "q_set_except_all" ->
+      """SELECT nationkey, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT nationkey, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
     "q_set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier

@@ -105,6 +105,8 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.q_grouping_sets _),
     "q_agg_quantile_approx" -> (Relational.q_agg_quantile_approx _),
     "q_set_union_all" -> (Relational.q_set_union_all _),
+    "q_set_except_all" -> (Relational.q_set_except_all _),
+    "q_set_intersect_all" -> (Relational.q_set_intersect_all _),
     "q_simhash_sig" -> (TextOps.q_simhash_sig _),
     "q_dedup_simhash" -> (TextOps.q_dedup_simhash _),
     // §2.11 vectors

@@ -459,6 +459,26 @@ object Relational {
       .groupBy("nationkey").agg(count(lit(1)).as("cnt"))
       .orderBy("nationkey")
 
+  /** Bag difference (EXCEPT ALL): multiplicity-aware — a key
+    * appearing m times left and n times right survives max(m−n, 0)
+    * times. One shuffle on the key (Spark plans a single aggregate
+    * with signed counts), aggregated per key for determinism.
+    */
+  def q_set_except_all(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("nationkey")
+
+  /** Bag intersection (INTERSECT ALL): min(m, n) copies per key. */
+  def q_set_intersect_all(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("nationkey")
+
   /** Set difference. */
   def q_set_except(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
