@@ -109,6 +109,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchDistinct)
   }
 
+  test("watermark drops late data: an event older than the horizon " +
+    "cannot reopen a finalized window") {
+    // fresh landing dir so this test controls batch order
+    val d = Files.createTempDirectory("events_late")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("a.parquet"))
+    val q = Streams.windowedCounts(Streams.eventsStream(spark, d.toString))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val emitted = spark.table("late_out").count()
+    assert(emitted > 0) // watermark advanced, old windows finalized
+    // craft one event 3h older than anything seen — far past the 1h
+    // watermark — targeting an already-emitted window
+    val maxTsNs = Tables(spark, dir, "events")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(col("ts"))))
+      .head().getLong(0) * 1000L
+    val lateRow = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        999999L, maxTsNs - 3L * 3600 * 1000000000L, 1L, "late", 1.0, "{}")),
+      Streams.eventsRawSchema)
+    // the file stream source lists plain files — stage the part file
+    // itself, not a nested directory
+    val staged = Files.createTempDirectory("late_write")
+    lateRow.coalesce(1).write.parquet(staged.resolve("w").toString)
+    val part = java.nio.file.Files.list(staged.resolve("w")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, d.resolve("b.parquet"))
+    q.processAllAvailable(); q.stop()
+    // the late event must NOT re-emit (or duplicate) its window
+    assert(spark.table("late_out").count() == emitted,
+      "late event past the watermark changed finalized output")
+  }
+
   test("stream-stream interval join equals the batch self-join twin") {
     val q = Streams.followupJoin(
       Streams.eventsStream(spark, eventsDir),
