@@ -36,7 +36,8 @@ object Oracles {
   // scoreC — one definition, interpolated into every consuming oracle)
   private val predLangSql =
     s"""CASE WHEN len($tokL) > 0 AND len(list_filter($tokL,
-       |      x -> list_contains(['the','a','of','and','to','in'], x))) * 20
+       |      x -> list_contains(['the','a','of','and','to','in'],
+       |        lower(x)))) * 20
        |        >= len($tokL)
        |    THEN 'en' ELSE 'unk' END""".stripMargin
   private val scoreSql =
@@ -411,7 +412,9 @@ object Oracles {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(
-        |    json_extract_string(concat('"', regexp_replace(props, '"', '\\"', 'g'), '"'), '$'),
+        |    json_extract_string(concat('"', regexp_replace(
+        |      regexp_replace(props, '\\', '\\\\', 'g'), '"', '\\"', 'g'),
+        |      '"'), '$'),
         |    '$.k') AS BIGINT) AS k_double_decoded,
         |  json_extract_string(
         |    regexp_extract(concat('<script>var x = [{"OriginCountry":"',
@@ -470,7 +473,8 @@ object Oracles {
          |  lang
          |FROM (SELECT doc_id, lang,
          |    CAST(len(list_filter($tokL,
-         |      x -> list_contains(['the','a','of','and','to','in'], x))) AS BIGINT) AS n_stop,
+         |      x -> list_contains(['the','a','of','and','to','in'],
+         |        lower(x)))) AS BIGINT) AS n_stop,
          |    CAST(len($tokL) AS BIGINT) AS n_tok
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
@@ -495,15 +499,20 @@ object Oracles {
          |  md5(array_to_string(list_sort(list_distinct($tokL)), ' ')) AS fp_shape
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // digit count runs over the email-MARKED text (same order as the
+    // clean path) so deletion can't merge flanking digit runs
     "q_redact" ->
       s"""SELECT doc_id,
-         |  regexp_replace(regexp_replace(text,
-         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-         |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
-         |  CAST(length(text) - length(regexp_replace(regexp_replace(text,
-         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '', 'g'),
-         |    '[0-9]{7,}', '', 'g')) AS BIGINT) AS chars_redacted
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |  regexp_replace(marked, '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+         |  CAST((length(text) - length(regexp_replace(text,
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '', 'g')))
+         |    + (length(marked) - length(regexp_replace(marked,
+         |      '[0-9]{7,}', '', 'g'))) AS BIGINT) AS chars_redacted
+         |FROM (SELECT doc_id, text,
+         |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+         |      '<EMAIL>', 'g') AS marked
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id,

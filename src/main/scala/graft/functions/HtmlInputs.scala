@@ -91,8 +91,14 @@ object HtmlInputs {
     * transform off the hot aggregate path, so the CodegenFallback
     * cost of transform() is acceptable.
     */
+  /** The one form-extraction pattern (FIRST full <form>…</form>) —
+    * shared by [[pageInputPairs]] and the pipeline's URL-row gate so
+    * the two can never diverge on what counts as a parseable form.
+    */
+  val formPattern = "(?is)<form[\\s\\S]*?</form>"
+
   def pageInputPairs(page: Column): Column = {
-    val form = regexp_extract(page, "(?is)<form[\\s\\S]*?</form>", 0)
+    val form = regexp_extract(page, formPattern, 0)
     val inputs = regexp_extract_all(form, lit("(?i)<input[^>]*>"), lit(0))
     val tas = regexp_extract_all(form,
       lit("(?is)<textarea[^>]*>[\\s\\S]*?</textarea>"), lit(0))

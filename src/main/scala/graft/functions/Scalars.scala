@@ -85,4 +85,13 @@ object Scalars {
     * clients/exclusion_requests.py:158, as a reusable building block).
     */
   def nullIfEmpty(c: Column): Column = when(length(trim(c)) > 0, trim(c))
+
+  /** Python `str(value).strip()` (clients/exclusion_requests.py:53):
+    * None stringifies to 'None' (which then SURVIVES the non-empty
+    * filter — the reference's famous quirk), and strip removes ALL
+    * whitespace, not just spaces (Spark's trim() is space-only).
+    */
+  def pyStr(c: Column): Column =
+    regexp_replace(coalesce(c.cast("string"), lit("None")),
+      "^\\s+|\\s+$", "")
 }

@@ -201,8 +201,11 @@ object Relational {
     * Subtotal markers via grouping(), same null-safety as q_agg_cube.
     */
   def q_grouping_sets(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
-    s.sql("""SELECT
+    // dir-scoped view name: a fixed name would race under concurrent
+    // construction against different data dirs (shared session state)
+    val view = s"orders_gs_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(s"""SELECT
       |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
       |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
       |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
@@ -210,7 +213,7 @@ object Relational {
       |  count(*) AS cnt,
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
       |    AS rev
-      |FROM orders_gs
+      |FROM $view
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY status, priority""".stripMargin)
   }
@@ -647,8 +650,12 @@ object Relational {
     // string containing JSON — json.loads(json.loads(r.text)),
     // clients/exclusion_requests.py:116): decode the outer string,
     // then path into the inner document
+    // JSON string re-encoding must escape backslashes BEFORE quotes —
+    // quote-only escaping corrupts any props containing a backslash
     val doubleEncoded = concat(lit("\""),
-      regexp_replace(col("props"), "\"", "\\\\\""), lit("\""))
+      regexp_replace(
+        regexp_replace(col("props"), "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""), lit("\""))
     t(s, dir, "events")
       .select(
         col("event_id"),

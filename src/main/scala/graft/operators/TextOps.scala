@@ -110,7 +110,10 @@ object TextOps {
   // q_curate (threshold tweaks must not fork the gates across
   // queries; the DuckDB twins share snippets in Oracles the same way).
   private def toksC = TextFns.tokens(col("text"))
-  private def nstopC = size(filter(toksC, x => x.isInCollection(stopwords)))
+  // case-insensitive: sentence-initial 'The'/'To'/'In' must count, or
+  // capitalized English prose undercounts toward the 5% gate
+  private def nstopC =
+    size(filter(toksC, x => lower(x).isInCollection(stopwords)))
   private def ntokC = size(toksC)
   private def nospaceC = length(regexp_replace(col("text"), " ", ""))
 
@@ -172,14 +175,20 @@ object TextOps {
   def q_redact(s: SparkSession, dir: String): DataFrame = {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val longnum = "[0-9]{7,}"
+    // chars_redacted must count EXACTLY what clean_text replaced, so
+    // the digit pass counts over the email-MARKED text — deleting
+    // emails instead would merge flanking digit runs into a ≥7-digit
+    // run the clean path never saw (e.g. '123456a@b.co9876543')
+    val marked = regexp_replace(col("text"), email, "<EMAIL>")
+    val emailChars = length(col("text")) - length(
+      regexp_replace(col("text"), email, ""))
+    val digitChars = length(marked) - length(
+      regexp_replace(marked, longnum, ""))
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-          longnum, "<NUM>").as("clean_text"),
-        (length(col("text")) - length(regexp_replace(
-          regexp_replace(col("text"), email, ""), longnum, "")))
-          .cast("long").as("chars_redacted"))
+        regexp_replace(marked, longnum, "<NUM>").as("clean_text"),
+        (emailChars + digitChars).cast("long").as("chars_redacted"))
       .orderBy("doc_id")
   }
 

@@ -62,7 +62,7 @@ object ExclusionPipeline {
     // pairs, contradicting "no parseable form ⇒ NO rows"
     val urlRows = pages
       .filter(length(regexp_extract(col(pageCol),
-        "(?is)<form[\\s\\S]*?</form>", 0)) > 0)
+        HtmlInputs.formPattern, 0)) > 0)
       .select(col(idCol).as("id"), lit("URL").as("key"),
         col(urlCol).as("value"))
     deduped.unionByName(urlRows)
@@ -70,45 +70,85 @@ object ExclusionPipeline {
 
   /** Detail rows as scraped: one row per parsed `<input>` tag
     * (id, title, name, idx, value) — the _parse_input_tag shape
-    * (clients/exclusion_requests.py:39-54).
+    * (clients/exclusion_requests.py:39-54), with the reference's EXACT
+    * semantics (matching the parsePages/HtmlInputs path):
+    *  - key: title → name → Untitled<idx> with Python truthiness ("" is
+    *    falsy, " " is truthy) and NO trim — the reference never strips
+    *    keys (:40-48); markers removed anywhere (:45-48);
+    *  - value: str(value).strip() — str(None) = 'None' survives the
+    *    non-empty filter (:53,158), strip removes all whitespace;
+    *  - `ord` (the tag index) rides along so the dict-build
+    *    last-occurrence-wins (:159) stays decidable downstream.
     */
   def normalizeDetails(details: DataFrame): DataFrame =
     details
       .select(
         col("id"),
-        Scalars.normalizeKey(
-          Scalars.keyOrUntitled(col("title"), col("name"), col("idx"))).as("key"),
-        trim(col("value").cast("string")).as("value"))
+        regexp_replace(
+          when(length(col("title")) > 0, col("title"))
+            .when(length(col("name")) > 0, col("name"))
+            .otherwise(concat(lit("Untitled"), col("idx").cast("string"))),
+          Scalars.markerPattern, "").as("key"),
+        Scalars.pyStr(col("value")).as("value"),
+        col("idx").as("ord"))
       // empty-value drop (:158) + verification-token de-noise (:161-164)
       .filter(length(col("value")) > 0 &&
         col("key") =!= "__RequestVerificationToken")
 
   /** Pivot normalized key/value detail rows into one document row per
     * id with an open-shape map column (SURVEY §1: fixed StructType up
-    * front, dynamic tail in MapType).
+    * front, dynamic tail in MapType). Duplicate keys are resolved
+    * LAST-occurrence-wins by `ord` BEFORE the map build — the
+    * reference's dict assignment (:159), and a hard requirement here:
+    * map_from_entries THROWS on duplicate keys under Spark's default
+    * mapKeyDedupPolicy=EXCEPTION, and collect_list order after a
+    * shuffle would make any other resolution nondeterministic.
+    * (Input without an `ord` column — e.g. parsePages output, already
+    * per-(id,key) deduped — gets a constant ord.)
     */
-  def detailsToDocuments(normalized: DataFrame): DataFrame =
-    normalized
+  def detailsToDocuments(normalized: DataFrame): DataFrame = {
+    val withOrd =
+      if (normalized.columns.contains("ord")) normalized
+      else normalized.withColumn("ord", lit(0L))
+    val lastWins = Window.partitionBy("id", "key").orderBy(col("ord").desc)
+    withOrd
+      .withColumn("__rn", row_number().over(lastWins))
+      .filter(col("__rn") === 1)
       .groupBy("id")
       .agg(map_from_entries(collect_list(struct(col("key"), col("value"))))
         .as("fields"))
+  }
 
   /** Merge summaries over detail documents: the reference assigns
     * summary values AFTER parsing the page, so summary wins on key
-    * collision (clients/exclusion_requests.py:97-99); detail-only ids
-    * survive via the left join (J2).
+    * collision UNCONDITIONALLY — `all_values[col] = value` even when
+    * the summary value is None (clients/exclusion_requests.py:97-99).
+    * A bare coalesce cannot express that (it would resurrect a stale
+    * scraped value under an explicitly-null summary field), so a
+    * presence marker distinguishes 'id absent from summaries' (detail
+    * value survives, J2) from 'summary value is null' (null wins).
     */
   def mergeSummaries(documents: DataFrame, summaries: DataFrame,
     summaryCols: Seq[String]): DataFrame = {
-    val merged = documents.join(summaries, Seq("id"), "left_outer")
+    val marked = summaries.withColumn("__has_summary", lit(true))
+    val merged = documents.join(marked, Seq("id"), "left_outer")
     val overlaid = summaryCols.foldLeft(merged) { (df, c) =>
-      df.withColumn(c, coalesce(col(c), element_at(col("fields"), c)))
+      df.withColumn(c,
+        when(col("__has_summary"), col(c))
+          .otherwise(element_at(col("fields"), c)))
     }
-    overlaid
+    overlaid.drop("__has_summary")
   }
 
   /** Typify the numeric columns (F6, guarded cascade) and stamp the
-    * load order for LWW.
+    * load order for LWW. Documented deviation from the reference: a
+    * non-conforming value (guard-blocked, or float-shaped in a
+    * longCol) becomes a typed NULL here, where the reference's
+    * untyped dict keeps the raw string (dynamodb.py:51-63) — a typed
+    * engine cannot hold both in one column. The raw string is not
+    * lost: detail-sourced keys keep it in the `fields` map, and the
+    * long/double column split itself is caller configuration the
+    * reference doesn't have (its cascade is per-value).
     */
   def typifyColumns(df: DataFrame, longCols: Seq[String],
     doubleCols: Seq[String]): DataFrame = {
