@@ -81,6 +81,37 @@ object MultimodalOps {
       }
   }
 
+  /** A sniffed-media record: REAL container format + dimensions where
+    * the header is recognized, stub-derived fields otherwise.
+    */
+  case class MediaInfo(doc_id: Long, format: String, width: Int,
+    height: Int, n_bytes: Int)
+
+  /** Header-sniffing decode stage: the same per-partition batched
+    * shape as [[decodeFeatures]], but the format/dimension fields are
+    * REAL for recognized containers ([[MediaHeaders]] — PNG/JPEG/GIF/
+    * BMP/WAV, pure byte arithmetic, no codec library). Unrecognized
+    * payloads fall back to the deterministic stub dimensions with
+    * format 'unknown' — only pixel/sample decoding remains stubbed.
+    */
+  def sniffFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[MediaInfo] = {
+    import s.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaHeaders.sniff(bytes) match {
+            case Some(h) => MediaInfo(id, h.format, h.width, h.height,
+              if (bytes == null) 0 else bytes.length)
+            case None =>
+              val f = decodeStub(id, if (bytes == null) Array.empty else bytes)
+              MediaInfo(id, "unknown", f.width, f.height, f.n_bytes)
+          }
+        }
+      }
+  }
+
   /** Frame-sampling fan-out: one row per sampled frame index, bounded
     * by n_frames — generator-style (explode over sequence), the same
     * plan shape a video pipeline uses to fan a clip into frames.
