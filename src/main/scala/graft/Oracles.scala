@@ -353,6 +353,17 @@ object Oracles {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
         |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
+    "q_window_percent" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  round(CAST(lag(c_acctbal, 1) OVER w AS DOUBLE), 2) AS prev_bal,
+        |  round(CAST(lead(c_acctbal, 1) OVER w AS DOUBLE), 2) AS next_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_sessionize" ->
       """SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
@@ -653,6 +664,49 @@ object Oracles {
          |    AS top_tok_ratio
          |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
          |ORDER BY g.doc_id""".stripMargin,
+
+    // eval-split decontamination: 4-gram shingle overlap against the
+    // deterministic doc_id % 50 = 0 slice (TextOps.decontamNgram)
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM
+         |  (SELECT doc_id, unnest(list_transform(
+         |     range(1, greatest(len(l) - 3, 0) + 1),
+         |     i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3])))
+         |   AS shingle FROM toks)),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0)
+         |SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hit,
+         |  count(DISTINCT ev.eval_id) AS n_eval_docs
+         |FROM sh s JOIN ev USING (shingle) WHERE s.doc_id % 50 <> 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // sharded sequence packing: running token offset cut every 256
+    // tokens within (lang, doc_id % 8) chains (TextOps.packBudget/
+    // packShards)
+    "q_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    doc_id % 8 AS shard FROM documents),
+         |c AS (SELECT doc_id, lang, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id) - n_tok AS BIGINT) AS tok_offset
+         |  FROM d)
+         |SELECT doc_id, lang, shard, n_tok,
+         |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS bin, tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // lexical entropy: H = ln(n) - sum(c*ln c)/n over per-doc term
+    // frequencies; ttr = types/tokens
+    "q_token_entropy" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM
+         |    (SELECT doc_id, unnest($tokL) AS tok FROM documents)
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |  count(*) AS n_types,
+         |  round(ln(CAST(sum(c) AS DOUBLE))
+         |    - sum(c * ln(c)) / sum(c), 4) AS entropy,
+         |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // composed curation pipeline: lang gate → quality gate → exact
     // dedup keep-min → greedy near-dup pair-drop over survivors

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_window_rank" -> (Relational.q_window_rank _),
     "q_window_frame" -> (Relational.q_window_frame _),
     "q_window_ntile" -> (Relational.q_window_ntile _),
+    "q_window_percent" -> (Relational.q_window_percent _),
     "q_sessionize" -> (Relational.q_sessionize _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
     "q_sample_stratified" -> (Relational.q_sample_stratified _),
@@ -100,6 +101,9 @@ object SparkEntry {
     "q_dedup_cluster" -> (TextOps.q_dedup_cluster _),
     "q_curate" -> (TextOps.q_curate _),
     "q_repetition" -> (TextOps.q_repetition _),
+    "q_decontaminate" -> (TextOps.q_decontaminate _),
+    "q_pack" -> (TextOps.q_pack _),
+    "q_token_entropy" -> (TextOps.q_token_entropy _),
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
     "q_grouping_sets" -> (Relational.q_grouping_sets _),

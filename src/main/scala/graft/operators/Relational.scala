@@ -537,6 +537,26 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** W2: distribution analytics — percent_rank + cume_dist + lag/lead
+    * neighbors over each market segment. The window order is the
+    * unique composite (c_acctbal, c_custkey) so neighbor values are
+    * engine-independent; balances project as round(double) per the
+    * DECIMAL hashing rule. One shuffle on the partition key, all five
+    * analytics share the single sorted pass.
+    */
+  def q_window_percent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal").cast("double"), 2).as("acctbal"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"),
+        round(lag(col("c_acctbal"), 1).over(w).cast("double"), 2).as("prev_bal"),
+        round(lead(col("c_acctbal"), 1).over(w).cast("double"), 2).as("next_bal"))
+      .orderBy("c_custkey")
+  }
+
   /** W3: analytic frame — running decimal-exact sum + lag. The window
     * order uses the full unique composite (l_linenumber, l_partkey,
     * l_suppkey) — (l_orderkey, l_linenumber) alone is not unique, and

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
@@ -614,6 +615,108 @@ object TextOps {
       .select(col("b_id").as("doc_id")).distinct()
     surv.join(dropB, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_tok", "score", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  // ── decontamination / packing / lexical entropy ────────────────────
+
+  /** Shingle width for eval-set decontamination. Wider than the
+    * 3-gram dedup shingles on purpose: dedup wants recall on mostly-
+    * similar docs, decontamination wants precision on verbatim
+    * benchmark leakage (real pipelines use 8-13-gram exact overlap;
+    * 4 is the same mechanism scaled to the fixture's short docs).
+    */
+  val decontamNgram = 4
+
+  /** Benchmark decontamination — flag corpus documents that share any
+    * [[decontamNgram]]-gram with a held-out eval split (here the
+    * deterministic `doc_id % 50 == 0` slice stands in for the
+    * benchmark suite a training run must not train on). Emits, per
+    * contaminated doc, the distinct overlapping shingles and how many
+    * eval docs they leak from — the audit columns a curation run
+    * reports next to the drop list.
+    *
+    * Scale shape: an eval suite is KBs-to-MBs against a 100 TB
+    * corpus, so its shingle set is broadcast — the corpus side is one
+    * shingle explode + broadcast hash-join + per-doc count. No
+    * self-join, no shuffle of corpus text, and the corpus scan
+    * prunes to (doc_id, text).
+    */
+  def q_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFns.shingles(col("text"), decontamNgram)).as("shingle"))
+      .distinct()
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_hit"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window token budget for [[q_pack]]. */
+  val packBudget = 256L
+
+  /** Shard count for [[q_pack]] — bounds the longest window chain. */
+  val packShards = 8L
+
+  /** Sequence packing — assign documents to fixed-token-budget
+    * training bins the way LLM pretraining packs a corpus: documents
+    * are laid out in a deterministic order, the running token offset
+    * is cut every [[packBudget]] tokens, and a doc's bin is the chunk
+    * its offset starts in. Emits (bin, offset) per doc so a writer
+    * can route each bin to one output group.
+    *
+    * Scale shape: a single global running sum would serialize the
+    * corpus through one task, so packing is sharded — the window
+    * partitions on (lang, doc_id % [[packShards]]), making each
+    * chain 1/shards of the corpus and embarrassingly parallel.
+    * Packing order within a shard is arbitrary-but-deterministic
+    * (doc_id), which is exactly what concat-and-cut packing needs;
+    * at 100 TB you raise the shard count with the cluster width.
+    */
+  def q_pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+      pmod(col("doc_id"), lit(packShards)).as("shard"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    docs
+      .withColumn("tok_offset", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("tok_offset") / packBudget.toDouble))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        col("bin"), col("tok_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Lexical entropy + type-token ratio per document — the two
+    * distribution-shape quality signals that catch what the ratio
+    * gates (q_quality_score) and the repetition gates (q_repetition)
+    * miss: keyword-stuffed or template text has low Shannon entropy
+    * over its token distribution and a collapsed type-token ratio
+    * even when lengths and stopword ratios look organic.
+    *
+    * H = ln(n) − (Σ c·ln c)/n over per-doc term frequencies — the
+    * closed form needs only (Σc, Σc·ln c) per doc, so the whole query
+    * is the shared cached docTokens scan + two hash aggregations,
+    * map-side combinable at any scale. Documents with zero tokens
+    * have no distribution and emit no row (same as the oracle's
+    * inner grouping).
+    */
+  def q_token_entropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = docTokens(s, dir)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(col("doc_id"), col("n"), col("n_types"),
+        round(log(col("n")) - col("clogc") / col("n"), 4).as("entropy"),
+        round(col("n_types").cast("double") / col("n"), 4).as("ttr"))
       .orderBy("doc_id")
   }
 }

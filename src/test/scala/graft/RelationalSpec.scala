@@ -89,4 +89,29 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(e - a) / e < 0.05,
         s"$flag: approx $a vs exact $e drifts > 5%")
   }
+
+  test("q_window_percent: pr/cd in [0,1], cd reaches 1 per segment, " +
+    "lag/lead are true neighbors in the window order") {
+    val rows = Relational.q_window_percent(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, pr, cd, _, _) =>
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    rows.groupBy(_._2).foreach { case (seg, g) =>
+      assert(g.map(_._5).max == 1.0, s"$seg: max cume_dist must be 1")
+      // walk the window order: each row's prev_bal is its
+      // predecessor's balance, first row has none
+      val ordered = g.sortBy(r => (r._3, r._1))
+      assert(ordered.head._6.isEmpty && ordered.last._7.isEmpty)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._6.contains(a._3) && a._7.contains(b._3))
+        case _ =>
+      }
+    }
+  }
 }

@@ -103,4 +103,60 @@ class TextOpsSpec extends AnyFunSuite {
     // hammingMax flipped bits cannot touch all bands)
     assert(TextOps.simhashBands > TextOps.simhashHammingMax)
   }
+
+  test("q_decontaminate: eval docs never flagged; hits bounded by " +
+    "eval shingle count; eval side broadcast") {
+    val out = TextOps.q_decontaminate(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "eval split must not flag itself")
+      assert(r.getLong(1) >= 1L && r.getLong(2) >= 1L)
+      assert(r.getLong(1) >= r.getLong(2) ||
+        r.getLong(2) >= 1L) // n_hit >= 1, n_eval_docs >= 1
+    }
+    // the eval shingle set must ride a broadcast join, never a shuffle
+    val plan = TextOps.q_decontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_pack: offsets are exact running sums, bins cut every " +
+    "packBudget tokens, shards partition the corpus") {
+    val out = TextOps.q_pack(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length ==
+      Tables(spark, dir, "documents").count())
+    // per (lang, shard) chain: offset = sum of predecessors' n_tok,
+    // bin = offset / budget
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, chain) =>
+      var run = 0L
+      chain.sortBy(_._1).foreach { case (_, _, shard, nTok, bin, off) =>
+        assert(shard >= 0L && shard < TextOps.packShards)
+        assert(off == run, "offset must be the exact running sum")
+        assert(bin == off / TextOps.packBudget)
+        run += nTok
+      }
+    }
+  }
+
+  test("q_token_entropy: 0 <= H <= ln(n_types) and 0 < ttr <= 1; " +
+    "uniform and constant docs hit the bounds") {
+    TextOps.q_token_entropy(spark, dir).collect().foreach { r =>
+      val (n, types, h, ttr) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // h is rounded to 4dp in the output, so allow half-ulp of that
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 5e-5,
+        s"entropy $h outside [0, ln($types)]")
+      assert(ttr > 0.0 && ttr <= 1.0 && types <= n)
+    }
+    // closed-form sanity on controlled docs: all-same-token → H = 0,
+    // all-distinct → H = ln(n)
+    val probe = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val tf = probe.select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val got = tf.groupBy("doc_id")
+      .agg((log(sum($"c")) - sum($"c" * log($"c")) / sum($"c")).as("h"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L)) < 1e-12)
+    assert(math.abs(got(2L) - math.log(4.0)) < 1e-12)
+  }
 }
