@@ -695,6 +695,39 @@ object Oracles {
          |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS bin, tok_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // incremental dedup: new batch (doc_id % 5 = 0) probes the
+    // historical corpus's MinHash band index — same 4×2 geometry as
+    // q_dedup_minhash
+    "q_dedup_incremental" ->
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+         |hits AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+         |  FROM bands n JOIN bands h
+         |    ON n.band = h.band AND n.bucket = h.bucket
+         |  WHERE n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0)
+         |SELECT new_id, count(*) AS n_matches, min(hist_id) AS first_match
+         |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin,
+
+    // domain-mixture reweighting vs a uniform target over the
+    // (lang, source) cells
+    "q_mixture_weights" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(len($tokL)) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang, source),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+         |    count(*) AS n_cells FROM g)
+         |SELECT lang, source, n_docs, n_tok,
+         |  round(n_docs / total_docs, 4) AS share,
+         |  round((1.0 / n_cells) / (n_docs / total_docs), 4) AS weight,
+         |  CAST(ceil((1.0 / n_cells) / (n_docs / total_docs)) AS BIGINT)
+         |    AS repeat_factor
+         |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
+
     // lexical entropy: H = ln(n) - sum(c*ln c)/n over per-doc term
     // frequencies; ttr = types/tokens
     "q_token_entropy" ->

@@ -102,6 +102,8 @@ object SparkEntry {
     "q_curate" -> (TextOps.q_curate _),
     "q_repetition" -> (TextOps.q_repetition _),
     "q_decontaminate" -> (TextOps.q_decontaminate _),
+    "q_dedup_incremental" -> (TextOps.q_dedup_incremental _),
+    "q_mixture_weights" -> (TextOps.q_mixture_weights _),
     "q_pack" -> (TextOps.q_pack _),
     "q_token_entropy" -> (TextOps.q_token_entropy _),
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),

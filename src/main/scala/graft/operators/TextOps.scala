@@ -317,9 +317,13 @@ object TextOps {
     * q_dedup_cluster (which feeds them into the component loop and
     * must NOT pay a pointless global sort first).
     */
-  private def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
-    val bands = sig.select(col("doc_id"),
+  /** (doc_id, band, bucket) rows from the 4×2 MinHash band geometry —
+    * the probe-able LSH index shared by the whole-corpus pairing
+    * ([[minhashCandidatePairs]]) and the new-batch probe
+    * ([[q_dedup_incremental]]).
+    */
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(s, dir).select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"))).as("bucket")),
         struct(lit(1).as("band"), md5(concat(col("h2"), col("h3"))).as("bucket")),
@@ -327,6 +331,9 @@ object TextOps {
         struct(lit(3).as("band"), md5(concat(col("h6"), col("h7"))).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  private def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBandRows(s, dir)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
@@ -628,6 +635,14 @@ object TextOps {
     */
   val decontamNgram = 4
 
+  /** Distinct eval-split shingles — the broadcast probe set shared
+    * with the streaming twin ([[graft.streaming.Streams.decontamHits]]).
+    */
+  def evalShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+      .select(explode(TextFns.shingles(col("text"), decontamNgram)).as("shingle"))
+      .distinct()
+
   /** Benchmark decontamination — flag corpus documents that share any
     * [[decontamNgram]]-gram with a held-out eval split (here the
     * deterministic `doc_id % 50 == 0` slice stands in for the
@@ -690,6 +705,59 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
         col("bin"), col("tok_offset"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental near-dup dedup — probe a NEW ingest batch against
+    * the historical corpus's LSH index instead of re-pairing the
+    * whole corpus. This is the shape continuous ingest takes at
+    * 100 TB: the historical (band, bucket) index is a maintained
+    * table paid for once; each arriving batch joins its own band rows
+    * against it, cost proportional to the BATCH, not the corpus.
+    * Here the deterministic `doc_id % 5 == 0` slice stands in for the
+    * arriving batch; within-batch duplicates are the batch-local
+    * q_dedup_minhash pass's job and are deliberately out of scope.
+    * Emits per new doc the match count and the first (min-id)
+    * historical match — the keeper a drop decision would point at.
+    */
+  def q_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBandRows(s, dir)
+    val hist = bands.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("hist_id"), col("band"), col("bucket"))
+    val fresh = bands.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    fresh.join(hist, Seq("band", "bucket"))
+      .select("new_id", "hist_id").distinct()
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("hist_id")).as("first_match"))
+      .orderBy("new_id")
+  }
+
+  /** Domain-mixture reweighting — per (lang, source) corpus cell, the
+    * sampling weight that moves the observed mixture to the uniform
+    * target: weight = target_share / observed_share, with the integer
+    * up-sampling factor ceil(weight) a repeat-based sampler would
+    * apply. The training-mixture knob every large pretraining run
+    * tunes (uniform here; any target table can replace the constant).
+    *
+    * Scale shape: one hash aggregation over the corpus, then a 1-row
+    * totals aggregate broadcast back over the cells (same in-plan
+    * pattern as tf-idf's N — no driver-side action).
+    */
+  def q_mixture_weights(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tok"))
+    val tot = g.agg(sum(col("n_docs")).as("total_docs"),
+      count(lit(1)).as("n_cells"))
+    val share = col("n_docs") / col("total_docs")
+    val weight = (lit(1.0) / col("n_cells")) / share
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tok"),
+        round(share, 4).as("share"),
+        round(weight, 4).as("weight"),
+        ceil(weight).cast("long").as("repeat_factor"))
+      .orderBy("lang", "source")
   }
 
   /** Lexical entropy + type-token ratio per document — the two

@@ -38,6 +38,40 @@ object Streams {
     StructField("event_type", StringType),
     StructField("value", DoubleType)) :+ StructField("props", StringType))
 
+  val docsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a landing directory of documents parquet
+    * files — the ingest side of the curation pipeline.
+    */
+  def docsStream(spark: SparkSession, docsDir: String): DataFrame =
+    spark.readStream
+      .schema(docsRawSchema)
+      .parquet(docsDir)
+
+  /** Continuous-ingest decontamination (streaming twin of
+    * q_decontaminate's n_hit surface): each arriving document's
+    * shingles probe the static eval-split shingle set via a
+    * stream-static BROADCAST join (the eval suite is tiny and fixed —
+    * no state, no shuffle of the stream side for the join), then a
+    * stateful (doc, shingle) dedup + complete-mode per-doc count.
+    * The per-eval-doc audit column (n_eval_docs) stays batch-only:
+    * streaming aggregation cannot express countDistinct, and the
+    * drop decision only needs n_hit.
+    */
+  def decontamHits(docs: DataFrame, evalShingles: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFns.shingles(
+          col("text"), graft.operators.TextOps.decontamNgram)).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+
   /** File-source stream over a DIRECTORY of events parquet files
     * (Spark's file stream source requires a directory — new files
     * appearing there become micro-batches, the standard landing-zone

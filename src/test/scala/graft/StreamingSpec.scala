@@ -187,4 +187,27 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     assert(FakeKv.store.size() == batch.size)
   }
+
+  test("streaming decontamination equals batch q_decontaminate's " +
+    "n_hit surface (eval split excluded from the stream)") {
+    val docsDir = Files.createTempDirectory("docs_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    // the stream carries only the corpus side — the eval split is the
+    // static reference set, not ingest
+    val corpus = Streams.docsStream(spark, docsDir.toString)
+      .filter(col("doc_id") % 50 =!= 0)
+    val q = Streams.decontamHits(corpus,
+      graft.operators.TextOps.evalShingles(spark, dir))
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("decontam_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.operators.TextOps.q_decontaminate(spark, dir)
+      .select("doc_id", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // the fixture must actually exercise the probe
+  }
 }

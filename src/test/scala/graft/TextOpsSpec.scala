@@ -138,6 +138,43 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental: probes only the new batch against " +
+    "history, and every hit is a whole-corpus candidate pair") {
+    val hits = TextOps.q_dedup_incremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.nonEmpty)
+    hits.foreach { case (newId, n, firstMatch) =>
+      assert(newId % 5 == 0, "only new-batch docs may be flagged")
+      assert(firstMatch % 5 != 0, "matches must come from history")
+      assert(n >= 1L)
+    }
+    // the incremental probe is a restriction of the full pairing:
+    // (new, first_match) must appear among q_dedup_minhash's pairs
+    val full = TextOps.q_dedup_minhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits.foreach { case (newId, _, m) =>
+      assert(full.contains((math.min(newId, m), math.max(newId, m))),
+        s"($newId, $m) missing from the whole-corpus pairing")
+    }
+  }
+
+  test("q_mixture_weights: shares sum to 1, weight inverts the " +
+    "observed share against the uniform target") {
+    val rows = TextOps.q_mixture_weights(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val cells = rows.length
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-2) // 4dp rounding drift
+    rows.foreach { case (nDocs, share, weight, repeat) =>
+      assert(nDocs >= 1L && share > 0.0 && weight > 0.0)
+      // weight * share ≈ uniform target share (both 4dp-rounded)
+      assert(math.abs(weight * share - 1.0 / cells) < 1e-3)
+      // repeat = ceil(unrounded weight); the weight column is
+      // 4dp-rounded, so check the ceil envelope with that slack
+      assert(repeat >= 1L && repeat.toDouble >= weight - 1e-4 &&
+        repeat.toDouble < weight + 1.0 + 1e-4)
+    }
+  }
+
   test("q_token_entropy: 0 <= H <= ln(n_types) and 0 < ttr <= 1; " +
     "uniform and constant docs hit the bounds") {
     TextOps.q_token_entropy(spark, dir).collect().foreach { r =>
