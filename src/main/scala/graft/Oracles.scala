@@ -741,6 +741,90 @@ object Oracles {
          |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // fixed-token-window chunking (size 32, stride 24; TextOps.q_chunk)
+    "q_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+         |st AS (SELECT doc_id, l, unnest(range(0, len(l), 24)) AS start
+         |  FROM toks WHERE len(l) > 0)
+         |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(len(list_slice(l, start + 1, start + 32)) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(l, start + 1, start + 32), ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // cross-doc boilerplate fraction (distinct-shingle df ≥ 3;
+    // TextOps.q_boilerplate — boilerplateMinDf)
+    "q_boilerplate" ->
+      s"""$shinglesCte,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+         |  FROM sh JOIN dfs USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(n_boiler AS DOUBLE) / n_shingles, 4) END
+         |    AS boiler_ratio
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // top-40-vocab PMI collocations (TextOps.q_cooccur — cooccurVocab /
+    // cooccurMinPairDf); integer counts inside one final ln
+    "q_cooccur" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+         |    (SELECT doc_id, unnest($tokL) AS tok FROM documents)),
+         |vocab AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok
+         |  ORDER BY count(*) DESC, tok LIMIT 40),
+         |tv AS (SELECT dt.doc_id, dt.tok, vocab.df FROM dt JOIN vocab USING (tok)),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+         |SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair,
+         |  a.df AS df_a, b.df AS df_b,
+         |  round(ln(count(*) * (SELECT n_docs FROM n) / (a.df * b.df)), 4) AS pmi
+         |FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |GROUP BY a.tok, b.tok, a.df, b.df
+         |HAVING count(*) >= 5
+         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 100""".stripMargin,
+
+    // per-language length z-scores from exact integer moments; the
+    // outlier flag is pure integer arithmetic (TextOps.q_outlier)
+    "q_outlier" ->
+      """WITH s AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+        |    sum(n_chars * n_chars) AS sxx FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CAST(n_chars * n - sx AS DOUBLE)
+        |    / sqrt(CAST(n * (n * sxx - sx * sx) AS DOUBLE) / (n - 1)), 4) AS z,
+        |  CAST(CASE WHEN (n_chars * n - sx) * (n_chars * n - sx) * (n - 1)
+        |       > (n * sxx - sx * sx) * n * 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM documents JOIN s USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Efraimidis–Spirakis weighted sampling: key = ln(u)/w from a
+    // salted md5 uniform, top-k keys = the weighted sample
+    // (Relational.q_sample_weighted)
+    "q_sample_weighted" -> {
+      val hexw = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('wsamp:' || " +
+          s"CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1)*${1L << (4 * (7 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH k AS (SELECT doc_id, lang, n_chars,
+         |  round(ln((CAST($hexw AS BIGINT) + 1) / 4294967296.0)
+         |    / n_chars, 8) AS es_key
+         |FROM documents)
+         |SELECT doc_id, lang, n_chars, es_key FROM k
+         |ORDER BY es_key DESC, doc_id LIMIT 150""".stripMargin
+    },
+
+    // trailing-hour RANGE frame over epoch seconds
+    // (Relational.q_rolling_time)
+    "q_rolling_time" ->
+      """SELECT event_id, event_type, ts,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     // composed curation pipeline: lang gate → quality gate → exact
     // dedup keep-min → greedy near-dup pair-drop over survivors
     "q_curate" ->

@@ -75,8 +75,10 @@ object SparkEntry {
     "q_window_ntile" -> (Relational.q_window_ntile _),
     "q_window_percent" -> (Relational.q_window_percent _),
     "q_sessionize" -> (Relational.q_sessionize _),
+    "q_rolling_time" -> (Relational.q_rolling_time _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
     "q_sample_stratified" -> (Relational.q_sample_stratified _),
+    "q_sample_weighted" -> (Relational.q_sample_weighted _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),
@@ -106,6 +108,10 @@ object SparkEntry {
     "q_mixture_weights" -> (TextOps.q_mixture_weights _),
     "q_pack" -> (TextOps.q_pack _),
     "q_token_entropy" -> (TextOps.q_token_entropy _),
+    "q_chunk" -> (TextOps.q_chunk _),
+    "q_boilerplate" -> (TextOps.q_boilerplate _),
+    "q_cooccur" -> (TextOps.q_cooccur _),
+    "q_outlier" -> (TextOps.q_outlier _),
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
     "q_grouping_sets" -> (Relational.q_grouping_sets _),

@@ -603,6 +603,64 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Time-RANGE rolling window — per event type, the trailing-hour
+    * event count and value sum at every event. This is the
+    * value-range frame (`RANGE BETWEEN 3600 PRECEDING AND CURRENT
+    * ROW` over epoch seconds) — a genuinely different frame semantics
+    * from q_window_frame's ROWS frame: peers at the same second share
+    * one frame, and the window width is wall-clock, not row-count.
+    * Ordering by the epoch-second cast keeps the frame boundary
+    * integer-exact in both engines (DuckDB orders by
+    * floor(epoch(ts))).
+    *
+    * Scale shape: one shuffle on the partition key + one sorted pass.
+    * The fixture partitions by event_type (5 keys); a 100 TB stream
+    * would partition by a high-cardinality entity (user_id, device)
+    * or pre-bucket time and overlap the frame width across bucket
+    * boundaries — the frame logic is unchanged.
+    */
+  def q_rolling_time(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Sample size for [[q_sample_weighted]]. */
+  val weightedSampleK = 150
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): each doc gets key = ln(u)/w with u a deterministic
+    * md5-derived uniform and w its weight (n_chars here — any
+    * positive quality/importance column works); the top-k keys ARE a
+    * weighted sample without replacement. The standard one-pass
+    * distributed algorithm for "sample 1M docs proportional to
+    * quality" — rand()-based weighted sampling is neither reproducible
+    * across retries nor expressible as one scan.
+    *
+    * Determinism: u = (first-8-hex-of-md5 + 1)/2^32 ∈ (0,1] from the
+    * salted doc_id, so keys are identical doubles in both engines;
+    * the emitted key is rounded and the ORDER BY covers (key,
+    * doc_id). Scale shape: map-only key computation +
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    * never a global sort.
+    */
+  def q_sample_weighted(s: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(
+      md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (v + 1).cast("double") / lit(4294967296.0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(log(u) / col("n_chars"), 8).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(weightedSampleK)
+  }
+
   /** Deterministic hash sampling — the reproducible corpus-subsetting
     * op every training pipeline needs (rand()-based sampling is not
     * stable across retries/engines). Keeps ids whose md5 starts below

@@ -760,6 +760,158 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Context-window size (tokens) for [[q_chunk]]. */
+  val chunkSize = 32
+
+  /** Chunk stride for [[q_chunk]] — < [[chunkSize]] ⇒ overlapping
+    * windows (the RAG/pretraining default: overlap keeps boundary
+    * context in at least one chunk).
+    */
+  val chunkStride = 24
+
+  /** Document chunking — split every document into fixed-token
+    * windows of [[chunkSize]] tokens every [[chunkStride]] tokens,
+    * the pass that turns a curated corpus into model-ready sequences
+    * (RAG passages / pretraining windows). Emits one row per chunk
+    * with its token span and text.
+    *
+    * Scale shape: pure per-row generate-explode (sequence +
+    * posexplode + slice) — no shuffle at all until the declared
+    * ORDER BY; at 100 TB this is a map-only pass whose output
+    * partitioning is inherited from the scan. Zero-token documents
+    * produce no chunks.
+    */
+  def q_chunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(chunkStride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        size(slice(col("tk"), col("col") + 1, lit(chunkSize))).cast("long").as("n_tok"),
+        array_join(slice(col("tk"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Corpus document frequency above which a shingle counts as
+    * boilerplate for [[q_boilerplate]] (tuned to the fixture's df
+    * distribution — max 3-gram df there is 7; production corpora set
+    * this orders of magnitude higher).
+    */
+  val boilerplateMinDf = 3
+
+  /** Boilerplate fraction per document — the share of a doc's
+    * distinct shingles that are corpus-frequent (df ≥
+    * [[boilerplateMinDf]]). Template/navigation text shared across
+    * many pages shows up as a high ratio; curation stacks gate on it
+    * the same way they gate on within-doc repetition
+    * ([[q_repetition]]) — this is the CROSS-doc complement.
+    *
+    * Scale shape: reuses the cached distinct shingle table; one hash
+    * aggregate for df, one broadcast-join-free shuffle join back on
+    * the shingle, one aggregate on doc_id. The df frame is the same
+    * one the ngram index builds — at 100 TB it is a staged table paid
+    * for once across all shingle consumers.
+    */
+  def q_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val df_ = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val per = sh.join(df_, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= boilerplateMinDf, 1L).otherwise(0L)).as("n_boiler"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary cap for [[q_cooccur]] — pairs are generated only over
+    * the top-K tokens by document frequency, so the per-document
+    * fan-out is ≤ C(K,2) REGARDLESS of corpus size (the same
+    * bounded-blocking discipline as the shingle df-cap; an unbounded
+    * vocabulary would make the pair count grow with the square of the
+    * vocabulary).
+    */
+  val cooccurVocab = 40
+
+  /** Minimum document co-occurrence for a pair to be emitted. */
+  val cooccurMinPairDf = 5
+
+  /** Token co-occurrence with pointwise mutual information — the
+    * corpus-analysis pass behind collocation mining and topic
+    * drift checks: for the top-[[cooccurVocab]] vocabulary, which
+    * token pairs co-occur in documents more than independence
+    * predicts. PMI = ln(n_pair·N / (df_a·df_b)) over exact integer
+    * counts (engine-exact up to one final ln + round).
+    *
+    * Scale shape: the vocabulary is a top-K aggregate (tiny,
+    * broadcast); the corpus side explodes only vocab hits, so the
+    * doc_id self-join emits ≤ C(K,2) pairs per doc. N rides in-plan
+    * as a broadcast 1-row aggregate (the tf-idf pattern).
+    */
+  def q_cooccur(s: SparkSession, dir: String): DataFrame = {
+    val dt = docTokens(s, dir).distinct()
+    val vocab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(cooccurVocab)
+    val tv = dt.join(broadcast(vocab), Seq("tok"))
+    val n = broadcast(t(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("__n_docs")))
+    val a = tv.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+    val b = tv.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= cooccurMinPairDf)
+      .crossJoin(n)
+      .select(col("tok_a"), col("tok_b"), col("n_pair"),
+        col("df_a"), col("df_b"),
+        round(log(col("n_pair") * col("__n_docs")
+          / (col("df_a") * col("df_b"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
+  /** Per-language length outliers — z-score of n_chars against the
+    * document's own language stratum, the distribution-tail gate a
+    * curation stack runs to catch truncated fragments and
+    * concatenation blobs that absolute thresholds miss.
+    *
+    * Engine-exactness: the z denominator is the sample stddev derived
+    * from EXACT integer moments (n, Σx, Σx²) — both engines evaluate
+    * the identical double expression on identical integers, so z
+    * agrees bit-for-bit before the round. The `is_outlier` decision
+    * (|x−μ| > 2σ) is taken in pure integer arithmetic —
+    * (n·x−Σx)²·(n−1) > 4·n·(n·Σx²−(Σx)²) — so the flag can never
+    * straddle a float boundary.
+    *
+    * Scale shape: one hash aggregate to a per-language stats row
+    * (broadcast — cardinality is the language count), one map-side
+    * join back; no second pass over the data.
+    */
+  def q_outlier(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val stats = d.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("sx"),
+      sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val nx = col("n_chars") * col("n") - col("sx")
+    val varNum = col("n") * col("sxx") - col("sx") * col("sx")
+    d.join(broadcast(stats), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(nx.cast("double")
+          / sqrt((col("n") * varNum).cast("double") / (col("n") - 1)), 4).as("z"),
+        when(nx * nx * (col("n") - 1) > varNum * col("n") * 4, 1L)
+          .otherwise(0L).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** Lexical entropy + type-token ratio per document — the two
     * distribution-shape quality signals that catch what the ratio
     * gates (q_quality_score) and the repetition gates (q_repetition)

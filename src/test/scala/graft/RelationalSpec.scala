@@ -114,4 +114,47 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_sample_weighted: biased toward heavy docs, keys valid, " +
+    "planned as distributed top-k") {
+    val out = Relational.q_sample_weighted(spark, dir).collect()
+    assert(out.length == Relational.weightedSampleK)
+    // ES keys are ln(u)/w with u in (0,1] => always <= 0
+    out.foreach(r => assert(r.getDouble(3) <= 0.0))
+    // weight = n_chars: the weighted sample must overrepresent long
+    // docs relative to the corpus mean (deterministic fixture, so
+    // this is a fixed fact, not a flaky statistical test)
+    val corpusAvg = Tables(spark, dir, "documents")
+      .agg(avg($"n_chars")).as[Double].head()
+    val sampleAvg = out.map(_.getLong(2)).sum.toDouble / out.length
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
+    val plan = Relational.q_sample_weighted(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
+
+  test("q_rolling_time: trailing-hour frame equals the brute-force " +
+    "self-join definition") {
+    val got = Relational.q_rolling_time(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.nonEmpty)
+    // brute force: for every event, count/sum over same-type events
+    // within the trailing 3600 epoch-seconds (inclusive)
+    val ev = Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"ts".cast("long").as("sec"),
+        $"value")
+      .as[(Long, String, Long, Double)].collect()
+    val byType = ev.groupBy(_._2)
+    val expect = ev.map { case (id, tpe, sec, _) =>
+      val frame = byType(tpe).filter(e => e._3 >= sec - 3600 && e._3 <= sec)
+      (id, frame.length.toLong,
+        BigDecimal(frame.map(_._4).sum).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    got.zip(expect).foreach { case ((gi, gn, gs), (ei, en, es)) =>
+      assert(gi == ei && gn == en, s"event $gi: count $gn vs $en")
+      assert(math.abs(gs - es) < 1e-6, s"event $gi: sum $gs vs $es")
+    }
+  }
 }

@@ -196,4 +196,91 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1L)) < 1e-12)
     assert(math.abs(got(2L) - math.log(4.0)) < 1e-12)
   }
+
+  test("q_chunk: windows tile every token exactly, overlap = " +
+    "size - stride, and chunking is a map-only plan") {
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", size(TextFns.tokens($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = TextOps.q_chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.filter(_._2 > 0).foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_._2)
+      // starts are consecutive stride multiples from 0; last start < n
+      assert(cs.map(_._3).toSeq ==
+        cs.indices.map(_.toLong * TextOps.chunkStride))
+      assert(cs.last._3 < n)
+      // every chunk is clipped exactly at the doc boundary:
+      // n_tok = min(size, n - start) ⇒ full coverage, no overrun
+      cs.foreach(c =>
+        assert(c._4 == math.min(TextOps.chunkSize.toLong, n - c._3)))
+      assert(cs.map(c => c._3 + c._4).max == n)
+    }
+    // chunk generation itself shuffles nothing: the only Exchange in
+    // the plan is the final declared ORDER BY's range partitioning
+    val plan = TextOps.q_chunk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
+  test("q_boilerplate: ratio bounds, counts consistent with the " +
+    "declared df threshold") {
+    val out = TextOps.q_boilerplate(spark, dir).collect()
+    assert(out.length == Tables(spark, dir, "documents").count())
+    out.foreach { r =>
+      val (nSh, nB, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nB <= nSh)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (nSh > 0)
+        assert(math.abs(ratio - nB.toDouble / nSh) < 5e-5)
+    }
+    // a shingle every doc shares must count as boilerplate everywhere
+    val probe = (1L to 5L).map(i => (i, "common three gram x" + i))
+      .toDF("doc_id", "text")
+    probe.createOrReplaceTempView("probe_boiler")
+    val sh = probe.select($"doc_id",
+      explode(TextFns.shingles($"text", 3)).as("shingle")).distinct()
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val boiler = sh.join(dfs, "shingle")
+      .filter($"df" >= TextOps.boilerplateMinDf)
+      .select("doc_id").distinct().count()
+    assert(boiler == 5)
+  }
+
+  test("q_cooccur: vocabulary bounded, n_pair <= min(df), pmi " +
+    "matches the closed form") {
+    val out = TextOps.q_cooccur(spark, dir).collect()
+    assert(out.nonEmpty)
+    val vocabSeen = out.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct
+    assert(vocabSeen.length <= TextOps.cooccurVocab)
+    val nDocs = Tables(spark, dir, "documents").count().toDouble
+    out.foreach { r =>
+      val (a, b, np, dfa, dfb, pmi) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, "pairs must be ordered a < b")
+      assert(np >= TextOps.cooccurMinPairDf && np <= math.min(dfa, dfb))
+      val expect = math.log(np * nDocs / (dfa * dfb))
+      assert(math.abs(pmi - expect) < 5e-5)
+    }
+  }
+
+  test("q_outlier: integer flag agrees with the rounded z at 2 sigma") {
+    val out = TextOps.q_outlier(spark, dir).collect()
+    assert(out.length == Tables(spark, dir, "documents").count())
+    out.foreach { r =>
+      val (z, flag) = (r.getDouble(3), r.getLong(4))
+      // the flag is exact integer arithmetic; z is rounded to 4dp, so
+      // the two can only disagree within rounding distance of the cut
+      if (flag == 1L) assert(math.abs(z) > 2.0 - 1e-4)
+      else assert(math.abs(z) <= 2.0 + 1e-4)
+    }
+    // per-language z-scores must standardize: mean ~0 (z sums to ~0)
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (_, rows) =>
+      val zsum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(zsum) < rows.length * 1e-3)
+    }
+  }
 }
