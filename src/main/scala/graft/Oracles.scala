@@ -741,6 +741,19 @@ object Oracles {
          |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // corpus-unigram LM scoring: nll = ln(T) − (Σ ln tf)/n, ppl =
+    // exp(nll) (TextOps.q_lm_score)
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+         |per AS (SELECT doc_id, count(*) AS n_tok, sum(ln(tf)) AS sll
+         |  FROM tk JOIN tf USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tok,
+         |  round(ln((SELECT total FROM tot)) - sll / n_tok, 4) AS nll,
+         |  round(exp(ln((SELECT total FROM tot)) - sll / n_tok), 4) AS ppl
+         |FROM per ORDER BY doc_id""".stripMargin,
+
     // fixed-token-window chunking (size 32, stride 24; TextOps.q_chunk)
     "q_chunk" ->
       s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),

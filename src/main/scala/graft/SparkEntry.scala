@@ -108,6 +108,7 @@ object SparkEntry {
     "q_mixture_weights" -> (TextOps.q_mixture_weights _),
     "q_pack" -> (TextOps.q_pack _),
     "q_token_entropy" -> (TextOps.q_token_entropy _),
+    "q_lm_score" -> (TextOps.q_lm_score _),
     "q_chunk" -> (TextOps.q_chunk _),
     "q_boilerplate" -> (TextOps.q_boilerplate _),
     "q_cooccur" -> (TextOps.q_cooccur _),

@@ -912,6 +912,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model scoring — per-document average negative
+    * log-likelihood (and its exp, perplexity) under the corpus's own
+    * unigram distribution: the CCNet-style perplexity filter that
+    * flags documents whose token mix is unlike the corpus (spam,
+    * wrong-language fragments, symbol soup) even when length and
+    * ratio gates pass. nll = ln(T) − (Σᵢ ln tf(tokᵢ))/n, so the whole
+    * query is: one corpus tf aggregate, a join back on the token, one
+    * per-doc aggregate, and a 1-row broadcast of the corpus total —
+    * no driver-side action, map-side combinable everywhere.
+    *
+    * (A production filter scores against a CLEAN reference LM rather
+    * than the corpus itself; the dataflow is identical — the tf table
+    * becomes a broadcast/staged side input.)
+    */
+  def q_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val tk = docTokens(s, dir)
+    val tf = tk.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val tot = broadcast(tf.agg(sum(col("tf")).cast("double").as("__total")))
+    val nll = log(col("__total")) - col("sll") / col("n_tok")
+    tk.join(tf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(log(col("tf"))).as("sll"))
+      .crossJoin(tot)
+      .select(col("doc_id"), col("n_tok"),
+        round(nll, 4).as("nll"),
+        round(exp(nll), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Lexical entropy + type-token ratio per document — the two
     * distribution-shape quality signals that catch what the ratio
     * gates (q_quality_score) and the repetition gates (q_repetition)

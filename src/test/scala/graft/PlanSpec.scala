@@ -63,6 +63,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_cooccur broadcasts the capped vocabulary to the corpus side") {
+    val p = planOf(graft.operators.TextOps.q_cooccur(spark, dir))
+    // the vocab (top-K aggregate) must reach the token table as a
+    // broadcast, never a shuffle of the corpus onto a 40-row frame
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("q_lm_score rides the corpus total as a 1-row broadcast") {
+    val p = planOf(graft.operators.TextOps.q_lm_score(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
   test("q_join_range is a bucketed equi-join, not a nested loop") {
     val p = planOf(Relational.q_join_range(spark, dir))
     assert(!p.contains("NestedLoop"),

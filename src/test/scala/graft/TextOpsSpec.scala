@@ -197,6 +197,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - math.log(4.0)) < 1e-12)
   }
 
+  test("q_lm_score: nll is the cross-entropy vs the corpus LM, so it " +
+    "dominates each doc's own entropy; uniform corpus hits ln(V)") {
+    // Gibbs: H(p_doc, q_corpus) >= H(p_doc) — join the two declared
+    // queries and assert the information inequality row by row
+    val nll = TextOps.q_lm_score(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ent = TextOps.q_token_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nll.nonEmpty && nll.keySet == ent.keySet)
+    nll.foreach { case (id, (n, ppl)) =>
+      assert(n >= ent(id) - 1e-4, s"doc $id: nll $n < entropy ${ent(id)}")
+      assert(math.abs(ppl - math.exp(n)) < math.exp(n) * 1e-3)
+    }
+    // all-uniform probe corpus: every doc scores exactly ln(V)
+    val probe = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val tk = probe.select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+    val tf = tk.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val got = tk.join(tf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg((log(lit(4.0)) - sum(log($"tf")) / count(lit(1))).as("nll"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.values.forall(v => math.abs(v - math.log(4.0)) < 1e-12))
+  }
+
   test("q_chunk: windows tile every token exactly, overlap = " +
     "size - stride, and chunking is a map-only plan") {
     val docs = Tables(spark, dir, "documents")
