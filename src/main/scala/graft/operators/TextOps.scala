@@ -58,6 +58,14 @@ object TextOps {
     cached(t(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
 
+  /** Distinct (doc_id, tok) pairs — the document-frequency view of
+    * the corpus, shared by tf-idf's df branch and both self-join
+    * branches of q_cooccur (cache-manager plan dedup gives all
+    * consumers one materialization).
+    */
+  private def docTokensDistinct(s: SparkSession, dir: String): DataFrame =
+    cached(docTokens(s, dir).distinct())
+
   /** Distinct (doc_id, 3-gram-shingle) pairs. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     cached(t(s, dir, "documents")
@@ -226,7 +234,7 @@ object TextOps {
     val n = broadcast(t(s, dir, "documents")
       .agg(count(lit(1)).cast("double").as("__n_docs")))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = toks.select("doc_id", "tok").distinct()
+    val df_ = docTokensDistinct(s, dir)
       .groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(df_, "tok")
       .crossJoin(n)
@@ -857,7 +865,7 @@ object TextOps {
     * as a broadcast 1-row aggregate (the tf-idf pattern).
     */
   def q_cooccur(s: SparkSession, dir: String): DataFrame = {
-    val dt = docTokens(s, dir).distinct()
+    val dt = docTokensDistinct(s, dir)
     val vocab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(cooccurVocab)
     val tv = dt.join(broadcast(vocab), Seq("tok"))
