@@ -96,6 +96,24 @@ object Streams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Event-time SLIDING windows (1-hour width every 15 minutes) +
+    * watermark — the streaming form of the trailing-window analytics
+    * the batch side declares as q_rolling_time's value-RANGE frame.
+    * Each event lands in width/slide = 4 overlapping windows (Spark
+    * plans this as a 4-row generator expand, state is bounded by the
+    * watermark); the spec asserts the complete-mode output equals the
+    * identical window() aggregation run in batch over the same files.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Event-time SESSION windows (30-minute gap) + watermark — the
     * native streaming form of gap sessionization. Batch twin:
     * q_sessionize (lag/cumsum formulation, oracle-checkable); the

@@ -36,6 +36,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString) == batch.map(_.toString))
   }
 
+  test("sliding streaming windows equal the same window() run in batch") {
+    val q = Streams.slidingCounts(Streams.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("slide_out")
+      .orderBy("win_start", "event_type").collect().toSeq
+    // batch twin: identical sliding-window aggregation over the same
+    // parquet — window() is the same Catalyst expansion in both modes
+    val batch = Streams.slidingCounts(Tables(spark, dir, "events"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+    // every event lands in exactly width/slide = 4 windows
+    val evCount = Tables(spark, dir, "events").count()
+    assert(streamed.map(_.getLong(2)).sum == evCount * 4)
+  }
+
   test("streaming session_window sessions equal batch q_sessionize") {
     val q = Streams.sessionCounts(Streams.eventsStream(spark, eventsDir))
       .writeStream.outputMode("complete")
