@@ -155,6 +155,35 @@ object Oracles {
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
+    // arg_max/arg_min are DuckDB's max_by/min_by; the fixture's
+    // per-type extremes are unique (asserted in RelationalSpec) so
+    // both engines pick the same row
+    "q_agg_argminmax" ->
+      """SELECT event_type,
+        |  arg_max(event_id, value) AS max_event,
+        |  arg_min(event_id, value) AS min_event,
+        |  round(max(value), 4) AS max_value,
+        |  round(min(value), 4) AS min_value,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact decimal co-moments cast to double ONCE, then identical
+    // closed-form double arithmetic — same determinism discipline as
+    // q_agg_stats (streaming corr/covar_samp merge partition-ordered)
+    "q_agg_corr" ->
+      """SELECT l_returnflag, n,
+        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS corr_qp,
+        |  round((n*sxy - sx*sy) / (n*(n-1)), 2) AS covar_qp,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_pq
+        |FROM (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_quantile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -50,6 +50,8 @@ object SparkEntry {
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
     "q_agg_cube" -> (Relational.q_agg_cube _),
     "q_agg_stats" -> (Relational.q_agg_stats _),
+    "q_agg_argminmax" -> (Relational.q_agg_argminmax _),
+    "q_agg_corr" -> (Relational.q_agg_corr _),
     "q_agg_quantile" -> (Relational.q_agg_quantile _),
     "q_time_parts" -> (Relational.q_time_parts _),
     "q_pivot" -> (Relational.q_pivot _),

@@ -159,6 +159,56 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("apx_part"))
       .orderBy("l_returnflag")
 
+  /** A3 extension: arg-extrema — which row attains the group's
+    * extreme, not just the extreme value (max_by/min_by, the
+    * "top event per type" lookup an N-row window rank would
+    * over-solve). Single hash aggregate, no window, no join. The
+    * fixture's per-type extremes are unique so the result is
+    * engine-deterministic; on data with ties max_by needs a
+    * composite ordering value.
+    */
+  def q_agg_argminmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        max_by(col("event_id"), col("value")).as("max_event"),
+        min_by(col("event_id"), col("value")).as("min_event"),
+        round(max(col("value")), 4).as("max_value"),
+        round(min(col("value")), 4).as("min_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** A3 extension: bivariate statistics — correlation, sample
+    * covariance, and the regression slope of price on quantity, each
+    * derived from EXACT decimal co-moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * rather than the built-in corr/covar_samp: the streaming
+    * co-moment aggregates merge in partition order, so their low bits
+    * vary with partitioning — the same reason q_agg_stats derives
+    * stddev from exact moments. Each moment is cast to double ONCE
+    * (decimal → nearest double, identical in both engines), then the
+    * closed forms are identical double expressions. One hash
+    * aggregate; moments are map-side combinable at any scale.
+    */
+  def q_agg_corr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covNum = n * d("sxy") - d("sx") * d("sy")
+    val varX = n * d("sxx") - d("sx") * d("sx")
+    val varY = n * d("syy") - d("sy") * d("sy")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(covNum / sqrt(varX * varY), 4).as("corr_qp"),
+        round(covNum / (n * (n - 1)), 2).as("covar_qp"),
+        round(covNum / varX, 6).as("slope_pq"))
+      .orderBy("l_returnflag")
+  }
+
   /** A3 extension: variance/stddev derived from decimal-exact sum and
     * sum-of-squares (sqrt((Σx² − (Σx)²/n)/(n−1)) over exact operands)
     * — deterministic in any engine, unlike streaming Welford whose

@@ -157,4 +157,37 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(gs - es) < 1e-6, s"event $gi: sum $gs vs $es")
     }
   }
+
+  test("q_agg_argminmax: fixture extremes are unique (so max_by is " +
+    "engine-deterministic) and the chosen rows attain them") {
+    val ev = Tables(spark, dir, "events")
+    // precondition the oracle relies on: exactly one row per group
+    // attains each extreme — with ties max_by would need a composite
+    // ordering value and the query would be redeclared rows-only
+    val exts = ev.groupBy("event_type")
+      .agg(max("value").as("mx"), min("value").as("mn"))
+    val tied = ev.join(exts, "event_type")
+      .filter($"value" === $"mx" || $"value" === $"mn")
+      .groupBy("event_type").count().filter($"count" =!= 2).count()
+    assert(tied == 0, "a fixture group has tied extremes")
+    // the emitted event_ids really attain the group extremes
+    val out = Relational.q_agg_argminmax(spark, dir)
+    val bad = out.join(ev.select($"event_id".as("max_event"),
+        $"value".as("got_max")), "max_event")
+      .join(exts, out("event_type") === exts("event_type"))
+      .filter(round($"got_max", 4) =!= round($"mx", 4)).count()
+    assert(bad == 0, "max_by picked a row not attaining the max")
+  }
+
+  test("q_agg_corr: corr in [-1,1]; slope/covar consistent with " +
+    "corr via the variance ratio") {
+    val out = Relational.q_agg_corr(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val corr = r.getDouble(2)
+      assert(corr >= -1.0 && corr <= 1.0, s"corr $corr out of range")
+      // slope = corr * sy/sx ⇒ sign(slope) == sign(corr)
+      assert(r.getDouble(4).sign == corr.sign || corr == 0.0)
+    }
+  }
 }
