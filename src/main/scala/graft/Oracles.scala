@@ -533,6 +533,30 @@ object Oracles {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    // Gopher A1.1 rules; BIGINT/BIGINT divides to DOUBLE in both
+    // engines, so mean_wl/alpha_frac are bit-identical closed forms
+    "q_quality_rules" ->
+      s"""SELECT doc_id, word_cnt,
+         |  round(CAST(nonspace AS DOUBLE) / word_cnt, 4) AS mean_wl,
+         |  round(CAST(alpha_words AS DOUBLE) / word_cnt, 4) AS alpha_frac,
+         |  stop_hits,
+         |  word_cnt BETWEEN 50 AND 100000 AS r_words,
+         |  CAST(nonspace AS DOUBLE) / word_cnt BETWEEN 3.0 AND 10.0 AS r_wl,
+         |  CAST(alpha_words AS DOUBLE) / word_cnt >= 0.8 AS r_alpha,
+         |  stop_hits >= 2 AS r_stop,
+         |  (word_cnt BETWEEN 50 AND 100000)
+         |    AND (CAST(nonspace AS DOUBLE) / word_cnt BETWEEN 3.0 AND 10.0)
+         |    AND (CAST(alpha_words AS DOUBLE) / word_cnt >= 0.8)
+         |    AND (stop_hits >= 2) AS pass
+         |FROM (SELECT doc_id,
+         |    CAST(len($tokL) AS BIGINT) AS word_cnt,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nonspace,
+         |    CAST(len(list_filter($tokL, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_intersect(list_distinct($tokL),
+         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_exact,

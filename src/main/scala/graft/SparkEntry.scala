@@ -94,6 +94,8 @@ object SparkEntry {
     "q_token_count" -> (TextOps.q_token_count _),
     "q_lang_id" -> (TextOps.q_lang_id _),
     "q_quality_score" -> (TextOps.q_quality_score _),
+    "q_quality_rules" -> (TextOps.q_quality_rules _),
+    "q_compress_ratio" -> (TextOps.q_compress_ratio _),
     "q_fingerprint" -> (TextOps.q_fingerprint _),
     "q_redact" -> (TextOps.q_redact _),
     "q_text_clean" -> (TextOps.q_text_clean _),
@@ -137,7 +139,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_agg_approx_distinct, q_ann_lsh, q_ann_ivf) → rows-only check.
+    * (q_agg_approx_distinct, q_ann_lsh, q_ann_ivf, q_profile_approx,
+    * q_agg_quantile_approx, q_compress_ratio) → rows-only check.
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -164,6 +164,67 @@ object TextOps {
         scoreC.as("score"))
       .orderBy("doc_id")
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1 MassiveWeb rules) — the
+    * flag-per-rule companion to q_quality_score's scalar score: word
+    * count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    * containing an alphabetic character, ≥2 distinct stopwords from
+    * Gopher's 8-word list. The line-level rules (bullet/ellipsis
+    * line fractions) are omitted because the fixture corpus is
+    * single-line; they are the same per-row arithmetic shape. Every
+    * rule is a per-row expression over one whitespace split — a pure
+    * map-only scan, zero shuffle at any corpus size. Flags are
+    * emitted (not filtered on) so downstream mixture policy can
+    * choose thresholds; filtering is a `.where(col("pass"))` away.
+    */
+  def q_quality_rules(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => length(w) > lit(0))
+    val wc = size(toks).cast("long")
+    val nonspace = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val meanWl = nonspace / wc // long/long → double in both engines
+    val alphaWords = size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val alphaFrac = alphaWords / wc
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(
+      array_distinct(toks), array(gopherStops.map(lit): _*))).cast("long")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        wc.as("word_cnt"),
+        round(meanWl, 4).as("mean_wl"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        (wc >= 50 && wc <= 100000).as("r_words"),
+        (meanWl >= 3.0 && meanWl <= 10.0).as("r_wl"),
+        (alphaFrac >= 0.8).as("r_alpha"),
+        (stopHits >= 2).as("r_stop"))
+      .withColumn("pass",
+        col("r_words") && col("r_wl") && col("r_alpha") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
+  /** Compression-ratio quality signal: deflate(text) bytes over raw
+    * utf-8 bytes — the gzip-ratio heuristic public web-corpus
+    * pipelines use to catch low-entropy machine text (boilerplate,
+    * keyword stuffing compresses far below prose; encrypted/random
+    * junk compresses above it). Computed by the codegen'd
+    * [[graft.functions.DeflateSize]] expression — map-only, the
+    * payload never shuffles. Rows-only by declared design: DuckDB
+    * has no deflate; CompressSpec pins the informative properties
+    * (repetition ⇒ lower ratio, sub-additivity under concatenation,
+    * interpreted ≡ codegen).
+    */
+  def q_compress_ratio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.DeflateSize(col("text")).cast("long")
+          .as("deflate_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
+        round(col("deflate_bytes") / col("n_bytes"), 4).as("ratio"))
+      .orderBy("doc_id")
+
   /** Document fingerprints: exact (normalized md5) and order-invariant
     * bag-of-words shape hash.
     */
