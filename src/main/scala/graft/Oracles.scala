@@ -303,6 +303,15 @@ object Oracles {
         |     AND p.ts >= e.ts - INTERVAL 1 HOUR
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
 
+    // the bloom prefilter is exact-transparent (the real equi-join
+    // follows it), so the oracle is the plain join with no bloom
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_join_asof" ->
       """SELECT event_id, coalesce((
         |    SELECT p.event_id FROM events p
