@@ -53,6 +53,55 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ordered layout: cluster files on TWO dimensions at once, so
+    * range predicates on EITHER (or both) skip most files via parquet
+    * min/max stats — [[writeSorted]] localizes one column perfectly
+    * and leaves the other scattered across every file; Z-order trades
+    * a little locality on each for locality on both (the lakehouse
+    * Z-ORDER BY). Mechanics, all distributed:
+    *
+    *  1. per-dimension quantile boundaries from one
+    *     `approx_percentile` aggregate (a 1-row frame — rank-based
+    *     bucketing, so skew cannot collapse buckets the way
+    *     equi-width `width_bucket` would);
+    *  2. broadcast the boundary row; bucket id = count of boundaries
+    *     ≤ value (a `filter` HOF over ≤ [[zBuckets]] elements — at a
+    *     larger bucket count this becomes a binary-search expression,
+    *     same shape as [[graft.functions.DeflateSize]]);
+    *  3. interleave the two bucket ids with the codegen'd
+    *     [[graft.functions.MortonCode]];
+    *  4. `repartitionByRange` + `sortWithinPartitions` on the
+    *     z-value — the [[writeSorted]] total-order machinery, keyed
+    *     by z instead of a single column.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+    colB: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val ps = (1 until zBuckets).map(_.toDouble / zBuckets).toArray
+    val bounds = df.agg(
+      approx_percentile(col(colA).cast("double"), lit(ps), lit(10000))
+        .as("ba"),
+      approx_percentile(col(colB).cast("double"), lit(ps), lit(10000))
+        .as("bb"))
+    def bucket(bnd: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      size(filter(bnd, b => b <= v.cast("double"))).cast("int")
+    df.join(broadcast(bounds))
+      .withColumn("__z", graft.functions.MortonCode(
+        bucket(col("ba"), col(colA)), bucket(col("bb"), col(colB))))
+      .drop("ba", "bb")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Buckets per dimension for [[writeZOrdered]] — 256 gives 8 bits
+    * of resolution per dim (65,536 z-cells), far more cells than any
+    * sane file count, so file boundaries land inside uniform cell
+    * runs.
+    */
+  val zBuckets = 256
+
   /** What a compaction did. bytesTotal is the input payload size —
     * the caller can alert on filesBefore/filesAfter ratios.
     */

@@ -82,4 +82,59 @@ class LayoutSpec extends AnyFunSuite {
     assert(scan.count() ==
       orders.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("morton interleave: exact bit placement and eval ≡ codegen") {
+    import graft.functions.MortonCode
+    assert(MortonCode.interleave(0, 0) == 0L)
+    assert(MortonCode.interleave(1, 0) == 1L)   // a → even bits
+    assert(MortonCode.interleave(0, 1) == 2L)   // b → odd bits
+    assert(MortonCode.interleave(3, 5) == 39L)  // 5 | (17 << 1)
+    assert(MortonCode.interleave(0xffff, 0xffff) == 0xffffffffL)
+    // via the planned (codegen) path
+    import spark.implicits._
+    val got = Seq((3, 5), (7, 2), (255, 0))
+      .toDF("a", "b")
+      .select(MortonCode(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(MortonCode.interleave(3, 5),
+      MortonCode.interleave(7, 2), MortonCode.interleave(255, 0)))
+  }
+
+  test("writeZOrdered localizes BOTH dimensions per file; linear sort " +
+    "localizes one and scatters the other") {
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "user_id", "value")
+    // per-file fractional span of a dim = (file max-min)/(global max-min)
+    def spans(path: String, c: String): Seq[Double] = {
+      val g = ev.agg(min(col(c)).cast("double"),
+        max(col(c)).cast("double")).collect()(0)
+      val width = g.getDouble(1) - g.getDouble(0)
+      java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .toArray.map(_.toString).filter(_.matches(".*part-.*\\.parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f).agg(min(col(c)).cast("double"),
+            max(col(c)).cast("double")).collect()(0)
+          (r.getDouble(1) - r.getDouble(0)) / width
+        }
+    }
+    val zPath = Files.createTempDirectory("layout_z").resolve("t").toString
+    Layout.writeZOrdered(ev, zPath, "user_id", "value", 16)
+    val sPath = Files.createTempDirectory("layout_s").resolve("t").toString
+    Layout.writeSorted(ev, sPath, "user_id", 16)
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val (zU, zV) = (mean(spans(zPath, "user_id")), mean(spans(zPath, "value")))
+    val (sU, sV) = (mean(spans(sPath, "user_id")), mean(spans(sPath, "value")))
+    // z-order: BOTH dims localized — each file's box is a fraction of
+    // the global range on each axis (16 files ⇒ ~1/4 per axis ideal)
+    assert(zU < 0.5 && zV < 0.5, s"z spans: user=$zU value=$zV")
+    // linear sort: the sort key is tighter than z-order's, but the
+    // second dim scatters — far wider per-file spans than under
+    // z-order (value is heavy-tailed, so the absolute span fraction
+    // sits below the uniform ideal; the CONTRAST is the claim)
+    assert(sU < zU, s"linear sort should beat z on its own key: $sU vs $zU")
+    assert(sV > zV * 1.5 && sV > 0.6,
+      s"unsorted dim unexpectedly localized: sorted=$sV z=$zV")
+    // nothing lost in the reshape
+    assert(spark.read.parquet(zPath).count() == ev.count())
+  }
 }
