@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{VectorDot, VectorNorm2, WordShingles}
+import graft.functions.{DeflateSize, MortonCode, VectorDot, VectorNorm2, WordShingles}
 
 /** Library registration surface: makes graft's custom Catalyst
   * expressions available to SQL users, either at session build time
@@ -55,7 +55,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VectorNorm2].getName, "vector_norm2"),
     (args: Seq[Expression]) => VectorNorm2(args.head))
 
-  val functions = Seq(wordShinglesFunction, vectorDotFunction, vectorNorm2Function)
+  /** Deflate byte count (compression-ratio signal): deflate_size(text). */
+  val deflateSizeFunction: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("deflate_size"),
+    new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+    (args: Seq[Expression]) => DeflateSize(args.head))
+
+  /** 2-D Z-order interleave: morton_code(bucketA, bucketB). */
+  val mortonCodeFunction: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("morton_code"),
+    new ExpressionInfo(classOf[MortonCode].getName, "morton_code"),
+    (args: Seq[Expression]) => MortonCode(args(0), args(1)))
+
+  val functions = Seq(wordShinglesFunction, vectorDotFunction,
+    vectorNorm2Function, deflateSizeFunction, mortonCodeFunction)
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =

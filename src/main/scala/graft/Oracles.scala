@@ -516,6 +516,14 @@ object Oracles {
          |  CAST(length(text) AS BIGINT) AS len_chars, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the Spark side's MG sketch pass is exact-transparent (pass two
+    // recounts candidates exactly; the top-10's counts clear the
+    // N/(k+1) survival bound), so the oracle is the plain top-10
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($tokL) AS tok FROM documents)
+         |SELECT tok, count(*) AS cnt FROM toks
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
+
     "q_lang_id" ->
       s"""SELECT doc_id, n_stop, n_tok,
          |  CASE WHEN n_tok > 0 AND n_stop * 20 >= n_tok THEN 'en' ELSE 'unk' END AS pred_lang,

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_text_dedup" -> (TextOps.q_text_dedup _),
     "q_text_tokens" -> (TextOps.q_text_tokens _),
     "q_token_count" -> (TextOps.q_token_count _),
+    "q_heavy_hitters" -> (TextOps.q_heavy_hitters _),
     "q_lang_id" -> (TextOps.q_lang_id _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),

@@ -109,6 +109,43 @@ object TextOps {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** Heavy-hitter tokens by the two-pass sketch pattern: pass one
+    * runs the Misra–Gries typed Aggregator
+    * ([[graft.functions.FreqItemsAgg]], k = [[heavyHitterK]]) over
+    * the token stream — constant memory per partition, constant-size
+    * partial merges, NO full-vocabulary shuffle; pass two recounts
+    * only the ≤ k surviving candidates exactly (broadcast semi-join
+    * keeps the shuffle to candidate rows). MG guarantees every token
+    * with true count > N/(k+1) survives pass one regardless of merge
+    * order, so as long as the m-th true count clears that threshold
+    * the top-m is EXACT — which is why this is oracle-declared as a
+    * plain top-10 GROUP BY, unlike the sketch-internal queries.
+    * At 100 TB this is how you get exact top-k from a vocabulary too
+    * large to group: the full-corpus aggregate state is k counters,
+    * not |vocab| rows. FreqItemsSpec pins the MG bounds on a skewed
+    * eviction-forcing stream; tie-break (cnt desc, tok asc) keeps
+    * the emitted 10 deterministic.
+    */
+  def q_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    val mg = udaf(new graft.functions.FreqItemsAgg(heavyHitterK),
+      org.apache.spark.sql.Encoders.STRING)
+    val candidates = toks
+      .agg(mg(col("tok")).as("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it._1").as("tok"))
+    toks.join(broadcast(candidates), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(10)
+  }
+
+  /** MG summary width: the exact-top-m guarantee needs the m-th true
+    * count > N/(k+1); 32 gives headroom of ~3× over top-10 on any
+    * corpus whose head is Zipf-ish.
+    */
+  val heavyHitterK = 32
+
   // ── language ID + quality (text analysis) ──────────────────────────
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")

@@ -117,4 +117,15 @@ class PlanSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(two == Seq("a b", "b c"))
   }
+
+  test("deflate_size and morton_code are SQL-callable after " +
+    "extension registration") {
+    GraftExtensions.register(spark)
+    val d = spark.sql("SELECT deflate_size('spark spark spark') AS n")
+      .collect().head.getInt(0)
+    assert(d == graft.functions.DeflateSize.deflatedSize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("spark spark spark")))
+    val z = spark.sql("SELECT morton_code(3, 5) AS z").collect().head.getLong(0)
+    assert(z == graft.functions.MortonCode.interleave(3, 5))
+  }
 }
