@@ -9,7 +9,9 @@ class ContractSpec extends AnyFunSuite {
     * DuckDB twin — SURVEY §2.12 allows omission → rows-only check).
     */
   private val rowsOnly = Set("q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
-    "q_profile_approx", "q_agg_quantile_approx")
+    "q_profile_approx", "q_agg_quantile_approx",
+    // deflate has no DuckDB twin; properties pinned in CompressSpec
+    "q_compress_ratio")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
