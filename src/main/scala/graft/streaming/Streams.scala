@@ -168,6 +168,40 @@ object Streams {
         col("a.event_id").as("a_event"), col("b.event_id").as("b_event"),
         col("a.ts").as("a_ts"), col("b.ts").as("b_ts"))
 
+  /** Streaming frequent items: a per-key Misra–Gries summary held in
+    * mapGroupsWithState — state is k counters per group NO MATTER how
+    * many items the stream delivers, so an unbounded stream cannot
+    * grow state (contrast a naive per-item count whose state is the
+    * full item vocabulary). Each micro-batch folds its rows into the
+    * summary with the same reduce the batch aggregator uses
+    * ([[graft.functions.FreqItemsAgg]]), inheriting MG's guarantee:
+    * any item with true count > N/(k+1) is in the summary, counters
+    * are lower bounds within N/(k+1). Batch twin: pass one of
+    * TextOps.q_heavy_hitters. Input contract: columns `key`, `item`.
+    */
+  def frequentItems(spark: SparkSession, rows: DataFrame, k: Int)
+    : Dataset[(String, Long, Seq[(String, Long)])] = {
+    import spark.implicits._
+    val agg = new graft.functions.FreqItemsAgg(k)
+    rows.select(col("key").cast("string"), col("item").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String)],
+         st: GroupState[(Map[String, Long], Long)]) =>
+          val (buf0, n0) = st.getOption.getOrElse((agg.zero, 0L))
+          var n = n0
+          val updated = it.foldLeft(buf0) { (b, r) =>
+            n += 1; agg.reduce(b, r._2)
+          }
+          st.update((updated, n))
+          // n (items processed) is the N in the N/(k+1) error bound a
+          // consumer applies to the counters; it is also monotone, so
+          // the max-n emission per key is the final summary
+          (key, n, agg.finish(updated))
+      }
+  }
+
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
   case class LwwWinner(user_id: Long, event_id: Long, event_type: String,

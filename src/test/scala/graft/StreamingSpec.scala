@@ -229,4 +229,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty) // the fixture must actually exercise the probe
   }
+
+  test("streaming frequent items: constant-size MG state across " +
+    "micro-batches — exact below k, heavy-item guarantee under eviction") {
+    val k = 4
+    // synthetic skewed stream, two landing files = two micro-batches.
+    // key "hot": 40 distinct light items ×3 + HEAVY ×60 (forces
+    // eviction at k=4); key "uniform": 3 items, exact (≤ k distinct)
+    val light = (0 until 40).flatMap(i => Seq.fill(3)(s"light$i"))
+    val heavy = Seq.fill(60)("HEAVY")
+    val hot = (light.grouped(4) zip heavy.grouped(2))
+      .flatMap { case (l, h) => l ++ h }.toSeq
+    val uniform = Seq.fill(9)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c")
+    val all = hot.map("hot" -> _) ++ uniform.map("uniform" -> _)
+    val (file1, file2) = all.splitAt(all.size / 2)
+    val landing = Files.createTempDirectory("fi_stream")
+    Seq(file1 -> "f1", file2 -> "f2").foreach { case (rows, n) =>
+      val tmp = Files.createTempDirectory(s"fi_$n").resolve("w").toString
+      rows.toDF("key", "item").coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, landing.resolve(s"$n.parquet"))
+    }
+    val src = spark.readStream
+      .schema("key STRING, item STRING")
+      .option("maxFilesPerTrigger", 1) // force ≥2 stateful batches
+      .parquet(landing.toString)
+    val q = Streams.frequentItems(spark, src, k)
+      .toDF("key", "n", "items")
+      .writeStream.format("memory").queryName("fi_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // max-n emission per key = final state (n is monotone)
+    val fin = spark.table("fi_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => x.getString(0) -> x.getLong(1))))
+      .groupBy(_._1).map { case (kk, rows) => kk -> rows.maxBy(_._2) }
+    // uniform: ≤ k distinct ⇒ summary is exact and fully ordered
+    val (_, un, uItems) = fin("uniform")
+    assert(un == uniform.size)
+    assert(uItems == Seq("a" -> 9L, "b" -> 5L, "c" -> 2L))
+    // hot: eviction ran, yet the heavy item survives with a counter
+    // that is a lower bound within N/(k+1)
+    val (_, hn, hItems) = fin("hot")
+    assert(hn == hot.size)
+    assert(hItems.size <= k)
+    val heavyCount = hItems.toMap.get("HEAVY")
+    assert(heavyCount.isDefined, s"HEAVY evicted: $hItems")
+    assert(heavyCount.get <= 60L)
+    assert(60L - heavyCount.get <= hot.size.toLong / (k + 1))
+  }
 }
