@@ -47,7 +47,8 @@ object Bench {
     Seq("q_minhash_sig", "q_dedup_ngram", "q_simhash_sig", "q_sim_topk",
       "q_agg_sum", "q_window_dedup_lww", "q_join_multi", "q_agg_approx_distinct")
       .foreach { q =>
-        try SparkEntry.queries(q)(spark, warmDir).count()
+        try SparkEntry.queries(q)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
     Caches.releaseAll() // warmup caches are for the wrong data dir
@@ -60,7 +61,14 @@ object Bench {
       label: String): Double = {
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write, NOT .count(): under a count aggregate
+      // Catalyst prunes unreferenced columns and drops the final sort,
+      // so map-only queries (regex/decode/projection) would be timed
+      // as little more than a parquet row count. The noop sink
+      // evaluates every output row in full, like Verify's real write,
+      // with zero I/O cost of its own.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(
         f"[bench:$label] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}ms")
@@ -90,15 +98,28 @@ object Bench {
       }
     }
     Caches.releaseAll()
+    // Locale.ROOT: the f interpolator is locale-sensitive and a
+    // comma-decimal locale would corrupt the JSON artifact.
+    // Values rounded to 3 decimals: the round-3 artifact arrived
+    // front-truncated with only a tail of the per-query map — keep
+    // the line as short as possible so a capture limit can't cut it.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = best.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Locale.ROOT: the f interpolator is locale-sensitive and a
-    // comma-decimal locale would corrupt the JSON artifact
     val passes = passTotals.map(t => String.format(java.util.Locale.ROOT,
       "%.2f", Double.box(t))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passes}""")
+    val line =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passes}"""
+    // durable copy next to the repo artifacts, in case the stdout
+    // capture truncates again (BENCH_r03 arrived with parsed:null)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

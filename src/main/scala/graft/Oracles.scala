@@ -703,15 +703,21 @@ object Oracles {
         |  round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // total_tok must be CAST: DuckDB's sum(BIGINT) returns HUGEINT
+    // (INT128) while Spark emits LongType — the round-3 hash-red.
+    // avg_score aggregates 2·score (an exact integer) as BIGINT and
+    // divides once, mirroring the Spark side's drift-free mean.
     "q_corpus_stats" ->
-      s"""SELECT pred_lang, count(*) AS n_docs, sum(n_tok) AS total_tok,
+      s"""SELECT pred_lang, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
          |  count(DISTINCT source) AS n_sources,
-         |  round(CAST(avg(score) AS DOUBLE), 4) AS avg_score
+         |  round(CAST(sum(score2) AS DOUBLE) / (2 * count(*)), 4)
+         |    AS avg_score
          |FROM (SELECT
          |    $predLangSql AS pred_lang,
          |    CAST(len($tokL) AS BIGINT) AS n_tok,
          |    source,
-         |    $scoreSql AS score
+         |    CAST(($scoreSql) * 2 AS BIGINT) AS score2
          |  FROM documents)
          |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
 

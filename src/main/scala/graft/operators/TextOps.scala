@@ -678,7 +678,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tok"),
         countDistinct(col("source")).as("n_sources"),
-        round(avg(col("score")), 4).as("avg_score"))
+        // score is an exact half-integer (0/0.5/1): aggregate 2·score
+        // as BIGINT and divide once, so the mean can never float-drift
+        // across engines (§2.12 decimal discipline)
+        round(sum((col("score") * 2).cast("long")).cast("double")
+          / (count(lit(1)) * 2), 4).as("avg_score"))
       .orderBy("pred_lang")
   }
 

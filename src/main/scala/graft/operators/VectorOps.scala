@@ -133,32 +133,47 @@ object VectorOps {
   /** K-means cells for IVF: seeded from the per-label centroids,
     * refined with `iters` Lloyd iterations, then one final assignment
     * against the refined centroids (the inverted lists an IVF index
-    * actually stores). Each round is (a) assign: every vector to its
-    * nearest current centroid — one crossJoin against the BROADCAST
-    * k-row centroid table (k = cell count; the vectors never
-    * shuffle) reduced by a per-vec_id max aggregate, ties broken
-    * deterministically by (cosine, cell) struct ordering — and
-    * (b) update: one CentroidAgg pass per cell (constant-size partial
-    * aggregation). At 100 TB cell quality determines recall:
-    * per-label seeds inherit whatever the labels happened to mean;
-    * Lloyd rounds move the cells to the embedding geometry.
+    * actually stores). Each round is (a) assign: MAP-ONLY — the k
+    * centroids are folded into ONE broadcast row holding an
+    * array<struct<cell,centroid>>, and each vector picks its cell
+    * with an `array_max(transform(...))` argmax over that array
+    * (ties broken deterministically by (cosine, cell) struct
+    * ordering). The vectors genuinely never shuffle: the only
+    * exchange in a Lloyd round is (b) update — one CentroidAgg pass
+    * per cell, which partial-aggregates map-side so the shuffle
+    * carries k constant-size buffers per partition, not rows. (The
+    * previous shape — crossJoin(broadcast k-row frame) reduced by a
+    * per-vec_id aggregate — shuffled one embedding-carrying row per
+    * vector per iteration; at 100 TB that is iters+1 corpus-wide
+    * shuffles for zero information.) At 100 TB cell quality
+    * determines recall: per-label seeds inherit whatever the labels
+    * happened to mean; Lloyd rounds move the cells to the embedding
+    * geometry.
     *
     * @return (assignments (vec_id, cell, embedding), centroids
     *         (cell, centroid)) — assignments are against the FINAL
     *         centroids, so probe routing and list membership agree.
     */
+  /** One map-only Lloyd assignment pass: k rows → one array-valued
+    * broadcast row, per-vector argmax as a pure projection. The k-row
+    * single-row aggregate is trivially cheap; the vector side plans
+    * no hash-partitioned exchange at all (PlanSpec asserts this).
+    */
+  private[graft] def assignToCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        array_max(transform(col("cents"), c =>
+          struct(cosine(col("embedding"), c.getField("centroid")).as("cc"),
+            c.getField("cell").as("cell"))))
+          .getField("cell").as("cell"),
+        col("embedding"))
+  }
+
   def kmeansCells(e: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val centroidOf = udaf(graft.functions.CentroidAgg)
-    def assign(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"),
-          struct(cosine(col("embedding"), col("centroid")).as("cc"),
-            col("cell").as("cell")).as("sc"))
-        .groupBy("vec_id")
-        // embedding is functionally dependent on vec_id (the fan-out
-        // only multiplied the centroid side), so first() is exact
-        .agg(max(col("sc")).as("sc"), first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("sc.cell").as("cell"), col("embedding"))
+    def assign(cent: DataFrame): DataFrame = assignToCells(e, cent)
     var cent = e.groupBy(col("label").as("cell"))
       .agg(centroidOf(col("embedding")).as("centroid"))
     for (_ <- 1 to iters)

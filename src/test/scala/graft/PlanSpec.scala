@@ -76,6 +76,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("IVF Lloyd assign is map-only on the vector side") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, dir, "embeddings")
+    // materialized centroids (lineage truncated) so the plan under
+    // inspection is exactly one assign pass, not the seed chain
+    val centroidOf = udaf(graft.functions.CentroidAgg)
+    val cent = e.groupBy(col("label").as("cell"))
+      .agg(centroidOf(col("embedding")).as("centroid"))
+      .localCheckpoint()
+    val p = planOf(VectorOps.assignToCells(e, cent))
+    // the k-row centroid fold may plan an Exchange SinglePartition;
+    // the corpus side must never hash-repartition (the round-3 shape
+    // shuffled one embedding-carrying row per vector per iteration)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "assign stage shuffles the vector side:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
   test("q_join_range is a bucketed equi-join, not a nested loop") {
     val p = planOf(Relational.q_join_range(spark, dir))
     assert(!p.contains("NestedLoop"),
