@@ -703,6 +703,17 @@ object Oracles {
         |  round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // bucket = floor(log2(n_tok)) computed integer-exactly as
+    // length-of-binary-string minus one in BOTH engines (Spark conv /
+    // DuckDB to_base) — float log2 drifts at power-of-two boundaries
+    "q_histogram_log" ->
+      s"""SELECT CAST(length(to_base(n_tok, 2)) - 1 AS BIGINT) AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(min(n_tok) AS BIGINT) AS lo,
+         |  CAST(max(n_tok) AS BIGINT) AS hi
+         |FROM (SELECT CAST(len($tokL) AS BIGINT) AS n_tok FROM documents)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // total_tok must be CAST: DuckDB's sum(BIGINT) returns HUGEINT
     // (INT128) while Spark emits LongType — the round-3 hash-red.
     // avg_score aggregates 2·score (an exact integer) as BIGINT and

@@ -121,6 +121,10 @@ object SparkEntry {
     "q_outlier" -> (TextOps.q_outlier _),
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
+    "q_histogram_log" -> (TextOps.q_histogram_log _),
+    // connector end-to-end (rows-only: the DSv2 source IS the table)
+    "q_datatables_scan" ->
+      (sources.datatables.DataTablesQueries.q_datatables_scan _),
     "q_grouping_sets" -> (Relational.q_grouping_sets _),
     "q_agg_quantile_approx" -> (Relational.q_agg_quantile_approx _),
     "q_set_union_all" -> (Relational.q_set_union_all _),

@@ -686,6 +686,27 @@ object TextOps {
       .orderBy("pred_lang")
   }
 
+  /** Variable-width (log-scale) token-count histogram — the
+    * distribution profile that stays readable when doc lengths span
+    * four orders of magnitude (equi-width q_histogram puts 99% of a
+    * heavy-tailed corpus in bucket 0). Bucket = floor(log2(n_tok)),
+    * computed INTEGER-EXACTLY as length(binary(n_tok)) - 1 — float
+    * log2 would drift across engines exactly at the power-of-two
+    * bucket boundaries. Same one-scan, one-hash-agg shape as
+    * q_histogram: the bucket key is tiny (≤ 64 values), so the
+    * aggregate partial-combines map-side and the shuffle carries
+    * next to nothing at any corpus size.
+    */
+  def q_histogram_log(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(ntokC.cast("long").as("n_tok"))
+      .select((length(conv(col("n_tok"), 10, 2)) - 1).cast("long").as("bucket"),
+        col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("n_tok")).as("lo"), max(col("n_tok")).as("hi"))
+      .orderBy("bucket")
+
   /** End-to-end curation pipeline — the composed workload a training-
     * data user actually runs, stage by stage over one pass of the
     * corpus:
