@@ -703,6 +703,34 @@ object Oracles {
         |  round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // duplicated-span twin: shared = 5-token window seen in ≥2 docs;
+    // runs via the same pos - row_number() grouping; sums CAST to
+    // BIGINT (DuckDB sum(BIGINT) = HUGEINT)
+    "q_dedup_span" ->
+      s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+         |sh AS (SELECT doc_id, i AS pos,
+         |    concat_ws(' ', l[i+1], l[i+2], l[i+3], l[i+4], l[i+5]) AS shingle
+         |  FROM (SELECT doc_id, l, unnest(range(greatest(len(l)-4, 0))) AS i
+         |        FROM toks)),
+         |dup AS (SELECT shingle FROM
+         |    (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh
+         |     GROUP BY shingle) WHERE df >= 2),
+         |spos AS (SELECT DISTINCT doc_id, pos FROM sh JOIN dup USING (shingle)),
+         |runs AS (SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM spos),
+         |rl AS (SELECT doc_id, grp, count(*) AS run FROM runs
+         |  GROUP BY doc_id, grp),
+         |per AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_shared,
+         |    CAST(max(run) + 4 AS BIGINT) AS max_span_tok
+         |  FROM rl GROUP BY doc_id),
+         |cov AS (SELECT doc_id,
+         |    CAST(count(DISTINCT pos + u) AS BIGINT) AS covered_tok
+         |  FROM spos CROSS JOIN range(5) t(u) GROUP BY doc_id)
+         |SELECT per.doc_id, n_shared, covered_tok, max_span_tok
+         |FROM per JOIN cov USING (doc_id)
+         |ORDER BY per.doc_id""".stripMargin,
+
     // bucket = floor(log2(n_tok)) computed integer-exactly as
     // length-of-binary-string minus one in BOTH engines (Spark conv /
     // DuckDB to_base) — float log2 drifts at power-of-two boundaries

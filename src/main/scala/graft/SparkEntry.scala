@@ -122,6 +122,7 @@ object SparkEntry {
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
     "q_histogram_log" -> (TextOps.q_histogram_log _),
+    "q_dedup_span" -> (TextOps.q_dedup_span _),
     // connector end-to-end (rows-only: the DSv2 source IS the table)
     "q_datatables_scan" ->
       (sources.datatables.DataTablesQueries.q_datatables_scan _),

@@ -686,6 +686,58 @@ object TextOps {
       .orderBy("pred_lang")
   }
 
+  /** Width of the duplicated-span shingle window (tokens). */
+  val dedupSpanW = 5
+
+  /** Position-aware duplicated-SPAN detection — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") at fixed shingle granularity:
+    * a position is "shared" when its [[dedupSpanW]]-token window
+    * occurs verbatim in another document. Per doc: how many window
+    * positions are shared (n_shared), how many token positions those
+    * windows cover (covered_tok — interval union via a bounded W-row
+    * explode + distinct), and the longest maximal duplicated span in
+    * tokens (max_span_tok — consecutive shared positions found with
+    * the classic pos − row_number() run-group trick, so a run of R
+    * windows is a span of R+W−1 tokens). Only docs with ≥1 shared
+    * window are emitted — the candidates a span-level deduper would
+    * actually cut.
+    *
+    * Scale shape: NO doc-pair join anywhere (contrast the near-dup
+    * family) — two hash aggregates build the shared-shingle set, one
+    * equi-join marks positions, and the window runs per-doc over at
+    * most doc-length rows. Fan-outs are bounded by W. At 100 TB the
+    * join key would be xxhash64(shingle) (constant width) instead of
+    * the shingle text; the fixture keeps the text so the DuckDB twin
+    * groups identically.
+    */
+  def q_dedup_span(s: SparkSession, dir: String): DataFrame = {
+    val w = dedupSpanW
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFns.shingles(col("text"), w)).as(Seq("pos", "shingle")))
+    val dup = sh.select("shingle", "doc_id").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("shingle")
+    val spos = sh.join(dup, Seq("shingle")).select("doc_id", "pos").distinct()
+    val cov = spos
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_tok"))
+    val winSpec = Window.partitionBy("doc_id").orderBy("pos")
+    val per = spos
+      .withColumn("grp", col("pos") - row_number().over(winSpec))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum(col("run")).as("n_shared"),
+        (max(col("run")) + lit(w - 1)).cast("long").as("max_span_tok"))
+    per.join(cov, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("covered_tok"),
+        col("max_span_tok"))
+      .orderBy("doc_id")
+  }
+
   /** Variable-width (log-scale) token-count histogram — the
     * distribution profile that stays readable when doc lengths span
     * four orders of magnitude (equi-width q_histogram puts 99% of a

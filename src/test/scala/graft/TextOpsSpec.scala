@@ -290,6 +290,27 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_span: coverage/run invariants and symmetry of the " +
+    "shared relation") {
+    val w = TextOps.dedupSpanW
+    val out = TextOps.q_dedup_span(spark, dir).collect()
+    assert(out.nonEmpty, "fixture has no duplicated spans at W=" + w)
+    out.foreach { r =>
+      val (nShared, covered, maxSpan) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every shared window is at least one window long
+      assert(maxSpan >= w && nShared >= 1)
+      // the longest span's tokens are a subset of all covered tokens,
+      // and coverage can't exceed W tokens per shared window
+      assert(covered >= maxSpan && covered <= nShared * w)
+      // n runs = total shared minus (run-1) merges; max run ≤ n_shared
+      assert(maxSpan - (w - 1) <= nShared)
+    }
+    // sharing is symmetric: a single doc can never be the only one
+    // with shared windows
+    assert(out.length != 1)
+  }
+
   test("q_outlier: integer flag agrees with the rounded z at 2 sigma") {
     val out = TextOps.q_outlier(spark, dir).collect()
     assert(out.length == Tables(spark, dir, "documents").count())
