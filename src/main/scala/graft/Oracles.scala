@@ -312,6 +312,14 @@ object Oracles {
         |WHERE o_totalprice > 480000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // the PLAIN join is the oracle for the salted plan — salting must
+    // be invisible in the result or the hash compare fails
+    "q_join_salted" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_join_asof" ->
       """SELECT event_id, coalesce((
         |    SELECT p.event_id FROM events p

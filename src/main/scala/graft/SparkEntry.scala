@@ -67,6 +67,7 @@ object SparkEntry {
     "q_join_asof" -> (AsOfJoin.q_join_asof _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_bloom" -> (operators.BloomJoin.q_join_bloom _),
+    "q_join_salted" -> (Relational.q_join_salted _),
     // §2.7 set ops
     "q_set_union" -> (Relational.q_set_union _),
     "q_set_except" -> (Relational.q_set_except _),

@@ -479,6 +479,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Skew-salted join on the DECLARED surface: the big side's rows
+    * scatter over `salts` deterministic sub-keys (xxhash64 of the
+    * row), the small side replicates once per salt, and the join runs
+    * on (key, salt) — the standard hot-key defusal when one join key
+    * holds a double-digit share of a 100 TB shuffle and AQE's skew
+    * split can't help (it only splits SORT-MERGE partitions, not a
+    * hash-aggregated hot key's downstream group). Salting is
+    * semantics-preserving, which is exactly what the oracle proves:
+    * the DuckDB twin is the PLAIN join + aggregate, so any row lost
+    * or duplicated by the salt plumbing is a hash mismatch. Per-brand
+    * rollup keeps the output compact and the aggregate exercises the
+    * post-join re-merge of scattered keys.
+    */
+  def q_join_salted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val p = t(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    SkewUtils.saltedJoin(li, p, "l_partkey", salts = 4)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        dsum2(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** J5: anti join — the integrity check the reference wished for
     * (TODO at clients/exclusion_requests.py:89).
     */
