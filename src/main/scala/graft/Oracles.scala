@@ -90,6 +90,17 @@ object Oracles {
   private val minhashLegs = (0 until 8)
     .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
 
+  // JL projection twin: the SAME ±1 literals as the Spark plan
+  // (graft.functions.RandomProjection.signs) — no per-row hashing in
+  // either engine, so parity rests only on the sequential fold +
+  // round(,4) discipline already proven by q_sim_topk/q_vec_norm
+  private val projCols = (0 until graft.functions.RandomProjection.outDims)
+    .map { j =>
+      val lits = graft.functions.RandomProjection.signs(j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"round(list_sum(list_transform(range(1, ${graft.functions.RandomProjection.srcDims + 1}), i -> embedding[i] * ($lits)[i])), 4) AS p$j"
+    }.mkString(",\n  ")
+
   val sql: Map[String, String] = Map(
     // ── scans / predicates ─────────────────────────────────────────
     "q_scan_project" ->
@@ -1020,6 +1031,11 @@ object Oracles {
          |    sum(CAST(sqrt(${norm2("embedding")}) AS DECIMAL(18,6))) AS sum_norm
          |  FROM embeddings GROUP BY label)
          |ORDER BY label""".stripMargin,
+
+    "q_vec_project" ->
+      s"""SELECT vec_id,
+         |  $projCols
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_dedup_embed" -> {
       // banded axis-sign LSH: band j's bucket = 4 sign bits from

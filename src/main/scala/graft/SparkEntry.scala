@@ -137,6 +137,7 @@ object SparkEntry {
     // §2.11 vectors
     "q_sim_topk" -> (VectorOps.q_sim_topk _),
     "q_vec_norm" -> (VectorOps.q_vec_norm _),
+    "q_vec_project" -> (VectorOps.q_vec_project _),
     "q_dedup_embed" -> (VectorOps.q_dedup_embed _),
     "q_ann_lsh" -> (VectorOps.q_ann_lsh _),
     "q_ann_ivf" -> (VectorOps.q_ann_ivf _),

@@ -98,6 +98,29 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** JL random projection 64 → 16 dims ([[graft.functions.RandomProjection]]):
+    * the map-only dimensionality-reduction pass a 100 TB embedding
+    * pipeline runs before ANN indexing — 4× less distance math and
+    * index memory, distances preserved within the JL (1±ε). Pure
+    * projection: zero shuffles before the declared ORDER BY; the
+    * ±1 sign matrix is a shared literal (no per-row hashing), so the
+    * DuckDB twin computes the identical dot products. Sequential
+    * left-to-right folds + round(,4) give cross-engine float parity
+    * (same discipline as q_sim_topk, SURVEY §2.12).
+    */
+  def q_vec_project(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RandomProjection._
+    val cols = (0 until outDims).map { j =>
+      round(aggregate(
+        zip_with(col("embedding"), typedlit(signs(j).toSeq),
+          (x, sg) => x.cast("double") * sg),
+        lit(0.0), (a, x) => a + x), 4).as(s"p$j")
+    }
+    t(s, dir, "embeddings")
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
+
   /** Bits in the sign-random-projection LSH bucket id. */
   val lshBits = 6
 

@@ -48,6 +48,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF one-probe recall $recall below bar")
   }
 
+  test("q_vec_project: projected squared norms concentrate at " +
+    "outDims x the original (the JL expectation)") {
+    import graft.functions.RandomProjection.{outDims, srcDims}
+    val proj = VectorOps.q_vec_project(spark, dir)
+    val orig = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.norm2(col("embedding")).as("n2"))
+    // E[‖Pv‖²] = outDims·‖v‖² for ±1 sign projections; the MEAN ratio
+    // over the fixture must sit near outDims even though any single
+    // vector's ratio can wander
+    val pn2 = (0 until outDims)
+      .map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    val ratios = proj.join(orig, "vec_id")
+      .select((pn2 / col("n2")).as("r")).as[Double].collect()
+    assert(ratios.length > 0)
+    val mean = ratios.sum / ratios.length
+    assert(mean > outDims * 0.75 && mean < outDims * 1.25,
+      s"mean norm ratio $mean far from $outDims")
+    // and the projection is 4x narrower than the source
+    assert(proj.schema.fieldNames.length == 1 + outDims && outDims * 4 == srcDims)
+  }
+
   test("kmeansCells: assignments agree with final centroids and cover " +
     "every vector exactly once") {
     val e = Tables(spark, dir, "embeddings")
