@@ -11,8 +11,8 @@ package graft.functions
   * At 100 TB this is the step before ANN indexing: 64→16 dims cuts
   * the index's distance math and memory 4× while the JL bound keeps
   * relative distances within the usual (1±ε); VectorOpsSpec pins the
-  * expectation E[‖Pv‖²] = outDims·‖v‖²/srcDims · srcDims (i.e. the
-  * per-vector norm ratio concentrates near outDims).
+  * expectation E[‖Pv‖²] = outDims·‖v‖² (the mean per-vector
+  * squared-norm ratio concentrates near outDims).
   */
 object RandomProjection {
   val srcDims = 64
