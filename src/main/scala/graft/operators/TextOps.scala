@@ -713,9 +713,13 @@ object TextOps {
     */
   def q_dedup_span(s: SparkSession, dir: String): DataFrame = {
     val w = dedupSpanW
-    val sh = t(s, dir, "documents")
+    // cached: both the shared-shingle aggregate and the position join
+    // consume this frame — without the cache the corpus is tokenized
+    // and exploded twice (the round-1 lesson: tokenize once, never
+    // per consumer)
+    val sh = cached(t(s, dir, "documents")
       .select(col("doc_id"),
-        posexplode(TextFns.shingles(col("text"), w)).as(Seq("pos", "shingle")))
+        posexplode(TextFns.shingles(col("text"), w)).as(Seq("pos", "shingle"))))
     val dup = sh.select("shingle", "doc_id").distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("shingle")
