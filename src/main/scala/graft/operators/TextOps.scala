@@ -723,7 +723,10 @@ object TextOps {
     val dup = sh.select("shingle", "doc_id").distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("shingle")
-    val spos = sh.join(dup, Seq("shingle")).select("doc_id", "pos").distinct()
+    // cached too: the coverage union and the run-grouping window are
+    // two independent consumers of the (small) shared-position set
+    val spos = cached(
+      sh.join(dup, Seq("shingle")).select("doc_id", "pos").distinct())
     val cov = spos
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))

@@ -95,6 +95,23 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_vec_project is map-only: no hash exchange before the " +
+    "declared sort") {
+    val p = planOf(VectorOps.q_vec_project(spark, dir))
+    // rangepartitioning for the final ORDER BY is expected; any
+    // hashpartitioning would mean the projection grew a shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("q_dedup_span consumers read the cached explode and the cached " +
+    "shared-position set, not fresh corpus scans") {
+    val p = planOf(TextOps.q_dedup_span(spark, dir))
+    // every branch must enter through a cache read ("Scan parquet"
+    // still APPEARS in the string — InMemoryRelation prints its
+    // cached child plan — but execution reads the materialization)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q_join_range is a bucketed equi-join, not a nested loop") {
     val p = planOf(Relational.q_join_range(spark, dir))
     assert(!p.contains("NestedLoop"),
