@@ -811,12 +811,24 @@ object Relational {
     // clients/exclusion_requests.py:116): decode the outer string,
     // then path into the inner document
     // JSON string re-encoding must escape backslashes BEFORE quotes —
-    // quote-only escaping corrupts any props containing a backslash
+    // quote-only escaping corrupts any props containing a backslash.
+    // Literal replace(), not regexp_replace: the escapes are fixed
+    // strings, and the regex engine was ~a third of this query's
+    // per-row cost under full evaluation.
     val doubleEncoded = concat(lit("\""),
-      regexp_replace(
-        regexp_replace(col("props"), "\\\\", "\\\\\\\\"),
-        "\"", "\\\\\""), lit("\""))
+      replace(
+        replace(col("props"), lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")), lit("\""))
+    // sort FIRST, decode AFTER: the parse/regex projection sits above
+    // the ORDER BY's range exchange, so it runs on all post-shuffle
+    // partitions instead of on however few splits the source file
+    // offers (one, for a small single-row-group parquet — which made
+    // this the bench's slowest query, single-threaded). No extra
+    // shuffle: the sort needed that exchange anyway, and sorting by
+    // event_id alone is cheaper than sorting the decoded row.
     t(s, dir, "events")
+      .select(col("event_id"), col("props"), col("event_type"))
+      .orderBy("event_id")
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
@@ -825,7 +837,6 @@ object Relational {
         get_json_object(
           regexp_extract(page, "\\[\\{\"OriginCountry\"[^]]*\\]", 0),
           "$[0].OriginCountry").as("origin_country"))
-      .orderBy("event_id")
   }
 
   /** F7/F10: explode list column to rows, empty tokens dropped (P3). */

@@ -23,8 +23,10 @@ object ProfileMain {
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
     (1 to 5).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[profile] $q run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // noop write = full evaluation, same meter as Bench (a count
+      // would let Catalyst prune the very columns being profiled)
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[profile] $q run$i time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }
