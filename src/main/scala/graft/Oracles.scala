@@ -676,6 +676,31 @@ object Oracles {
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // signature-agreement estimator over the same candidate pairs;
+    // n/8 is a terminating binary fraction, so round(,4) is drift-free
+    "q_minhash_est" -> {
+      val agree = (0 until 8)
+        .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT p.a_id, p.b_id,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  round(CAST($agree AS DOUBLE) / 8, 4) AS est_jaccard
+         |FROM pairs p
+         |JOIN sig sa ON p.a_id = sa.doc_id
+         |JOIN sig sb ON p.b_id = sb.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
     // same candidate pairs as q_dedup_minhash, closed into connected
     // components with a recursive CTE (min reachable id = cluster id);
     // docs in no pair cluster to themselves

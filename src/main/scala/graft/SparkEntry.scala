@@ -107,6 +107,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),
+    "q_minhash_est" -> (TextOps.q_minhash_est _),
     "q_dedup_cluster" -> (TextOps.q_dedup_cluster _),
     "q_curate" -> (TextOps.q_curate _),
     "q_repetition" -> (TextOps.q_repetition _),

@@ -453,6 +453,36 @@ object TextOps {
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame =
     minhashCandidatePairs(s, dir).orderBy("a_id", "b_id")
 
+  /** Signature-only Jaccard ESTIMATE for every LSH candidate pair:
+    * est = (#agreeing MinHash legs) / 8 — E[est] is the true Jaccard
+    * (the MinHash identity), σ ≤ 1/√8 ≈ 0.35 at 8 legs. This is the
+    * verify step a 100 TB near-dup pass actually runs: the exact
+    * verify (q_dedup_ngram's shingle re-join) touches tokenized text
+    * again, while the estimator reads ONLY the cached constant-width
+    * signature table — two narrow hash joins on doc_id, nothing
+    * proportional to document length. More legs buy accuracy at
+    * constant-factor cost; the leg count is the declared geometry
+    * (same 8 the band index uses). Oracle-exact because the legs are
+    * min-md5 in both engines and n/8 is a terminating binary
+    * fraction (no rounding drift possible).
+    */
+  def q_minhash_est(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val a = sig.select(col("doc_id").as("a_id") +:
+      (0 until 8).map(j => col(s"h$j").as(s"a_h$j")): _*)
+    val b = sig.select(col("doc_id").as("b_id") +:
+      (0 until 8).map(j => col(s"h$j").as(s"b_h$j")): _*)
+    val agree = (0 until 8)
+      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashCandidatePairs(s, dir)
+      .join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        agree.cast("long").as("n_agree"),
+        round(agree.cast("double") / 8, 4).as("est_jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Near-dup CLUSTERS from the MinHash-LSH candidate pairs: treat
     * pairs as undirected edges, compute connected components by
     * iterative min-label propagation to fixpoint, and assign every
