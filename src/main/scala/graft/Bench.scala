@@ -67,12 +67,19 @@ object Bench {
       // as little more than a parquet row count. The noop sink
       // evaluates every output row in full, like Verify's real write,
       // with zero I/O cost of its own.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench:$label] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(
         f"[bench:$label] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}ms")
-      dt
+      // a query that fails fast must not masquerade as a fast query:
+      // record a -1 sentinel instead of the time-to-fail (min() then
+      // keeps the sentinel sticky across passes)
+      if (ok) dt else -1.0
     }
     val fullPasses = 2
     val retryThreshold = 3.0
@@ -82,7 +89,7 @@ object Bench {
       var total = 0.0
       SparkEntry.queries.foreach { case (name, fn) =>
         val dt = timed(name, fn, s"pass$pass")
-        total += dt
+        if (dt >= 0) total += dt
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
       passTotals += total
@@ -108,11 +115,17 @@ object Bench {
     val results = best.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
     val passes = passTotals.map(t => String.format(java.util.Locale.ROOT,
       "%.2f", Double.box(t))).mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // value/pass_totals are ALSO emitted at the END of the line:
+    // observed capture truncation cuts from the FRONT and keeps tails
+    // (BENCH_r03/r04 both arrived headless), so the headline number
+    // survives either way
     val line =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passes}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"pass_totals":$passes,"value_tail":${d3(total)},"pass_totals_tail":$passes}"""
     // durable copy next to the repo artifacts, in case the stdout
     // capture truncates again (BENCH_r03 arrived with parsed:null)
     try java.nio.file.Files.write(

@@ -747,14 +747,18 @@ object Oracles {
         |  round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
-    // duplicated-span twin: shared = 5-token window seen in ≥2 docs;
-    // runs via the same pos - row_number() grouping; sums CAST to
-    // BIGINT (DuckDB sum(BIGINT) = HUGEINT)
-    "q_dedup_span" ->
+    // duplicated-span twin: shared = W-token window seen in ≥2 docs
+    // (W interpolated from TextOps.dedupSpanW so the engines cannot
+    // desynchronize); runs via the same pos - row_number() grouping;
+    // sums CAST to BIGINT (DuckDB sum(BIGINT) = HUGEINT)
+    "q_dedup_span" -> {
+      val w = graft.operators.TextOps.dedupSpanW
+      val winTok = (1 to w).map(j => s"l[i+$j]").mkString(", ")
       s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
          |sh AS (SELECT doc_id, i AS pos,
-         |    concat_ws(' ', l[i+1], l[i+2], l[i+3], l[i+4], l[i+5]) AS shingle
-         |  FROM (SELECT doc_id, l, unnest(range(greatest(len(l)-4, 0))) AS i
+         |    concat_ws(' ', $winTok) AS shingle
+         |  FROM (SELECT doc_id, l,
+         |        unnest(range(greatest(len(l)-${w - 1}, 0))) AS i
          |        FROM toks)),
          |dup AS (SELECT shingle FROM
          |    (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh
@@ -766,14 +770,15 @@ object Oracles {
          |rl AS (SELECT doc_id, grp, count(*) AS run FROM runs
          |  GROUP BY doc_id, grp),
          |per AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_shared,
-         |    CAST(max(run) + 4 AS BIGINT) AS max_span_tok
+         |    CAST(max(run) + ${w - 1} AS BIGINT) AS max_span_tok
          |  FROM rl GROUP BY doc_id),
          |cov AS (SELECT doc_id,
          |    CAST(count(DISTINCT pos + u) AS BIGINT) AS covered_tok
-         |  FROM spos CROSS JOIN range(5) t(u) GROUP BY doc_id)
+         |  FROM spos CROSS JOIN range($w) t(u) GROUP BY doc_id)
          |SELECT per.doc_id, n_shared, covered_tok, max_span_tok
          |FROM per JOIN cov USING (doc_id)
-         |ORDER BY per.doc_id""".stripMargin,
+         |ORDER BY per.doc_id""".stripMargin
+    },
 
     // bucket = floor(log2(n_tok)) computed integer-exactly as
     // length-of-binary-string minus one in BOTH engines (Spark conv /
@@ -1100,6 +1105,32 @@ object Oracles {
         |FROM (SELECT doc_id,
         |    CAST(octet_length(CAST(text AS BLOB)) % 5 + 1 AS BIGINT) AS n_frames
         |  FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // ── connector ──────────────────────────────────────────────────
+    // The DSv2 source IS the table (no parquet twin), but the fixture
+    // is a pure function of the row index
+    // (DataTablesQueries.fixtureRecords), so DuckDB regenerates the
+    // identical rows from range() and checks the connector end-to-end
+    // — row count, paging, projection, and pushdown semantics all
+    // hash-gated instead of rows-only.
+    "q_datatables_scan" -> {
+      val n = graft.sources.datatables.DataTablesQueries.fixtureCount
+      s"""WITH t AS (
+         |  SELECT printf('%06d', i) AS ID,
+         |    'Co' || (i % 7) AS Company,
+         |    '72' || (i % 5) AS HTSUSCode,
+         |    CASE WHEN i % 3 = 0 THEN 'GRANTED' ELSE 'PENDING' END
+         |      AS PublicStatus
+         |  FROM range(1, ${n + 1}) r(i)),
+         |f AS (SELECT HTSUSCode, count(*) AS cnt,
+         |    min(ID) AS min_id, max(ID) AS max_id
+         |  FROM t GROUP BY HTSUSCode),
+         |p AS (SELECT HTSUSCode, count(*) AS pushed_cnt
+         |  FROM t WHERE HTSUSCode = '722' GROUP BY HTSUSCode)
+         |SELECT f.HTSUSCode, cnt, min_id, max_id, pushed_cnt
+         |FROM f LEFT JOIN p USING (HTSUSCode)
+         |ORDER BY f.HTSUSCode""".stripMargin
+    }
   )
 }

@@ -125,7 +125,8 @@ object SparkEntry {
     "q_histogram" -> (Relational.q_histogram _),
     "q_histogram_log" -> (TextOps.q_histogram_log _),
     "q_dedup_span" -> (TextOps.q_dedup_span _),
-    // connector end-to-end (rows-only: the DSv2 source IS the table)
+    // connector end-to-end (hash-gated: the oracle regenerates the
+    // deterministic fixture inline — Oracles.scala q_datatables_scan)
     "q_datatables_scan" ->
       (sources.datatables.DataTablesQueries.q_datatables_scan _),
     "q_grouping_sets" -> (Relational.q_grouping_sets _),

@@ -502,10 +502,13 @@ object TextOps {
     * chain from raw data — measured exponential blowup (iterations of
     * 1s, 1s, 230s, 830s at sf0.1). With per-step checkpoints each
     * iteration starts from a materialized RDD and costs the same.
-    * (On a cluster, swap localCheckpoint for reliable `checkpoint` —
-    * local checkpoint blocks die with an executor.) Driver-side work
-    * per step is a single empty-check — the standard Pregel-style
-    * loop, inherent to iterate-to-fixpoint graph algorithms.
+    * Checkpoint mode is [[Checkpoints.ckpt]]: reliable `checkpoint()`
+    * when the context has a checkpoint dir (cluster deployments —
+    * local checkpoint blocks die with an executor), `localCheckpoint`
+    * otherwise; ReliableCheckpointSpec proves both modes agree.
+    * Driver-side work per step is a single empty-check — the
+    * standard Pregel-style loop, inherent to iterate-to-fixpoint
+    * graph algorithms.
     *
     * Round-3 stabilization (the one query whose round-2 run-time
     * varied 4.5 s → 113 s across attempts):
@@ -522,17 +525,17 @@ object TextOps {
     *    of spinning forever on a pathological input.
     */
   def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+    import Checkpoints.ckpt
     // one materialization of the band join; the union below then reads
     // the checkpointed rows twice instead of recomputing the join twice
-    val pairs = minhashCandidatePairs(s, dir).localCheckpoint()
+    val pairs = ckpt(minhashCandidatePairs(s, dir))
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
     // start: every candidate node labels itself
-    var labels = edges.select(col("src").as("id"))
+    var labels = ckpt(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .withColumn("label", col("id")))
     val maxIters = 12 // collapses any component of diameter ≤ 2^12
     var converged = false
     var iter = 0
@@ -546,11 +549,10 @@ object TextOps {
       val viaParent = labels.select(col("id"), col("label").as("mid"))
         .join(labels.select(col("id").as("mid"), col("label").as("plabel")), "mid")
         .select(col("id"), col("plabel").as("label"))
-      val next = labels.select(col("id"), col("label"))
+      val next = ckpt(labels.select(col("id"), col("label"))
         .union(viaNeighbors)
         .union(viaParent)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .groupBy("id").agg(min(col("label")).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).isEmpty
       labels = next

@@ -183,6 +183,12 @@ object VectorOps {
     * no hash-partitioned exchange at all (PlanSpec asserts this).
     */
   private[graft] def assignToCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    // empty-centroid guard: collect_list over zero rows yields ONE row
+    // with an empty array, so array_max would emit cell = null for
+    // every vector (the old crossJoin shape produced an empty frame).
+    // Unreachable from kmeansCells (seeding always yields ≥1 cell) but
+    // fail loudly rather than silently null-routing all vectors.
+    require(!cent.isEmpty, "assignToCells: centroid frame is empty")
     val centArr = cent.agg(
       collect_list(struct(col("cell"), col("centroid"))).as("cents"))
     e.crossJoin(broadcast(centArr))
@@ -205,8 +211,10 @@ object VectorOps {
     // materialize the (k-row) final centroids: both return values hang
     // off them, and without this each consumer re-runs the whole
     // seed + iters×(assign+update) chain — 2× three corpus-wide
-    // passes for q_ann_ivf's (probes, cells) pair
-    val centF = cent.localCheckpoint()
+    // passes for q_ann_ivf's (probes, cells) pair. Checkpoints.ckpt:
+    // reliable mode when a checkpoint dir is configured (cluster),
+    // local otherwise.
+    val centF = Checkpoints.ckpt(cent)
     (assign(centF), centF)
   }
 

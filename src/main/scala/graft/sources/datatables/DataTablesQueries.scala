@@ -11,20 +11,29 @@ import org.apache.spark.sql.functions._
   * reference clients/exclusion_requests.py:81-82), and
   * column-descriptor projection all sit on the executed path.
   *
-  * Rows-only by design: the source IS the table (there is no parquet
-  * twin for DuckDB to scan), so the contract records a rows>0 check;
-  * the wire-level semantics are pinned by DataTablesSourceSpec /
-  * HttpTransportSpec. The fixture is deterministic, so the output
-  * frame is too.
+  * Hash-gated despite the source BEING the table: the fixture is a
+  * pure function of the row index, so the DuckDB oracle
+  * (Oracles.scala q_datatables_scan) regenerates identical rows from
+  * range() and the driver's rows+schema+hash compare applies. The
+  * wire-level semantics are additionally pinned by
+  * DataTablesSourceSpec / HttpTransportSpec.
   */
 object DataTablesQueries {
   private val pageSize = 1000
 
+  /** Fixture row count — shared with the DuckDB oracle twin
+    * (Oracles.scala q_datatables_scan), which regenerates the same
+    * rows from `range()` so the connector query is hash-gated.
+    */
+  val fixtureCount = 2500
+
   /** Deterministic stand-in for the portal: same shape as the
     * reference's SummaryView rows (ID, company, HTS code, status).
+    * Lazy val: the bench loop invokes the query repeatedly; the
+    * materialized fixture is reused instead of rebuilt per call.
     */
-  private def fixtureRecords: Seq[Map[String, String]] =
-    (1 to 2500).map { i =>
+  private lazy val fixtureRecords: Seq[Map[String, String]] =
+    (1 to fixtureCount).map { i =>
       Map(
         "ID" -> f"$i%06d",
         "Company" -> s"Co${i % 7}",
