@@ -1,16 +1,20 @@
 package graft.operators
 
-/** REAL, dependency-free media header decoding — the part of "decode"
-  * that needs no codec library: container magic bytes + fixed-offset
-  * dimension fields, readable with plain byte arithmetic. This
-  * replaces the corresponding slice of [[MultimodalOps.decodeStub]]:
-  * payloads in a recognized container get their TRUE dimensions; only
-  * pixel/sample decoding (which genuinely needs a codec) remains
-  * stubbed.
+/** REAL, dependency-free media decoding — everything that needs no
+  * codec library, with plain byte arithmetic:
   *
-  * Formats: PNG (IHDR), JPEG (SOF0-3 scan), GIF (87a/89a), BMP
-  * (BITMAPINFOHEADER), WAV (RIFF/WAVE fmt — "dimensions" are sample
-  * rate × channels). Anything else → None, caller falls back.
+  *  - header sniffing (container magic + fixed-offset dimension
+  *    fields) for PNG (IHDR), JPEG (SOF0-3 scan), GIF (87a/89a), BMP
+  *    (BITMAPINFOHEADER), WAV (RIFF/WAVE fmt — "dimensions" are
+  *    sample rate × channels);
+  *  - FULL sample decode for the uncompressed containers:
+  *    [[bmpPixels]] (BI_RGB 24/32-bit rasters, row padding + row
+  *    order handled) and [[wavSamples]] (8/16-bit PCM, RIFF chunk
+  *    walk). Only entropy-coded pixel formats (JPEG/PNG/GIF) remain
+  *    behind [[MultimodalOps.decodeStub]] — those genuinely need a
+  *    codec library.
+  *
+  * Anything unrecognized → None, caller falls back.
   */
 object MediaHeaders {
 
@@ -86,4 +90,96 @@ object MediaHeaders {
       ascii(b, 12, "fmt "))
       Some(Sniffed("wav", le4(b, 24), le2(b, 22)))
     else None
+
+  // ── full sample decode for the UNCOMPRESSED containers ───────────
+  // BMP (BI_RGB 24/32-bit) and PCM WAV (8/16-bit) carry raw samples
+  // behind fixed headers — decodable with plain byte arithmetic, no
+  // codec library. Only entropy-coded formats (JPEG/PNG/GIF pixels)
+  // genuinely need a codec and stay stubbed
+  // (MultimodalOps.decodeStub).
+
+  /** Decoded raster: packed 0xRRGGBB ints, row-major, TOP-DOWN
+    * regardless of the file's row order.
+    */
+  final case class Raster(width: Int, height: Int, pixels: Array[Int])
+
+  /** Uncompressed BMP pixel decode. Supports the dominant layout:
+    * BITMAPINFOHEADER (size 40), BI_RGB (compression 0), 24- or
+    * 32-bit. Pixel rows are 4-byte aligned and stored bottom-up
+    * unless height is negative (top-down); samples are BGR(A) little
+    * order. Returns None (caller falls back to header-only sniff) for
+    * palettized/compressed/other-header variants.
+    */
+  def bmpPixels(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 54 || !ascii(b, 0, "BM")) return None
+    val pixOff = le4(b, 10)
+    if (le4(b, 14) != 40 || le4(b, 30) != 0) return None // header/BI_RGB
+    val w = le4(b, 18)
+    val rawH = le4(b, 22)
+    val h = math.abs(rawH)
+    val bpp = le2(b, 28)
+    if (w <= 0 || h == 0 || (bpp != 24 && bpp != 32)) return None
+    val bytesPP = bpp / 8
+    val stride = ((w * bytesPP + 3) / 4) * 4 // rows pad to 4 bytes
+    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length) return None
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      // bottom-up files store the LAST raster row first
+      val srcRow = if (rawH > 0) h - 1 - row else row
+      val base = pixOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val i = base + x * bytesPP
+        out(row * w + x) = (u(b(i + 2)) << 16) | (u(b(i + 1)) << 8) | u(b(i))
+        x += 1
+      }
+      row += 1
+    }
+    Some(Raster(w, h, out))
+  }
+
+  /** Decoded PCM audio: interleaved samples normalized to signed Int
+    * (16-bit kept as-is; 8-bit unsigned re-centered to signed).
+    */
+  final case class Pcm(sampleRate: Int, channels: Int, bits: Int,
+    samples: Array[Int])
+
+  /** PCM WAV sample decode. Walks the RIFF chunk list (fmt may be
+    * followed by LIST/fact/etc before data — the canonical offset is
+    * not guaranteed), requires audio format 1 (PCM) at 8 or 16 bits,
+    * and decodes the data chunk: 16-bit signed LE, or 8-bit unsigned
+    * re-centered by -128. Returns None for compressed/float formats
+    * (caller falls back to the header-only sniff).
+    */
+  def wavSamples(b: Array[Byte]): Option[Pcm] = {
+    if (b == null || b.length < 44 || !ascii(b, 0, "RIFF") ||
+      !ascii(b, 8, "WAVE")) return None
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le4(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (ascii(b, i, "fmt ")) {
+        if (size < 16 || le2(b, i + 8) != 1) return None // PCM only
+        fmt = Some((le4(b, i + 12), le2(b, i + 10), le2(b, i + 22)))
+      } else if (ascii(b, i, "data")) {
+        val (rate, chans, bits) = fmt.getOrElse(return None)
+        if (bits != 8 && bits != 16) return None
+        val n = size / (bits / 8)
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          val p = i + 8 + k * (bits / 8)
+          out(k) =
+            if (bits == 16) (le2(b, p) << 16) >> 16 // sign-extend
+            else u(b(p)) - 128
+          k += 1
+        }
+        return Some(Pcm(rate, chans, bits, out))
+      }
+      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
 }

@@ -6,11 +6,13 @@ import graft.Tables
 
 /** Multimodal-column plumbing (builder mandate): media payloads are
   * opaque `binary` columns beside a typed metadata struct; decode /
-  * feature-extraction runs batched per partition. The actual codec is
-  * STUBBED (no image/audio libs in this container) behind
-  * [[MultimodalOps.decodeStub]] — a clearly-marked deterministic fake
-  * — while everything Spark-side (schema, partitioning, batch shape,
-  * frame fan-out) is real and tested.
+  * feature-extraction runs batched per partition. Decode coverage:
+  * headers for PNG/JPEG/GIF/BMP/WAV and FULL sample decode for the
+  * uncompressed containers (BMP rasters, PCM WAV — [[MediaHeaders]],
+  * pure byte arithmetic) are REAL; only entropy-coded pixel data
+  * (JPEG/PNG/GIF) is STUBBED behind [[MultimodalOps.decodeStub]] —
+  * a clearly-marked deterministic fake standing in for the codec
+  * library this container lacks.
   *
   * Scale posture: payload bytes never shuffle — metadata is derived
   * map-side and the per-frame fan-out is a generator (explode over a
@@ -52,10 +54,14 @@ object MultimodalOps {
         (length(col("content")) % 5 + 1).cast("long").as("n_frames"))
       .orderBy("doc_id")
 
-  /** STUB — stands in for a real image/audio decoder (libs absent in
-    * this container). Deterministic fake: dimensions and checksum
-    * derived from the payload bytes. The mapPartitions plumbing
-    * around it (batching, encoder, schema) is the real deliverable.
+  /** STUB — stands in for an entropy-coded image decoder (JPEG/PNG/
+    * GIF pixel paths; the codec libs are absent in this container).
+    * Uncompressed containers do NOT hit this: BMP rasters and PCM WAV
+    * samples are decoded for real ([[MediaHeaders.bmpPixels]] /
+    * [[MediaHeaders.wavSamples]] via [[decodeContent]]).
+    * Deterministic fake: dimensions and checksum derived from the
+    * payload bytes. The mapPartitions plumbing around it (batching,
+    * encoder, schema) is the real deliverable.
     */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaFeature = {
     val n = payload.length
@@ -107,6 +113,62 @@ object MultimodalOps {
             case None =>
               val f = decodeStub(id, if (bytes == null) Array.empty else bytes)
               MediaInfo(id, "unknown", f.width, f.height, f.n_bytes)
+          }
+        }
+      }
+  }
+
+  /** One decoded payload: real sample data where the container is
+    * uncompressed (BMP / PCM WAV), stub-derived fields otherwise.
+    * `n_samples` = pixels for rasters, interleaved samples for audio;
+    * `sample_checksum` is a rolling hash over the DECODED values (not
+    * the container bytes), so a wrong pixel order / padding / sign
+    * extension changes it.
+    */
+  case class DecodedContent(doc_id: Long, format: String, kind: String,
+    width: Int, height: Int, n_samples: Int, sample_checksum: Long)
+
+  private def rollingChecksum(vals: Array[Int]): Long = {
+    var ck = 1125899906842597L
+    var i = 0
+    while (i < vals.length) { ck = ck * 31 + vals(i); i += 1 }
+    ck
+  }
+
+  /** Full decode stage: same per-partition batched shape as
+    * [[decodeFeatures]], but BMP and PCM WAV payloads yield their REAL
+    * decoded samples (MediaHeaders, dependency-free); entropy-coded /
+    * unrecognized payloads fall back to the stub with kind 'stub'.
+    * MultimodalSpec pins exact pixel/sample values on hand-built
+    * containers.
+    */
+  def decodeContent(media: DataFrame)(implicit s: SparkSession): Dataset[DecodedContent] = {
+    import s.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaHeaders.bmpPixels(bytes) match {
+            case Some(r) =>
+              DecodedContent(id, "bmp", "image", r.width, r.height,
+                r.pixels.length, rollingChecksum(r.pixels))
+            case None => MediaHeaders.wavSamples(bytes) match {
+              case Some(p) =>
+                DecodedContent(id, "wav", "audio", p.sampleRate, p.channels,
+                  p.samples.length, rollingChecksum(p.samples))
+              case None =>
+                // entropy-coded or unrecognized: header dims are still
+                // real where the container is known; sample decode is
+                // the stub (kind marks it)
+                val f = decodeStub(id, if (bytes == null) Array.empty else bytes)
+                MediaHeaders.sniff(bytes) match {
+                  case Some(h) => DecodedContent(id, h.format, "stub",
+                    h.width, h.height, 0, f.checksum)
+                  case None => DecodedContent(id, "unknown", "stub",
+                    f.width, f.height, 0, f.checksum)
+                }
+            }
           }
         }
       }

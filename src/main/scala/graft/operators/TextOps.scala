@@ -824,14 +824,26 @@ object TextOps {
     * on doc_id — every join key is the document id or a constant-width
     * hash, nothing quadratic, no iteration.
     */
+  /** Shared curation stage 0: per-doc stats projection (one
+    * definition for q_curate, q_corpus_stats consumers and the
+    * streaming pipeline [[graft.streaming.Streams.curateStream]] —
+    * the gates must not fork across batch and streaming).
+    */
+  def curationStats(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"), col("text"),
+    ntokC.cast("long").as("n_tok"),
+    scoreC.as("score"),
+    predLangC.as("pred_lang"))
+
+  /** Shared curation stages 1-2: language + quality gates (stateless
+    * filters — identical semantics in a stream).
+    */
+  def curationGate(stats: DataFrame): DataFrame =
+    stats.filter(col("pred_lang") === "en" && col("score") >= 0.5)
+
   def q_curate(s: SparkSession, dir: String): DataFrame = {
-    val stats = t(s, dir, "documents").select(
-      col("doc_id"), col("text"),
-      ntokC.cast("long").as("n_tok"),
-      scoreC.as("score"),
-      predLangC.as("pred_lang"))
-    val gated = stats
-      .filter(col("pred_lang") === "en" && col("score") >= 0.5)
+    val stats = curationStats(t(s, dir, "documents"))
+    val gated = curationGate(stats)
     val exactKeep = gated
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))

@@ -133,22 +133,30 @@ object VectorOps {
     * family is engine-hash-specific); the recall spec checks it
     * against q_sim_topk.
     */
-  def q_ann_lsh(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .withColumn("bucket", lshBucket(col("embedding"), lshBits))
+  /** Parameterized LSH candidate set (the accuracy dial the sweep
+    * spec measures): `bits` hyperplanes, query bucket + all hamming-1
+    * probes. Returns every candidate with its exact cosine — callers
+    * top-k it; the spec also counts it (candidate fraction vs recall).
+    */
+  private[graft] def annLshCandidates(e: DataFrame, bits: Int,
+    queryId: Long): DataFrame = {
+    val eb = e.withColumn("bucket", lshBucket(col("embedding"), bits))
     // query row fans out to its bucket + all hamming-1 probes
-    val probes = e.filter(col("vec_id") === 0)
+    val probes = eb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         explode(array(
-          (col("bucket") +: (0 until lshBits).map(b =>
+          (col("bucket") +: (0 until bits).map(b =>
             col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
-    e.filter(col("vec_id") =!= 0)
+    eb.filter(col("vec_id") =!= queryId)
       .join(broadcast(probes), Seq("bucket"))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+  }
+
+  def q_ann_lsh(s: SparkSession, dir: String): DataFrame =
+    annLshCandidates(t(s, dir, "embeddings"), lshBits, 0)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
-  }
 
   /** Lloyd refinement rounds for the IVF coarse quantizer. */
   val ivfLloydIters = 2
@@ -234,19 +242,28 @@ object VectorOps {
     * (rows-only); VectorOpsSpec holds the recall bar vs the
     * brute-force q_sim_topk.
     */
+  /** Parameterized IVF search against a pre-built index — `nprobe`
+    * nearest cells' inverted lists, every candidate with its exact
+    * cosine. Probe sets are NESTED in nprobe (the top-n cells are a
+    * prefix of the top-(n+1)), so recall is genuinely monotone
+    * nondecreasing — the property the sweep spec asserts.
+    */
+  private[graft] def ivfCandidates(cells: DataFrame, cent: DataFrame,
+    queryEmb: DataFrame, queryId: Long, nprobe: Int): DataFrame = {
+    val probes = cent.crossJoin(broadcast(queryEmb))
+      .select(col("cell"), col("q_emb"), cosine(col("centroid"), col("q_emb")).as("cc"))
+      .orderBy(col("cc").desc, col("cell")).limit(nprobe)
+    cells.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+  }
+
   def q_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val (cells, cent) = kmeansCells(e, ivfLloydIters)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    // nprobe nearest refined centroids to the query
-    val probes = cent.crossJoin(broadcast(q))
-      .select(col("cell"), col("q_emb"), cosine(col("centroid"), col("q_emb")).as("cc"))
-      .orderBy(col("cc").desc, col("cell")).limit(ivfNProbe)
-    // search only those cells' inverted lists
-    cells.filter(col("vec_id") =!= 0)
-      .join(broadcast(probes), Seq("cell"))
-      .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+    ivfCandidates(cells, cent, q, 0, ivfNProbe)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }

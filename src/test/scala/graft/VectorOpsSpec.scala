@@ -48,6 +48,86 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF one-probe recall $recall below bar")
   }
 
+  // ── accuracy-dial sweeps (VERDICT r4 item #6): the rows-only ANN
+  // entries' accuracy story as a measured CURVE, not a single bar ──
+
+  private def truthTop10(e: org.apache.spark.sql.DataFrame, qid: Long): Set[Long] = {
+    val q = e.filter($"vec_id" === qid).select($"embedding".as("q_emb"))
+    e.filter($"vec_id" =!= qid).crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(VectorFns.cosine($"embedding", $"q_emb"), 4).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def recallAt10(cand: org.apache.spark.sql.DataFrame,
+    truth: Set[Long]): Double = {
+    val got = cand.orderBy($"sim".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    (truth intersect got).size.toDouble / truth.size
+  }
+
+  test("LSH sweep: candidate-set fraction shrinks with bits and recall " +
+    "does not improve as candidates shrink (the dial is real)") {
+    val e = graft.Tables(spark, dir, "embeddings")
+    val n = e.count() - 1
+    val qids = Seq(0L, 7L, 23L, 41L, 99L)
+    val curve = Seq(2, 4, 8).map { bits =>
+      val (recSum, fracSum) = qids.foldLeft((0.0, 0.0)) { case ((r, f), qid) =>
+        val cand = VectorOps.annLshCandidates(e, bits, qid)
+        (r + recallAt10(cand, truthTop10(e, qid)),
+          f + cand.count().toDouble / n)
+      }
+      (bits, recSum / qids.size, fracSum / qids.size)
+    }
+    info(f"bits  recall@10  cand_frac")
+    curve.foreach { case (b, r, f) => info(f"$b%4d  $r%9.2f  $f%9.3f") }
+    val frac = curve.map(_._3)
+    // candidate cost strictly decreases as hyperplanes are added
+    assert(frac(0) > frac(1) && frac(1) > frac(2),
+      s"candidate fraction not decreasing in bits: $frac")
+    // the multi-probe keeps ~ (bits+1)/2^bits of the corpus: 8 bits
+    // must be a real index, not a near-full scan
+    assert(frac(2) < 0.15, s"8-bit candidate fraction ${frac(2)} too high")
+    val rec = curve.map(_._2)
+    // paying more candidates can only help: the coarse end of the dial
+    // dominates the fine end
+    assert(rec(0) >= rec(2),
+      s"recall rose as candidates shrank: $rec — dial is broken")
+    assert(rec(0) >= 0.6, s"2-bit (75% candidates) recall ${rec(0)} too low")
+  }
+
+  test("IVF sweep: nested probe sets give monotone nondecreasing recall " +
+    "as nprobe grows") {
+    val e = graft.Tables(spark, dir, "embeddings")
+    val n = e.count() - 1
+    val (cells, cent) = VectorOps.kmeansCells(e, VectorOps.ivfLloydIters)
+    val qids = Seq(0L, 7L, 23L, 41L, 99L)
+    val curve = Seq(1, 2, 4).map { nprobe =>
+      val (recSum, fracSum) = qids.foldLeft((0.0, 0.0)) { case ((r, f), qid) =>
+        val q = e.filter($"vec_id" === qid).select($"embedding".as("q_emb"))
+        val cand = VectorOps.ivfCandidates(cells, cent, q, qid, nprobe)
+        (r + recallAt10(cand, truthTop10(e, qid)),
+          f + cand.count().toDouble / n)
+      }
+      (nprobe, recSum / qids.size, fracSum / qids.size)
+    }
+    info(f"nprobe  recall@10  cand_frac")
+    curve.foreach { case (p, r, f) => info(f"$p%6d  $r%9.2f  $f%9.3f") }
+    val rec = curve.map(_._2)
+    val frac = curve.map(_._3)
+    // probe sets are nested ⇒ recall cannot drop, candidates cannot
+    // shrink, as nprobe grows
+    assert(rec(0) <= rec(1) && rec(1) <= rec(2),
+      s"IVF recall not monotone in nprobe: $rec")
+    assert(frac(0) <= frac(1) && frac(1) <= frac(2),
+      s"IVF candidate fraction not monotone in nprobe: $frac")
+    // the wide end of the dial must actually reach good recall
+    assert(rec(2) >= 0.5, s"nprobe=4 recall ${rec(2)} too low")
+    // and the narrow end must actually bound work
+    assert(frac(0) < 0.5, s"nprobe=1 candidate fraction ${frac(0)} too high")
+  }
+
   test("q_vec_project: projected squared norms concentrate at " +
     "outDims x the original (the JL expectation)") {
     import graft.functions.RandomProjection.{outDims, srcDims}
