@@ -98,7 +98,9 @@ object Oracles {
     .map { j =>
       val lits = graft.functions.RandomProjection.signs(j)
         .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"round(list_sum(list_transform(range(1, ${graft.functions.RandomProjection.srcDims + 1}), i -> embedding[i] * ($lits)[i])), 4) AS p$j"
+      // + 0.0 canonicalizes IEEE -0.0 (same discipline as the Spark
+      // side — the engines disagree on the sign of an exactly-zero sum)
+      s"round(list_sum(list_transform(range(1, ${graft.functions.RandomProjection.srcDims + 1}), i -> embedding[i] * ($lits)[i])), 4) + 0.0 AS p$j"
     }.mkString(",\n  ")
 
   val sql: Map[String, String] = Map(
@@ -166,13 +168,14 @@ object Oracles {
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
-    // arg_max/arg_min are DuckDB's max_by/min_by; the fixture's
-    // per-type extremes are unique (asserted in RelationalSpec) so
-    // both engines pick the same row
+    // tie-robust twin of the Spark struct-extrema: lexicographic
+    // (value, event_id) struct min/max — value ties break by id on
+    // both engines identically (DuckDB arg_max cannot take a
+    // composite ordering value, struct_pack max/min can)
     "q_agg_argminmax" ->
       """SELECT event_type,
-        |  arg_max(event_id, value) AS max_event,
-        |  arg_min(event_id, value) AS min_event,
+        |  (max(struct_pack(v := value, id := event_id))).id AS max_event,
+        |  (min(struct_pack(v := value, id := event_id))).id AS min_event,
         |  round(max(value), 4) AS max_value,
         |  round(min(value), 4) AS min_value,
         |  count(*) AS cnt

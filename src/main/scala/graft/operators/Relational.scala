@@ -160,19 +160,25 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** A3 extension: arg-extrema — which row attains the group's
-    * extreme, not just the extreme value (max_by/min_by, the
-    * "top event per type" lookup an N-row window rank would
-    * over-solve). Single hash aggregate, no window, no join. The
-    * fixture's per-type extremes are unique so the result is
-    * engine-deterministic; on data with ties max_by needs a
-    * composite ordering value.
+    * extreme, not just the extreme value (the "top event per type"
+    * lookup an N-row window rank would over-solve). Single hash
+    * aggregate, no window, no join. TIE-ROBUST: the ordering value is
+    * the (value, event_id) struct — lexicographic struct min/max is a
+    * plain hash aggregate in both engines and breaks value ties by
+    * event_id deterministically (max side keeps the largest tied id,
+    * min side the smallest), so the query carries no tie-uniqueness
+    * precondition. (Round-5 scale validation caught the old max_by
+    * formulation diverging between engines on the replicated sf1.0
+    * fixture, where every value is tied 10 ways.)
     */
   def q_agg_argminmax(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        max_by(col("event_id"), col("value")).as("max_event"),
-        min_by(col("event_id"), col("value")).as("min_event"),
+        max(struct(col("value"), col("event_id")))
+          .getField("event_id").as("max_event"),
+        min(struct(col("value"), col("event_id")))
+          .getField("event_id").as("min_event"),
         round(max(col("value")), 4).as("max_value"),
         round(min(col("value")), 4).as("min_value"),
         count(lit(1)).as("cnt"))

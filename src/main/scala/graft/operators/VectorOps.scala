@@ -111,10 +111,14 @@ object VectorOps {
   def q_vec_project(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.RandomProjection._
     val cols = (0 until outDims).map { j =>
-      round(aggregate(
+      // + 0.0 canonicalizes IEEE negative zero (an exactly-cancelling
+      // ±pair, or a -0.0 input component, yields -0.0 in one engine
+      // and +0.0 in the other — caught by the sf1.0 scale compare);
+      // every other double is unchanged
+      (round(aggregate(
         zip_with(col("embedding"), typedlit(signs(j).toSeq),
           (x, sg) => x.cast("double") * sg),
-        lit(0.0), (a, x) => a + x), 4).as(s"p$j")
+        lit(0.0), (a, x) => a + x), 4) + lit(0.0)).as(s"p$j")
     }
     t(s, dir, "embeddings")
       .select(col("vec_id") +: cols: _*)

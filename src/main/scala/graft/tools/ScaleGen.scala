@@ -115,7 +115,11 @@ object ScaleGen {
           zip_with(col("embedding"),
             transform(sequence(lit(0), size(col("embedding")) - 1),
               i => pmod(hash(i, col("r")), lit(2))),
-            (x, bit) => when(bit === 0, x).otherwise(-x))
+            // + 0.0f: flipping an exact 0.0f would mint -0.0f, a value
+            // class absent from the source data (and one the engines
+            // render differently); adding positive zero canonicalizes
+            // it and changes nothing else
+            (x, bit) => when(bit === 0, x).otherwise(-x) + lit(0.0f))
             .cast("array<float>")))
     write("embeddings", emb, 4)
 

@@ -158,25 +158,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("q_agg_argminmax: fixture extremes are unique (so max_by is " +
-    "engine-deterministic) and the chosen rows attain them") {
+  test("q_agg_argminmax: chosen rows attain the group extremes, and " +
+    "ties break deterministically by event_id") {
     val ev = Tables(spark, dir, "events")
-    // precondition the oracle relies on: exactly one row per group
-    // attains each extreme — with ties max_by would need a composite
-    // ordering value and the query would be redeclared rows-only
     val exts = ev.groupBy("event_type")
       .agg(max("value").as("mx"), min("value").as("mn"))
-    val tied = ev.join(exts, "event_type")
-      .filter($"value" === $"mx" || $"value" === $"mn")
-      .groupBy("event_type").count().filter($"count" =!= 2).count()
-    assert(tied == 0, "a fixture group has tied extremes")
     // the emitted event_ids really attain the group extremes
     val out = Relational.q_agg_argminmax(spark, dir)
     val bad = out.join(ev.select($"event_id".as("max_event"),
         $"value".as("got_max")), "max_event")
       .join(exts, out("event_type") === exts("event_type"))
       .filter(round($"got_max", 4) =!= round($"mx", 4)).count()
-    assert(bad == 0, "max_by picked a row not attaining the max")
+    assert(bad == 0, "struct-max picked a row not attaining the max")
+    // tie robustness (the round-5 scale compare caught the old max_by
+    // diverging between engines on a fully-tied fixture): lexicographic
+    // (value, id) extrema pick the LARGEST tied id on the max side and
+    // the SMALLEST on the min side
+    val tied = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 1.0), ("a", 4L, 1.0),
+      ("b", 9L, 2.0), ("b", 8L, 2.0))
+      .toDF("event_type", "event_id", "value")
+    val got = tied.groupBy("event_type")
+      .agg(max(struct($"value", $"event_id")).getField("event_id").as("mx"),
+        min(struct($"value", $"event_id")).getField("event_id").as("mn"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L, 3L), ("b", 9L, 8L)),
+      s"tie-break not deterministic: ${got.toSeq}")
   }
 
   test("q_agg_corr: corr in [-1,1]; slope/covar consistent with " +
