@@ -35,35 +35,56 @@ object HtmlInputs {
   /** Python str.strip() strips ALL whitespace (\t\n\r\f etc.), not
     * just spaces like Spark's trim() — a multi-line textarea body
     * must strip its newline edges exactly like the reference.
+    * btrim with Java regex \s's exact character set [ \t\n\x0B\f\r]:
+    * a literal set-trim, not a per-row regex (this parser runs per
+    * TAG over the whole corpus — the r5 sf1.0 bench put q_html_inputs
+    * at the top of the cost table, and regex execs are its cost).
     */
   private def pyStrip(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    btrim(c, lit(" \t\n\u000B\f\r"))
 
+  /** Entity decode via literal `replace` (StringReplace is codegen'd
+    * byte scanning; the entities are fixed strings, a regex engine
+    * per row bought nothing — same swap commit 11eb953 made for
+    * q_json_extract).
+    */
   private def unescape(c: Column): Column =
     Seq("&quot;" -> "\"", "&#39;" -> "'", "&lt;" -> "<", "&gt;" -> ">",
       "&amp;" -> "&")
-      .foldLeft(c) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+      .foldLeft(c) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch)) }
 
   /** Attribute value, or null when the attribute is absent (an
-    * attribute preceded by whitespace, either quote style).
+    * attribute preceded by whitespace, either quote style). ONE
+    * regexp_extract per attribute: the quoted token (either style) is
+    * captured whole, presence is its non-emptiness (an attr with an
+    * EMPTY value still captures its two quote chars), and the quotes
+    * are stripped with substr — the previous shape paid up to four
+    * regex executions (rlike+extract per quote style) per attribute
+    * per tag.
     * Known approximation beyond the quote/entity notes above: the
     * regex scans the whole tag, so an attr-shaped sequence INSIDE
     * another attribute's quoted value (e.g. title="my name=x" making
-    * `name=` resolve from the title text) would match. ASP.NET's
-    * generated markup never nests attr-shaped text in values; parsing
+    * `name=` resolve from the title text) would match; and the FIRST
+    * occurrence wins regardless of quote style (the old form
+    * preferred a double-quoted match anywhere over a single-quoted
+    * one — indistinguishable unless one tag repeats an attribute in
+    * both styles). ASP.NET's generated markup does neither; parsing
     * hand-written HTML would need a quote-span-aware scanner here.
     */
-  private def attrVal(tag: Column, name: String): Column =
-    coalesce(
-      when(tag.rlike(s"""(?i)\\s$name\\s*=\\s*""""),
-        regexp_extract(tag, s"""(?i)\\s$name\\s*=\\s*"([^"]*)"""", 1)),
-      when(tag.rlike(s"(?i)\\s$name\\s*=\\s*'"),
-        regexp_extract(tag, s"(?i)\\s$name\\s*=\\s*'([^']*)'", 1)))
+  private def attrVal(tag: Column, name: String): Column = {
+    val m = regexp_extract(tag,
+      s"""(?i)\\s$name\\s*=\\s*("[^"]*"|'[^']*')""", 1)
+    when(length(m) > 0, m.substr(lit(2), length(m) - 2))
+  }
 
   /** title → name → Untitled<idx>, markers stripped
-    * (_parse_input_tag, :40-48).
+    * (_parse_input_tag, :40-48). private[graft]: the pipeline's
+    * exploded-row parse path applies these as TOP-LEVEL projections
+    * (codegen'd) instead of inside a transform() lambda (interpreted)
+    * — same expressions, ~2× the throughput at sf1.0.
     */
-  private def keyOf(tag: Column, idx: Column): Column = {
+  private[graft] def keyOf(tag: Column, idx: Column): Column = {
     val t = attrVal(tag, "title")
     val n = attrVal(tag, "name")
     val raw = when(length(t) > 0, t)
@@ -72,12 +93,12 @@ object HtmlInputs {
     regexp_replace(unescape(raw), markers, "")
   }
 
-  private def inputValue(tag: Column): Column = {
+  private[graft] def inputValue(tag: Column): Column = {
     val v = attrVal(tag, "value")
     when(v.isNotNull, pyStrip(unescape(v))).otherwise(lit("None"))
   }
 
-  private def textareaValue(tag: Column): Column = {
+  private[graft] def textareaValue(tag: Column): Column = {
     val inner = regexp_extract(tag,
       "(?is)^<textarea[^>]*>([\\s\\S]*?)</textarea>$", 1)
     // empty body ⇒ BeautifulSoup .string is None ⇒ str(None)
@@ -91,20 +112,42 @@ object HtmlInputs {
     * transform off the hot aggregate path, so the CodegenFallback
     * cost of transform() is acceptable.
     */
-  /** The one form-extraction pattern (FIRST full <form>…</form>) —
+  /** FIRST full `<form>…</form>` span, or '' when the page has none —
     * shared by [[pageInputPairs]] and the pipeline's URL-row gate so
     * the two can never diverge on what counts as a parseable form.
+    * Implemented as case-folded `instr` + `substr` (codegen'd linear
+    * byte search), NOT the previous `(?is)<form[\\s\\S]*?</form>`
+    * regex: the reluctant scan cost ~36 µs/page and was the single
+    * most expensive primitive in the r5 sf1.0 stage timing (1.8 s of
+    * q_html_inputs' 7.4 s). Identical result: the regex also matched
+    * the first literal "<form" and the shortest span to the next
+    * "</form>".
     */
-  val formPattern = "(?is)<form[\\s\\S]*?</form>"
+  private[graft] def firstForm(page: Column): Column = {
+    val low = lower(page)
+    val open = instr(low, "<form")
+    // close is searched FROM the open position (via a relative
+    // substring) — the regex's semantics were "nearest </form> AFTER
+    // the first <form", not "first </form> anywhere"
+    val closeRel = instr(low.substr(open, length(low)), "</form>")
+    when(open > 0 && closeRel > 0,
+      page.substr(open, closeRel + lit(6))).otherwise(lit(""))
+  }
+
+  /** Raw `<input>` tags of the first form, in document order. */
+  private[graft] def inputTags(form: Column): Column =
+    regexp_extract_all(form, lit("(?i)<input[^>]*>"), lit(0))
+
+  /** Raw `<textarea>…</textarea>` tags of the first form, in order. */
+  private[graft] def textareaTags(form: Column): Column =
+    regexp_extract_all(form,
+      lit("(?is)<textarea[^>]*>[\\s\\S]*?</textarea>"), lit(0))
 
   def pageInputPairs(page: Column): Column = {
-    val form = regexp_extract(page, formPattern, 0)
-    val inputs = regexp_extract_all(form, lit("(?i)<input[^>]*>"), lit(0))
-    val tas = regexp_extract_all(form,
-      lit("(?is)<textarea[^>]*>[\\s\\S]*?</textarea>"), lit(0))
-    val ip = transform(inputs, (tag, i) =>
+    val form = firstForm(page)
+    val ip = transform(inputTags(form), (tag, i) =>
       struct(keyOf(tag, i).as("key"), inputValue(tag).as("value")))
-    val tp = transform(tas, (tag, i) =>
+    val tp = transform(textareaTags(form), (tag, i) =>
       struct(keyOf(tag, i).as("key"), textareaValue(tag).as("value")))
     concat(ip, tp)
   }

@@ -285,16 +285,21 @@ object TextOps {
     // chars_redacted must count EXACTLY what clean_text replaced, so
     // the digit pass counts over the email-MARKED text — deleting
     // emails instead would merge flanking digit runs into a ≥7-digit
-    // run the clean path never saw (e.g. '123456a@b.co9876543')
+    // run the clean path never saw (e.g. '123456a@b.co9876543').
+    // The marked text is materialized in its OWN projection: it is
+    // referenced three times, and CollapseProject keeps multi-use
+    // non-cheap expressions in their own stage — inlining it (the old
+    // shape) ran the email regex over every doc three times.
     val marked = regexp_replace(col("text"), email, "<EMAIL>")
     val emailChars = length(col("text")) - length(
       regexp_replace(col("text"), email, ""))
-    val digitChars = length(marked) - length(
-      regexp_replace(marked, longnum, ""))
+    val digitChars = length(col("__marked")) - length(
+      regexp_replace(col("__marked"), longnum, ""))
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), marked.as("__marked"))
       .select(
         col("doc_id"),
-        regexp_replace(marked, longnum, "<NUM>").as("clean_text"),
+        regexp_replace(col("__marked"), longnum, "<NUM>").as("clean_text"),
         (emailChars + digitChars).cast("long").as("chars_redacted"))
       .orderBy("doc_id")
   }
@@ -304,16 +309,21 @@ object TextOps {
     * pass before dedup/fingerprinting.
     */
   def q_text_clean(s: SparkSession, dir: String): DataFrame = {
-    val lowered = lower(col("text"))
-    val stripped = regexp_replace(lowered, "[^a-z0-9 ]", " ")
-    val collapsed = trim(regexp_replace(stripped, " +", " "))
-    val noStop = filter(split(collapsed, " "),
+    // ONE regex pass: tokens are the maximal [a-z0-9]+ runs of the
+    // lowered text, which is exactly what strip-to-space + collapse +
+    // split produced in three passes (r5: this query topped the
+    // sf1.0/sf0.1 scaling table at 5.3× purely on per-row regex
+    // cost). The token array is materialized in its own projection —
+    // it is used twice, and CollapseProject would otherwise inline
+    // (and re-evaluate) the split+filter under both uses.
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
       x => length(x) > 0 && !x.isInCollection(stopwords))
     t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("__toks"))
       .select(
         col("doc_id"),
-        array_join(noStop, " ").as("clean_text"),
-        size(noStop).cast("long").as("n_clean_tok"))
+        array_join(col("__toks"), " ").as("clean_text"),
+        size(col("__toks")).cast("long").as("n_clean_tok"))
       .orderBy("doc_id")
   }
 

@@ -43,11 +43,32 @@ object ExclusionPipeline {
     */
   def parsePages(pages: DataFrame, idCol: String = "id",
     pageCol: String = "page", urlCol: String = "url"): DataFrame = {
-    val pairs = pages
+    // ONE scan, raw tags exploded, parse as top-level projections:
+    // the form span and both tag arrays are computed once per page
+    // (firstForm is an instr/substr scan, not a reluctant regex), and
+    // keyOf/value run codegen'd on the exploded tag rows instead of
+    // inside a transform() lambda (interpreted CodegenFallback) —
+    // r5 stage timing: the old shape spent 1.8 s/pass on the form
+    // regex and 2.4 s on the interpreted per-tag parse at sf1.0.
+    // Semantics identical: `ord` is the global inputs-then-textareas
+    // position (what posexplode over the concatenated pair array
+    // produced) while each list keeps its OWN 0-based index for the
+    // Untitled<idx> key fallback.
+    val tagged = pages
       .select(col(idCol).as("id"), col(urlCol).as("url"),
-        posexplode(HtmlInputs.pageInputPairs(col(pageCol))))
+        size(HtmlInputs.inputTags(HtmlInputs.firstForm(col(pageCol))))
+          .as("__n_inputs"),
+        posexplode(concat(
+          HtmlInputs.inputTags(HtmlInputs.firstForm(col(pageCol))),
+          HtmlInputs.textareaTags(HtmlInputs.firstForm(col(pageCol))))))
+    val isInput = col("pos") < col("__n_inputs")
+    val listIdx = when(isInput, col("pos"))
+      .otherwise(col("pos") - col("__n_inputs"))
+    val pairs = tagged
       .select(col("id"), col("url"), col("pos").as("ord"),
-        col("col.key").as("key"), col("col.value").as("value"))
+        HtmlInputs.keyOf(col("col"), listIdx).as("key"),
+        when(isInput, HtmlInputs.inputValue(col("col")))
+          .otherwise(HtmlInputs.textareaValue(col("col"))).as("value"))
       .filter(length(col("value")) > 0)
     val lastWins = Window.partitionBy("id", "key").orderBy(col("ord").desc)
     val deduped = pairs
@@ -57,12 +78,11 @@ object ExclusionPipeline {
       .filter(col("key") =!= "__RequestVerificationToken" &&
         col("key") =!= "URL")
     // URL rows gate on the SAME extraction the pair parse uses (a full
-    // <form>…</form> match) — an rlike("<form") here would fabricate a
+    // <form>…</form> span) — an rlike("<form") here would fabricate a
     // URL-only row for a page whose truncated/unclosed form yields no
     // pairs, contradicting "no parseable form ⇒ NO rows"
     val urlRows = pages
-      .filter(length(regexp_extract(col(pageCol),
-        HtmlInputs.formPattern, 0)) > 0)
+      .filter(length(HtmlInputs.firstForm(col(pageCol))) > 0)
       .select(col(idCol).as("id"), lit("URL").as("key"),
         col(urlCol).as("value"))
     deduped.unionByName(urlRows)
@@ -190,8 +210,13 @@ object ExclusionPipeline {
     val pages = graft.Tables(spark, dir, "documents")
       .select(col("doc_id").cast("string").as("id"), page.as("page"),
         concat(lit("https://portal/Forms/Item/"), col("doc_id")).as("url"))
-    parsePages(pages)
-      .select(col("id").cast("long").as("doc_id"), col("key"), col("value"))
+    // cached: the declared global ORDER BY plans a range exchange
+    // whose bounds-sampling job executes the child ONCE BEFORE the
+    // real pass — uncached, the whole parse chain runs twice (the r5
+    // stage timing showed the sort gap dwarfing the parse itself).
+    // Same discipline as the span/dedup shared-subplan caches.
+    graft.Caches.cached(parsePages(pages)
+      .select(col("id").cast("long").as("doc_id"), col("key"), col("value")))
       .orderBy("doc_id", "key")
   }
 
