@@ -452,10 +452,16 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin,
 
     // ── scalar functions ───────────────────────────────────────────
+    // clean_key chains the four marker replaces in the reference's
+    // order, mirroring Scalars.stripMarkers (literal replace-all, not
+    // a one-pass regex alternation — exact str.replace parity)
     "q_regex_clean" ->
       """SELECT doc_id,
-        |  trim(regexp_replace(concat('BIS232Request.', source),
-        |    '(BIS232Request\.|JSONData\.|BIS232Objection\.|BIS232ObjectionRebuttal)', '', 'g')) AS clean_key,
+        |  trim(replace(replace(replace(replace(
+        |    concat('BIS232Request.', source),
+        |    'BIS232Request.', ''), 'JSONData.', ''),
+        |    'BIS232Objection.', ''), 'BIS232ObjectionRebuttal', ''))
+        |    AS clean_key,
         |  coalesce(
         |    CASE WHEN length(trim(lang)) > 0 THEN trim(lang) END,
         |    CASE WHEN length(trim(source)) > 0 THEN trim(source) END,

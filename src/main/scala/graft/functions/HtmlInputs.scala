@@ -30,7 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object HtmlInputs {
 
-  private val markers = Scalars.markerPattern
 
   /** Python str.strip() strips ALL whitespace (\t\n\r\f etc.), not
     * just spaces like Spark's trim() — a multi-line textarea body
@@ -90,7 +89,7 @@ object HtmlInputs {
     val raw = when(length(t) > 0, t)
       .when(length(n) > 0, n)
       .otherwise(concat(lit("Untitled"), idx.cast("string")))
-    regexp_replace(unescape(raw), markers, "")
+    Scalars.stripMarkers(unescape(raw))
   }
 
   private[graft] def inputValue(tag: Column): Column = {

@@ -57,22 +57,28 @@ object Scalars {
 
   /** Key normalization: strip the four scrape markers
     * (clients/exclusion_requests.py:45-48) then trim (:53). The
-    * reference uses str.replace, which removes EVERY occurrence
-    * anywhere in the key (e.g. "JSONData.BIS232Request.Foo" → "Foo"),
-    * so the pattern is deliberately unanchored and regexp_replace's
-    * replace-all matches it. Remaining (documented) drift: Python
-    * applies the four replaces sequentially, so a removal can create
-    * a new match that a single left-to-right regex pass won't rescan
-    * — unreachable for real scraped keys.
+    * reference chains four str.replace calls — each a single
+    * left-to-right replace-ALL pass — and [[stripMarkers]] chains
+    * four literal `replace` expressions in the same order: EXACT
+    * parity, including the case where removing an earlier marker
+    * exposes a match for a later one (the old single-pass regex
+    * alternation documented that as unreachable drift; the chain
+    * retires it), and literal byte search instead of a regex engine
+    * per key.
     */
-  /** The four scrape markers (single source of truth — HtmlInputs'
-    * tag parser strips the same set, without the trim).
+  /** The four scrape markers in the reference's replace order
+    * (single source of truth — HtmlInputs' tag parser strips the
+    * same set, without the trim; the q_regex_clean oracle chains the
+    * same four literals).
     */
-  val markerPattern: String =
-    "(BIS232Request\\.|JSONData\\.|BIS232Objection\\.|BIS232ObjectionRebuttal)"
+  val markerList: Seq[String] =
+    Seq("BIS232Request.", "JSONData.", "BIS232Objection.",
+      "BIS232ObjectionRebuttal")
 
-  def normalizeKey(c: Column): Column =
-    trim(regexp_replace(c, markerPattern, ""))
+  def stripMarkers(c: Column): Column =
+    markerList.foldLeft(c)((acc, m) => replace(acc, lit(m), lit("")))
+
+  def normalizeKey(c: Column): Column = trim(stripMarkers(c))
 
   /** Fallback key naming: title, else name, else "Untitled<idx>"
     * (clients/exclusion_requests.py:40-44).
@@ -89,9 +95,11 @@ object Scalars {
   /** Python `str(value).strip()` (clients/exclusion_requests.py:53):
     * None stringifies to 'None' (which then SURVIVES the non-empty
     * filter — the reference's famous quirk), and strip removes ALL
-    * whitespace, not just spaces (Spark's trim() is space-only).
+    * whitespace, not just spaces (Spark's trim() is space-only) —
+    * btrim with Java regex \s's exact character set, a literal
+    * set-trim instead of a per-value regex.
     */
   def pyStr(c: Column): Column =
-    regexp_replace(coalesce(c.cast("string"), lit("None")),
-      "^\\s+|\\s+$", "")
+    btrim(coalesce(c.cast("string"), lit("None")),
+      lit(" \t\n\u000B\f\r"))
 }

@@ -150,38 +150,53 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  // ── shared curation-gate expressions over col("text") ──────────────
+  // ── shared curation-gate expressions ───────────────────────────────
   // One definition each for the lang-ID heuristic and quality score,
   // consumed by q_lang_id / q_quality_score / q_corpus_stats /
   // q_curate (threshold tweaks must not fork the gates across
   // queries; the DuckDB twins share snippets in Oracles the same way).
-  private def toksC = TextFns.tokens(col("text"))
-  // case-insensitive: sentence-initial 'The'/'To'/'In' must count, or
-  // capitalized English prose undercounts toward the 5% gate
-  private def nstopC =
-    size(filter(toksC, x => lower(x).isInCollection(stopwords)))
-  private def ntokC = size(toksC)
+  // Each takes a MATERIALIZED token-array column: the old col("text")-
+  // anchored forms each inlined their own TextFns.tokens(), so one
+  // projection tokenized the text up to four times (Catalyst CSEs
+  // only cheap expressions). Consumers stage the tokens in their own
+  // select ([[withToks]]) and pass the attribute reference.
+  // case-insensitive stopword count: sentence-initial 'The'/'To'/'In'
+  // must count, or capitalized English prose undercounts toward the
+  // 5% gate
+  private def nstopOf(toks: Column) =
+    size(filter(toks, x => lower(x).isInCollection(stopwords)))
   private def nospaceC = length(regexp_replace(col("text"), " ", ""))
 
-  /** ≥5% English stopwords ⇒ 'en' (integer arithmetic, engine-exact). */
-  private def predLangC =
-    when(ntokC > 0 && nstopC * 20 >= ntokC, lit("en")).otherwise(lit("unk"))
+  /** Stage `text`'s token array as a materialized column (tokenize
+    * ONCE per row no matter how many gate expressions read it).
+    */
+  private def withToks(docs: DataFrame, keep: Column*): DataFrame =
+    docs.select(keep :+ TextFns.tokens(col("text")).as("__toks"): _*)
 
-  /** Length band + avg-token-length band, integer comparisons. */
-  private def scoreC =
-    when(ntokC.between(50, 1000), 0.5).otherwise(0.0) +
-      when(nospaceC >= ntokC * 3 && nospaceC <= ntokC * 10, 0.5).otherwise(0.0)
+  /** ≥5% English stopwords ⇒ 'en' (integer arithmetic, engine-exact). */
+  private def predLangOf(toks: Column) =
+    when(size(toks) > 0 && nstopOf(toks) * 20 >= size(toks), lit("en"))
+      .otherwise(lit("unk"))
+
+  /** Length band + avg-token-length band, integer comparisons.
+    * `nospace` is the text's non-space char count (computed where
+    * `text` is still in scope).
+    */
+  private def scoreOf(toks: Column, nospace: Column) =
+    when(size(toks).between(50, 1000), 0.5).otherwise(0.0) +
+      when(nospace >= size(toks) * 3 && nospace <= size(toks) * 10, 0.5)
+        .otherwise(0.0)
 
   /** n-gram/stopword-ratio language heuristic: ≥5% English stopwords
     * ⇒ 'en'. Integer arithmetic only (20·n_stop ≥ n_tok) so the
     * decision is exact in any engine.
     */
   def q_lang_id(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    withToks(t(s, dir, "documents"), col("doc_id"), col("lang"))
       .select(
-        col("doc_id"), nstopC.cast("long").as("n_stop"),
-        ntokC.cast("long").as("n_tok"),
-        predLangC.as("pred_lang"),
+        col("doc_id"), nstopOf(col("__toks")).cast("long").as("n_stop"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        predLangOf(col("__toks")).as("pred_lang"),
         col("lang"))
       .orderBy("doc_id")
 
@@ -190,15 +205,18 @@ object TextOps {
     * so the score is float-drift-free.
     */
   def q_quality_score(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    withToks(t(s, dir, "documents"), col("doc_id"),
+      nospaceC.as("__nospace"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("__ndigit"),
+      length(col("text")).as("__nchar"))
       .select(
         col("doc_id"),
-        ntokC.cast("long").as("n_tok"),
-        round(nospaceC.cast("double") / greatest(ntokC, lit(1)), 4)
-          .as("avg_tok_len"),
-        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
-          / greatest(length(col("text")), lit(1)), 4).as("digit_ratio"),
-        scoreC.as("score"))
+        size(col("__toks")).cast("long").as("n_tok"),
+        round(col("__nospace").cast("double")
+          / greatest(size(col("__toks")), lit(1)), 4).as("avg_tok_len"),
+        round(col("__ndigit").cast("double")
+          / greatest(col("__nchar"), lit(1)), 4).as("digit_ratio"),
+        scoreOf(col("__toks"), col("__nospace")).as("score"))
       .orderBy("doc_id")
 
   /** Gopher-style rule-based quality filter (Rae et al. 2021,
@@ -679,11 +697,15 @@ object TextOps {
     * doc_id — one shuffle, no joins wider than the id.
     */
   def q_repetition(s: SparkSession, dir: String): DataFrame = {
-    val g2 = TextFns.shingles(col("text"), 2)
-    val base = t(s, dir, "documents").select(
-      col("doc_id"),
-      size(g2).cast("long").as("n_2gram"),
-      size(array_distinct(g2)).cast("long").as("n_2gram_distinct"))
+    // 2-gram array staged in its own projection: referenced twice
+    // (size + distinct-size), and CollapseProject keeps multi-use
+    // non-cheap expressions staged instead of re-shingling per use
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TextFns.shingles(col("text"), 2).as("__g2"))
+      .select(
+        col("doc_id"),
+        size(col("__g2")).cast("long").as("n_2gram"),
+        size(array_distinct(col("__g2"))).cast("long").as("n_2gram_distinct"))
       .withColumn("dup_2gram_ratio",
         when(col("n_2gram") === 0, lit(0.0)).otherwise(
           round(lit(1.0) - col("n_2gram_distinct").cast("double")
@@ -710,12 +732,13 @@ object TextOps {
     * aggregates map-side.
     */
   def q_corpus_stats(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    withToks(t(s, dir, "documents"),
+      col("source"), nospaceC.as("__nospace"))
       .select(
-        predLangC.as("pred_lang"),
-        ntokC.cast("long").as("n_tok"),
+        predLangOf(col("__toks")).as("pred_lang"),
+        size(col("__toks")).cast("long").as("n_tok"),
         col("source"),
-        scoreC.as("score"))
+        scoreOf(col("__toks"), col("__nospace")).as("score"))
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tok"),
@@ -800,7 +823,7 @@ object TextOps {
     */
   def q_histogram_log(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(ntokC.cast("long").as("n_tok"))
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
       .select((length(conv(col("n_tok"), 10, 2)) - 1).cast("long").as("bucket"),
         col("n_tok"))
       .groupBy("bucket")
@@ -839,11 +862,13 @@ object TextOps {
     * streaming pipeline [[graft.streaming.Streams.curateStream]] —
     * the gates must not fork across batch and streaming).
     */
-  def curationStats(docs: DataFrame): DataFrame = docs.select(
-    col("doc_id"), col("text"),
-    ntokC.cast("long").as("n_tok"),
-    scoreC.as("score"),
-    predLangC.as("pred_lang"))
+  def curationStats(docs: DataFrame): DataFrame =
+    withToks(docs, col("doc_id"), col("text"), nospaceC.as("__nospace"))
+      .select(
+        col("doc_id"), col("text"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        scoreOf(col("__toks"), col("__nospace")).as("score"),
+        predLangOf(col("__toks")).as("pred_lang"))
 
   /** Shared curation stages 1-2: language + quality gates (stateless
     * filters — identical semantics in a stream).

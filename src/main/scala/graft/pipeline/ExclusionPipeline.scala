@@ -104,11 +104,11 @@ object ExclusionPipeline {
     details
       .select(
         col("id"),
-        regexp_replace(
+        Scalars.stripMarkers(
           when(length(col("title")) > 0, col("title"))
             .when(length(col("name")) > 0, col("name"))
-            .otherwise(concat(lit("Untitled"), col("idx").cast("string"))),
-          Scalars.markerPattern, "").as("key"),
+            .otherwise(concat(lit("Untitled"), col("idx").cast("string"))))
+          .as("key"),
         Scalars.pyStr(col("value")).as("value"),
         col("idx").as("ord"))
       // empty-value drop (:158) + verification-token de-noise (:161-164)

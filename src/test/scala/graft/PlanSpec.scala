@@ -112,6 +112,21 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q_html_inputs sorts from a cache read (the range exchange's " +
+    "bounds sampling must not re-run the parse) and parses tags as " +
+    "top-level projections, not a transform lambda") {
+    val p = planOf(graft.pipeline.ExclusionPipeline.q_html_inputs(spark, dir))
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // the parse runs on exploded tag rows (Generate over the tag
+    // arrays), not inside an interpreted array-transform: a
+    // transform() lambda over the pair structs would print as
+    // "transform(" in the projection
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("transform("),
+      "tag parse regressed into an interpreted transform() lambda:\n" +
+        p.take(2000))
+  }
+
   test("q_join_range is a bucketed equi-join, not a nested loop") {
     val p = planOf(Relational.q_join_range(spark, dir))
     assert(!p.contains("NestedLoop"),
