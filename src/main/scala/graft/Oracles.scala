@@ -1064,6 +1064,37 @@ object Oracles {
          |  FROM embeddings e, q WHERE e.vec_id <> 0)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // semantic-dedup twin: DECIMAL-exact per-(label, component) means
+    // (float → DOUBLE exact, DOUBLE → DECIMAL(20,8) rounds identically
+    // in both engines — q_vec_norm precedent), centroid rebuilt as an
+    // ordered list, cosine via the same sequential fold as q_sim_topk
+    "q_dedup_semantic" -> {
+      val tau = graft.operators.VectorOps.semDedupTau
+      s"""WITH comp AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)))
+         |      / count(*) AS DOUBLE) AS m
+         |  FROM (SELECT label, unnest(embedding) AS x,
+         |          unnest(range(1, len(embedding)+1)) AS i
+         |        FROM embeddings)
+         |  GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS c
+         |  FROM comp GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    round(${dot("e.embedding", "c.c")} /
+         |      (sqrt(${norm2("e.embedding")}) * sqrt(${norm2("c.c")})), 4)
+         |      AS cos_c
+         |  FROM embeddings e JOIN cent c USING (label)),
+         |keep AS (SELECT label, min(vec_id) AS keep_id FROM scored
+         |  WHERE cos_c >= $tau GROUP BY label)
+         |SELECT s.vec_id, s.label, s.cos_c,
+         |  coalesce(s.cos_c >= $tau AND s.vec_id <> k.keep_id, false)
+         |    AS is_dup
+         |FROM scored s LEFT JOIN keep k USING (label)
+         |ORDER BY s.vec_id""".stripMargin
+    },
+
     "q_vec_norm" ->
       s"""SELECT label, n, round(CAST(sum_norm AS DOUBLE) / n, 4) AS avg_norm
          |FROM (SELECT label, count(*) AS n,

@@ -141,6 +141,7 @@ object SparkEntry {
     "q_vec_norm" -> (VectorOps.q_vec_norm _),
     "q_vec_project" -> (VectorOps.q_vec_project _),
     "q_dedup_embed" -> (VectorOps.q_dedup_embed _),
+    "q_dedup_semantic" -> (VectorOps.q_dedup_semantic _),
     "q_ann_lsh" -> (VectorOps.q_ann_lsh _),
     "q_ann_ivf" -> (VectorOps.q_ann_ivf _),
     // multimodal

@@ -98,6 +98,53 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Semantic-dedup threshold on centroid cosine: a vector this close
+    * to its class centroid is an interchangeable near-prototype
+    * (SemDeDup's insight — Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication":
+    * within a cluster, keep one representative of the tight core).
+    */
+  val semDedupTau = 0.2
+
+  /** Semantic dedup, cluster-centroid variant: per class, flag every
+    * vector whose cosine to the CLASS CENTROID clears [[semDedupTau]]
+    * as a semantic duplicate of the class representative (the min
+    * vec_id in the near-centroid core); the representative itself is
+    * kept. Complements the pairwise embedding near-dup
+    * (q_dedup_embed): that finds near-IDENTICAL pairs anywhere,
+    * this prunes the redundant prototype mass at each cluster's
+    * center — no pair join at all.
+    *
+    * Scale shape: centroids via a posexplode + per-(label, pos)
+    * DECIMAL-exact mean — the component explode is 64× rows map-side
+    * but partial-aggregates down to labels×dims tiny rows (the
+    * one-pass [[graft.functions.CentroidAgg]] is the faster
+    * production path; the declared query pays the decimal explode so
+    * the DuckDB twin is bit-identical, §2.12). Scoring is a map-only
+    * broadcast join (k centroid rows); the keep-set is a second k-row
+    * broadcast. Vectors never shuffle.
+    */
+  def q_dedup_semantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("double").cast("decimal(20,8)")) / count(lit(1)))
+        .cast("double").as("m"))
+    val cent = comp.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        sm => sm.getField("m")).as("c"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("c")), 4).as("cos_c"))
+    val keep = scored.filter(col("cos_c") >= semDedupTau)
+      .groupBy("label").agg(min(col("vec_id")).as("keep_id"))
+    scored.join(broadcast(keep), Seq("label"), "left_outer")
+      .select(col("vec_id"), col("label"), col("cos_c"),
+        coalesce(col("cos_c") >= semDedupTau && col("vec_id") =!= col("keep_id"),
+          lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** JL random projection 64 → 16 dims ([[graft.functions.RandomProjection]]):
     * the map-only dimensionality-reduction pass a 100 TB embedding
     * pipeline runs before ANN indexing — 4× less distance math and

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev spot-bench: time a named subset of declared queries at an
+  * arbitrary SF dir (args: sfDir, then query names; min of 2 runs
+  * each, same noop-write meter as Bench). Used for the sf10
+  * fourth-decade scaling probe — running the full 100-query suite at
+  * 2 GB is slow for no extra signal; the heavy families are the
+  * scaling question.
+  */
+object SpotBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val queries = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup on the smallest fixture
+    queries.foreach { q =>
+      try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    graft.Caches.releaseAll()
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val best = queries.map { q =>
+      val times = (1 to 2).map { i =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          graft.SparkEntry.queries(q)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true
+        } catch { case t: Throwable =>
+          System.err.println(s"[spot] $q FAILED: ${t.getMessage}"); false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[spot] $q run$i ${dt}%.2fs ok=$ok")
+        if (ok) dt else -1.0
+      }
+      q -> times.min
+    }
+    graft.Caches.releaseAll()
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"spot","sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: a declared query's OUTPUT must not
+  * depend on spark.sql.shuffle.partitions — the one knob every
+  * deployment sets differently from the test session. Catches the
+  * classic scale bugs: partition-order-dependent float folds,
+  * first()/collect_list order leaking into results, per-partition
+  * sampling that changes with parallelism. Representative queries
+  * cover each risk family: exact decimal aggregation (q_agg_stats),
+  * float vector folds (q_sim_topk), corpus-relative scoring
+  * (q_tfidf), gate + aggregate composition (q_corpus_stats),
+  * centroid means (q_dedup_semantic), window + sampling
+  * (q_sample_weighted).
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private val queries = Seq("q_agg_stats", "q_sim_topk", "q_tfidf",
+    "q_corpus_stats", "q_dedup_semantic", "q_sample_weighted")
+
+  test("declared outputs are identical under 3 vs 7 shuffle partitions") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    try {
+      val runs = Seq("3", "7").map { parts =>
+        conf.set("spark.sql.shuffle.partitions", parts)
+        Caches.releaseAll() // cached subplans pin the old partitioning
+        queries.map { q =>
+          q -> SparkEntry.queries(q)(spark, dir).collect().toSeq
+        }.toMap
+      }
+      queries.foreach { q =>
+        assert(runs(0)(q) == runs(1)(q),
+          s"$q output changed with shuffle partition count")
+        assert(runs(0)(q).nonEmpty, s"$q empty — vacuous")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prev)
+      Caches.releaseAll()
+    }
+  }
+}

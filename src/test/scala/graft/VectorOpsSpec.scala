@@ -128,6 +128,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(frac(0) < 0.5, s"nprobe=1 candidate fraction ${frac(0)} too high")
   }
 
+  test("q_dedup_semantic: representatives kept, dup flags confined to " +
+    "the near-centroid core, exactly one keeper per flagged class") {
+    val rows = VectorOps.q_dedup_semantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.exists(_._4), "no semantic dups flagged")
+    val tau = VectorOps.semDedupTau
+    // a flagged dup is always inside the near-centroid core
+    assert(rows.filter(_._4).forall(_._3 >= tau))
+    // per class: every core member EXCEPT the min-id representative is
+    // flagged, and nothing outside the core is
+    rows.groupBy(_._2).foreach { case (label, rs) =>
+      val core = rs.filter(_._3 >= tau)
+      if (core.nonEmpty) {
+        val rep = core.map(_._1).min
+        core.foreach { r =>
+          assert(r._4 == (r._1 != rep),
+            s"label $label vec ${r._1}: flag ${r._4} vs rep $rep")
+        }
+      }
+      rs.filter(_._3 < tau).foreach(r => assert(!r._4))
+    }
+  }
+
   test("q_vec_project: projected squared norms concentrate at " +
     "outDims x the original (the JL expectation)") {
     import graft.functions.RandomProjection.{outDims, srcDims}
