@@ -1064,6 +1064,48 @@ object Oracles {
          |  FROM embeddings e, q WHERE e.vec_id <> 0)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // per-source top-k twin: the bounded-state TopKAgg result equals a
+    // row_number window because the (n_chars DESC, doc_id ASC) order
+    // is total — the window IS the declarative spec of the aggregate
+    "q_group_topk" -> {
+      val k = graft.operators.TextOps.groupTopK
+      s"""SELECT source, rk, doc_id, n_chars
+         |FROM (SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $k ORDER BY source, rk""".stripMargin
+    },
+
+    // scalar-quantization twin: exact min/max bounds, floor binning
+    // (no round-tie semantics anywhere), MSE via the same
+    // operation-order arithmetic and list_sum fold as the Spark side
+    "q_vec_quantize" -> {
+      val bins = graft.operators.VectorOps.sqBins
+      s"""WITH comp AS (
+         |  SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(embedding) AS x,
+         |          unnest(range(1, len(embedding)+1)) AS i FROM embeddings)
+         |  GROUP BY i),
+         |b AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+         |  FROM comp),
+         |coded AS (
+         |  SELECT e.vec_id, e.embedding, b.mins, b.maxs,
+         |    list_transform(range(1, len(e.embedding)+1), i ->
+         |      CASE WHEN b.maxs[i] = b.mins[i] THEN 0
+         |        ELSE least(255, CAST(floor((CAST(e.embedding[i] AS DOUBLE) - b.mins[i])
+         |          / (b.maxs[i] - b.mins[i]) * $bins) AS BIGINT)) END) AS codes
+         |  FROM embeddings e, b)
+         |SELECT vec_id, codes,
+         |  round(list_sum(list_transform(range(1, len(embedding)+1), i ->
+         |    (CAST(embedding[i] AS DOUBLE) - (mins[i]
+         |       + (CAST(codes[i] AS DOUBLE) + 0.5) * (maxs[i] - mins[i]) / $bins))
+         |    * (CAST(embedding[i] AS DOUBLE) - (mins[i]
+         |       + (CAST(codes[i] AS DOUBLE) + 0.5) * (maxs[i] - mins[i]) / $bins))))
+         |    / len(embedding), 6) AS mse
+         |FROM coded ORDER BY vec_id""".stripMargin
+    },
+
     // semantic-dedup twin: DECIMAL-exact per-(label, component) means
     // (float → DOUBLE exact, DOUBLE → DECIMAL(20,8) rounds identically
     // in both engines — q_vec_norm precedent), centroid rebuilt as an
@@ -1129,6 +1171,30 @@ object Oracles {
          |      (sqrt(${norm2("va.embedding")}) * sqrt(${norm2("vb.embedding")})), 4) AS cos
          |  FROM cand c JOIN v va ON c.a_id = va.vec_id JOIN v vb ON c.b_id = vb.vec_id)
          |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "q_dedup_embed_star" -> {
+      // same 8×4 axis-sign banding as q_dedup_embed, but candidates
+      // are star edges to each (label, band, bucket) block's min-id
+      // representative — the linear-candidate dedup-decision shape
+      def bucket(j: Int) = (0 until 4)
+        .map(i => s"(CASE WHEN embedding[${j * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSelects = (0 until 8)
+        .map(j => s"SELECT vec_id, label, $j AS band, ${bucket(j)} AS bucket FROM v")
+        .mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+         |bands AS ($bandSelects),
+         |edges AS (SELECT DISTINCT rep_id, vec_id, label FROM (
+         |  SELECT min(vec_id) OVER (PARTITION BY label, band, bucket) AS rep_id,
+         |    vec_id, label FROM bands)
+         |  WHERE vec_id <> rep_id)
+         |SELECT rep_id, vec_id, label, cos FROM (
+         |  SELECT e.rep_id, e.vec_id, e.label,
+         |    round(${dot("vr.embedding", "vv.embedding")} /
+         |      (sqrt(${norm2("vr.embedding")}) * sqrt(${norm2("vv.embedding")})), 4) AS cos
+         |  FROM edges e JOIN v vr ON e.rep_id = vr.vec_id JOIN v vv ON e.vec_id = vv.vec_id)
+         |WHERE cos >= ${graft.operators.VectorOps.nearDupTau} ORDER BY rep_id, vec_id""".stripMargin
     },
 
     // ── multimodal ─────────────────────────────────────────────────

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.q_text_tokens _),
     "q_token_count" -> (TextOps.q_token_count _),
     "q_heavy_hitters" -> (TextOps.q_heavy_hitters _),
+    "q_group_topk" -> (TextOps.q_group_topk _),
     "q_lang_id" -> (TextOps.q_lang_id _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
@@ -141,7 +142,9 @@ object SparkEntry {
     "q_vec_norm" -> (VectorOps.q_vec_norm _),
     "q_vec_project" -> (VectorOps.q_vec_project _),
     "q_dedup_embed" -> (VectorOps.q_dedup_embed _),
+    "q_dedup_embed_star" -> (VectorOps.q_dedup_embed_star _),
     "q_dedup_semantic" -> (VectorOps.q_dedup_semantic _),
+    "q_vec_quantize" -> (VectorOps.q_vec_quantize _),
     "q_ann_lsh" -> (VectorOps.q_ann_lsh _),
     "q_ann_ivf" -> (VectorOps.q_ann_ivf _),
     // multimodal

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -67,7 +67,7 @@ object TextOps {
     cached(docTokens(s, dir).distinct())
 
   /** Distinct (doc_id, 3-gram-shingle) pairs. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
     cached(t(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.shingles(col("text"), 3)).as("shingle"))
       .distinct())
@@ -145,6 +145,33 @@ object TextOps {
     * corpus whose head is Zipf-ish.
     */
   val heavyHitterK = 32
+
+  /** Per-group top-k kept rows, [[groupTopK]] per source: the
+    * longest documents of every source by (n_chars DESC, doc_id ASC)
+    * — the "keep the best K per domain" curation cap. Computed with
+    * the bounded-state [[graft.functions.TopKAgg]] typed Aggregator
+    * instead of a `row_number() <= k` window: the window shape
+    * shuffles and sorts EVERY row of the corpus by source, while the
+    * aggregate prunes to k pairs per (partition, source) map-side,
+    * so the exchange carries k·|sources| tuples no matter how many
+    * rows a 100 TB source holds. The ordering is total (no ties
+    * possible), so the result is exactly the window's — which is what
+    * the DuckDB oracle declares.
+    */
+  def q_group_topk(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(groupTopK),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rk0", "p")))
+      .select(col("source"), (col("rk0") + 1).cast("long").as("rk"),
+        col("p._2").as("doc_id"), col("p._1").as("n_chars"))
+      .orderBy("source", "rk")
+  }
+
+  /** Per-source keep cap for q_group_topk. */
+  val groupTopK = 3
 
   // ── language ID + quality (text analysis) ──────────────────────────
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFns._
@@ -60,10 +61,20 @@ object VectorOps {
     * for a pair at angle θ is (1−θ/π)^bits, so at a real near-dup
     * threshold (cos ≥ 0.9 ⇒ p≈0.86/plane) 8 bands give ~99.8%
     * recall while non-dups (cos≈0 ⇒ p=0.5/plane) match a band only
-    * 6% of the time. At larger corpus scale, raise `bits` (bucket
-    * count 2^bits grows, bucket size shrinks) — the knob the round-1
-    * (label, sign-of-first-component) blocking lacked: its block
-    * count was constant, so pair count stayed O(n²).
+    * 6% of the time.
+    *
+    * Scale honesty (measured, sf10 probe): raising `bits` shrinks
+    * buckets only for DISPERSED data. A tight cluster agrees on
+    * every sign bit — any cosine-LSH family keeps near vectors
+    * together, that is its purpose — so pair-ENUMERATING dedup is
+    * Θ(Σ_block C(n_b, 2)) no matter the bit width: q_dedup_embed ran
+    * 509 s at sf10 (100× vectors ⇒ ~10⁴× block pairs) vs 2.9 s at
+    * sf1.0. That cost is inherent to the "all pairs + cosines"
+    * contract, not the plan. The 100 TB dedup-DECISION path is
+    * [[q_dedup_embed_star]] (linear star edges to each block's
+    * representative — same connected components, no pair join) or
+    * [[q_dedup_semantic]]; keep the pair contract for corpora where
+    * the near-dup graph itself is sparse.
     */
   val dedupBands = 8
   val dedupBandBits = 4
@@ -96,6 +107,45 @@ object VectorOps {
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= nearDupTau)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Linear-cost embedding near-dup: star edges to each LSH block's
+    * minimum-id representative instead of all intra-block pairs.
+    * Every non-representative member of a (label, band, bucket)
+    * block emits ONE candidate edge (rep, vec), verified by exact
+    * cosine ≥ [[nearDupTau]] — candidate count is Σ_block n_b
+    * (linear in the corpus) versus q_dedup_embed's Σ_block C(n_b,2),
+    * and the plan has NO self-join at all: the representative comes
+    * from a window min over the block, the verify from one narrow
+    * join back to the vector table. Any vector cosine-joined to its
+    * rep lands in the same connected component the full pair set
+    * would produce, so downstream keep-one-per-cluster decisions are
+    * unchanged — this is the shape that survived the sf10 probe
+    * (the pair-enumerating twin is quadratic in tight-cluster data
+    * by contract).
+    */
+  def q_dedup_embed_star(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    val bands = v.select(col("vec_id"), col("label"),
+      explode(array((0 until dedupBands).map(j =>
+        struct(lit(j).as("band"),
+          signBandBucket(col("embedding"), j, dedupBandBits).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("vec_id"), col("label"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val w = Window.partitionBy("label", "band", "bucket")
+    val edges = bands
+      .withColumn("rep_id", min(col("vec_id")).over(w))
+      .filter(col("vec_id") =!= col("rep_id"))
+      .select(col("rep_id"), col("vec_id"), col("label"))
+      .distinct()
+    edges
+      .join(v.select(col("vec_id").as("rep_id"), col("embedding").as("emb_r")), "rep_id")
+      .join(v.select(col("vec_id"), col("embedding").as("emb_v")), "vec_id")
+      .select(col("rep_id"), col("vec_id"), col("label"),
+        round(cosine(col("emb_r"), col("emb_v")), 4).as("cos"))
+      .filter(col("cos") >= nearDupTau)
+      .orderBy("rep_id", "vec_id")
   }
 
   /** Semantic-dedup threshold on centroid cosine: a vector this close
@@ -142,6 +192,59 @@ object VectorOps {
       .select(col("vec_id"), col("label"), col("cos_c"),
         coalesce(col("cos_c") >= semDedupTau && col("vec_id") =!= col("keep_id"),
           lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** Scalar-quantization bin count (8-bit codes). */
+  val sqBins = 256
+
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× compression pass an embedding store runs before ANN indexing
+    * (each float32 component → an 8-bit bin index against per-
+    * dimension corpus min/max). Output: the code array plus the
+    * per-vector reconstruction MSE against bin midpoints, so the
+    * accuracy cost of the compression is observable in the result.
+    *
+    * Scale shape, same skeleton as [[q_dedup_semantic]]: bounds via
+    * posexplode + per-dimension partial-combined min/max (dims tiny
+    * rows), rebuilt into one broadcast 1-row array frame; coding and
+    * MSE are then pure map-side arithmetic — vectors never shuffle,
+    * nothing is driver-side. Cross-engine parity: min/max and floor
+    * are exact on doubles, every arithmetic expression is written in
+    * the same operation order as the DuckDB twin, and the MSE fold is
+    * the sequential double sum [[graft.functions.VectorFns]] pins
+    * bit-identical to list_sum.
+    */
+  def q_vec_quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val comp = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val bounds = comp.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        p => p.getField("mn")).as("mins"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        p => p.getField("mx")).as("maxs"))
+    val coded = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("embedding"), col("mins"), col("maxs"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val mx = element_at(col("maxs"), i + 1)
+          when(mx === mn, lit(0L)).otherwise(
+            least(lit(255L),
+              floor((x.cast("double") - mn) / (mx - mn) * sqBins).cast("long")))
+        }).as("codes"))
+    coded.select(col("vec_id"), col("codes"),
+      round(aggregate(
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val mx = element_at(col("maxs"), i + 1)
+          val xhat = mn +
+            (element_at(col("codes"), i + 1).cast("double") + 0.5) * (mx - mn) / sqBins
+          (x.cast("double") - xhat) * (x.cast("double") - xhat)
+        }),
+        lit(0.0), (acc, v) => acc + v) / size(col("embedding")), 6).as("mse"))
       .orderBy("vec_id")
   }
 

@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
   *    LSH buckets and shared-shingle inverted indexes then grow
   *    C(R,2) pair lists — a quadratic blowup caused by the
   *    GENERATOR, not the engine, which would poison the scaling
-  *    signal for the whole dedup family. Instead every 4th token is
-  *    salted with the replica id: with 5-token shingles every window
-  *    contains ≥1 salted token, so cross-replica Jaccard over
-  *    shingles is 0 while ~75 % of tokens (length, stopword and
-  *    lang-id distributions) are preserved, and WITHIN-replica
-  *    duplicate structure is untouched → duplicate-pair density
-  *    scales linearly, as it would with real data. Replica 0 is
-  *    byte-identical to the source corpus.
+  *    signal for the whole dedup family. Instead every 3rd token is
+  *    salted with the replica id: the NARROWEST shingle window any
+  *    operator uses is TextOps' 3-gram (q_dedup_span uses 5), and
+  *    every window of width ≥ 3 contains an index ≡ 2 (mod 3), so
+  *    cross-replica Jaccard over shingles is 0 while ~67 % of tokens
+  *    (length, stopword and lang-id distributions) are preserved,
+  *    and WITHIN-replica duplicate structure is untouched →
+  *    duplicate-pair density scales linearly, as it would with real
+  *    data. Replica 0 is byte-identical to the source corpus.
+  *    (The first cut salted every 4TH token — correct for 5-gram
+  *    windows, but 1 in 4 of the 3-GRAM windows then carried no salt
+  *    and collided across ALL replicas: measured shingle max-df grew
+  *    25 → 123 → 1113 across sf0.1/sf1.0/sf10 and candidate pairs
+  *    65× per decade instead of 10×. NgramDiag is the detector.)
   *  - **Embeddings get a per-replica orthogonal transform** (sign
   *    flip of a deterministic coordinate subset): inner products and
   *    norms WITHIN a replica are exactly preserved (same top-k
@@ -94,14 +100,15 @@ object ScaleGen {
     write("events",
       shift(fan(t("events")), "event_id", "user_id"), 8)
 
-    // documents: shift doc_id; salt every 4th token with the replica
-    // id (replica 0 untouched); recompute n_chars for the new text
+    // documents: shift doc_id; salt every 3rd token with the replica
+    // id (replica 0 untouched) so every ≥3-token shingle window holds
+    // a salt; recompute n_chars for the new text
     val docs = shift(fan(t("documents")), "doc_id")
       .withColumn("text",
         when(col("r") === 0, col("text")).otherwise(
           array_join(
             transform(split(col("text"), " "), (w, i) =>
-              when(i % 4 === 3, concat(w, lit("x"), col("r")))
+              when(i % 3 === 2, concat(w, lit("x"), col("r")))
                 .otherwise(w)),
             " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -8,20 +8,35 @@ import org.apache.spark.sql.SparkSession
   * fourth-decade scaling probe — running the full 100-query suite at
   * 2 GB is slow for no extra signal; the heavy families are the
   * scaling question.
+  *
+  * Unlike Bench, caches are released BETWEEN queries: at probe scale a
+  * single accumulated MEMORY_AND_DISK subplan (e.g. the exploded
+  * shingle table) is tens of GB, and letting the whole dedup family's
+  * caches pile up in one heap measures GC pressure, not the queries
+  * (the 96g-heap sf10 first attempt died to the kernel OOM killer
+  * exactly this way). Env knobs: SPARK_GRAFT_SHUFFLE overrides the
+  * initial shuffle-partition count (default = cpus; at 10×-bench scale
+  * 32 partitions leave ~everything in one spilling partition-set — a
+  * real deployment sizes this up and lets AQE coalesce), and
+  * SPARK_GRAFT_LOCAL_DIR moves scratch off tmpfs (tmpfs spill is
+  * still RAM — at probe scale that *adds* memory pressure instead of
+  * relieving it).
   */
 object SpotBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val queries = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup on the smallest fixture
@@ -46,9 +61,9 @@ object SpotBench {
         System.err.println(f"[spot] $q run$i ${dt}%.2fs ok=$ok")
         if (ok) dt else -1.0
       }
+      graft.Caches.releaseAll() // don't let cached subplans accumulate across queries
       q -> times.min
     }
-    graft.Caches.releaseAll()
     val qs = best.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"spot","sf":"$sfDir","queries":$qs}""")

@@ -11,10 +11,7 @@ class ContractSpec extends AnyFunSuite {
   private val rowsOnly = Set("q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
     "q_profile_approx", "q_agg_quantile_approx",
     // deflate has no DuckDB twin; properties pinned in CompressSpec
-    "q_compress_ratio",
-    // the DSv2 source IS the table — no parquet twin for DuckDB;
-    // wire semantics pinned in DataTablesSourceSpec/HttpTransportSpec
-    "q_datatables_scan")
+    "q_compress_ratio")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -31,6 +28,10 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only list stays minimal") {
     val stale = rowsOnly -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"rows-only entries with no query: $stale")
+    // an entry that HAS an oracle no longer belongs here (this is how
+    // q_datatables_scan's graduation to hash-gated was nearly missed)
+    val graduated = rowsOnly & SparkEntry.oracleSql.keySet
+    assert(graduated.isEmpty, s"rows-only entries that are oracle-declared: $graduated")
   }
 
   test("every oracle statement ends with an ORDER BY (determinism rule 1)") {

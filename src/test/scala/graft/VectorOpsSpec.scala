@@ -128,6 +128,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(frac(0) < 0.5, s"nprobe=1 candidate fraction ${frac(0)} too high")
   }
 
+  test("q_dedup_embed_star: star edges are a subset of the pair " +
+    "variant's near-dup relation and touch every flagged vector") {
+    val pairs = VectorOps.q_dedup_embed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stars = VectorOps.q_dedup_embed_star(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stars.nonEmpty, "no star edges on the fixture")
+    // every star edge (rep < vec by construction) is a pair the full
+    // enumeration also verifies — the star output never invents a dup
+    stars.foreach { case (rep, vec) =>
+      assert(rep < vec, s"rep $rep not the min of its edge")
+      assert(pairs.contains((rep, vec)),
+        s"star edge ($rep,$vec) absent from the pair variant")
+    }
+  }
+
   test("q_dedup_semantic: representatives kept, dup flags confined to " +
     "the near-centroid core, exactly one keeper per flagged class") {
     val rows = VectorOps.q_dedup_semantic(spark, dir).collect()
@@ -148,6 +164,21 @@ class VectorOpsSpec extends AnyFunSuite {
         }
       }
       rs.filter(_._3 < tau).foreach(r => assert(!r._4))
+    }
+  }
+
+  test("q_vec_quantize: codes are 8-bit, reconstruction MSE is within " +
+    "the uniform-quantizer bound") {
+    val rows = VectorOps.q_vec_quantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.nonEmpty && codes.forall(c => c >= 0 && c <= 255))
+      val mse = r.getDouble(2)
+      // unit-normalized fixture: per-dim range << 1, so the midpoint
+      // quantizer's per-dim error bound (range/bins)^2/4 is far under
+      // 1e-5; an MSE above that means the binning math is wrong
+      assert(mse >= 0 && mse < 1e-5, s"vec ${r.getLong(0)} mse $mse")
     }
   }
 
