@@ -1126,7 +1126,7 @@ object Oracles {
          |  SELECT e.vec_id, e.label,
          |    round(${dot("e.embedding", "c.c")} /
          |      (sqrt(${norm2("e.embedding")}) * sqrt(${norm2("c.c")})), 4)
-         |      AS cos_c
+         |      + 0.0 AS cos_c
          |  FROM embeddings e JOIN cent c USING (label)),
          |keep AS (SELECT label, min(vec_id) AS keep_id FROM scored
          |  WHERE cos_c >= $tau GROUP BY label)

@@ -185,7 +185,10 @@ object VectorOps {
         sm => sm.getField("m")).as("c"))
     val scored = e.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("c")), 4).as("cos_c"))
+        // + 0.0 canonicalizes IEEE −0.0: a cosine of −1e-9 rounds to
+        // −0.0 in DuckDB but +0.0 here (q_vec_project precedent;
+        // caught by the sf1.0 sweep — sf0.01 has no zero-rounding cos)
+        (round(cosine(col("embedding"), col("c")), 4) + lit(0.0)).as("cos_c"))
     val keep = scored.filter(col("cos_c") >= semDedupTau)
       .groupBy("label").agg(min(col("vec_id")).as("keep_id"))
     scored.join(broadcast(keep), Seq("label"), "left_outer")

@@ -12,14 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * float vector folds (q_sim_topk), corpus-relative scoring
   * (q_tfidf), gate + aggregate composition (q_corpus_stats),
   * centroid means (q_dedup_semantic), window + sampling
-  * (q_sample_weighted).
+  * (q_sample_weighted), bounded top-k aggregation (q_group_topk).
   */
 class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
   private val queries = Seq("q_agg_stats", "q_sim_topk", "q_tfidf",
-    "q_corpus_stats", "q_dedup_semantic", "q_sample_weighted")
+    "q_corpus_stats", "q_dedup_semantic", "q_sample_weighted",
+    // typed-Aggregator partial/merge order is partition-dependent —
+    // TopKAgg's total order must make the result invariant anyway
+    "q_group_topk")
 
   test("declared outputs are identical under 3 vs 7 shuffle partitions") {
     val conf = spark.conf
