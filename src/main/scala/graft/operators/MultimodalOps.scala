@@ -7,10 +7,11 @@ import graft.Tables
 /** Multimodal-column plumbing (builder mandate): media payloads are
   * opaque `binary` columns beside a typed metadata struct; decode /
   * feature-extraction runs batched per partition. Decode coverage:
-  * headers for PNG/JPEG/GIF/BMP/WAV and FULL sample decode for the
-  * uncompressed containers (BMP rasters, PCM WAV — [[MediaHeaders]],
-  * pure byte arithmetic) are REAL; only entropy-coded pixel data
-  * (JPEG/PNG/GIF) is STUBBED behind [[MultimodalOps.decodeStub]] —
+  * headers for PNG/JPEG/GIF/BMP/WAV and FULL sample decode for BMP
+  * rasters, PCM WAV, PNG (JDK zlib inflate + scanline unfiltering)
+  * and GIF (pure-code LZW) — all [[MediaHeaders]], no external codec
+  * library — are REAL; only JPEG's entropy-coded pixel path
+  * (Huffman+DCT) is STUBBED behind [[MultimodalOps.decodeStub]] —
   * a clearly-marked deterministic fake standing in for the codec
   * library this container lacks.
   *
@@ -54,11 +55,12 @@ object MultimodalOps {
         (length(col("content")) % 5 + 1).cast("long").as("n_frames"))
       .orderBy("doc_id")
 
-  /** STUB — stands in for an entropy-coded image decoder (JPEG/PNG/
-    * GIF pixel paths; the codec libs are absent in this container).
-    * Uncompressed containers do NOT hit this: BMP rasters and PCM WAV
-    * samples are decoded for real ([[MediaHeaders.bmpPixels]] /
-    * [[MediaHeaders.wavSamples]] via [[decodeContent]]).
+  /** STUB — stands in for a JPEG entropy decoder (Huffman+DCT; the
+    * codec libs are absent in this container). Every other container
+    * does NOT hit this: BMP rasters, PCM WAV samples, PNG pixels and
+    * GIF pixels are decoded for real ([[MediaHeaders.bmpPixels]] /
+    * [[MediaHeaders.wavSamples]] / [[MediaHeaders.pngPixels]] /
+    * [[MediaHeaders.gifPixels]] via [[decodeContent]]).
     * Deterministic fake: dimensions and checksum derived from the
     * payload bytes. The mapPartitions plumbing around it (batching,
     * encoder, schema) is the real deliverable.
@@ -136,11 +138,11 @@ object MultimodalOps {
   }
 
   /** Full decode stage: same per-partition batched shape as
-    * [[decodeFeatures]], but BMP and PCM WAV payloads yield their REAL
-    * decoded samples (MediaHeaders, dependency-free); entropy-coded /
-    * unrecognized payloads fall back to the stub with kind 'stub'.
-    * MultimodalSpec pins exact pixel/sample values on hand-built
-    * containers.
+    * [[decodeFeatures]], but BMP, PNG, GIF and PCM WAV payloads yield
+    * their REAL decoded samples (MediaHeaders, no external codec
+    * library); JPEG / unrecognized payloads fall back to the stub
+    * with kind 'stub'. MultimodalSpec pins exact pixel/sample values
+    * on hand-built containers in all four real formats.
     */
   def decodeContent(media: DataFrame)(implicit s: SparkSession): Dataset[DecodedContent] = {
     import s.implicits._
@@ -149,27 +151,28 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          MediaHeaders.bmpPixels(bytes) match {
-            case Some(r) =>
-              DecodedContent(id, "bmp", "image", r.width, r.height,
-                r.pixels.length, rollingChecksum(r.pixels))
-            case None => MediaHeaders.wavSamples(bytes) match {
-              case Some(p) =>
-                DecodedContent(id, "wav", "audio", p.sampleRate, p.channels,
-                  p.samples.length, rollingChecksum(p.samples))
-              case None =>
-                // entropy-coded or unrecognized: header dims are still
-                // real where the container is known; sample decode is
-                // the stub (kind marks it)
-                val f = decodeStub(id, if (bytes == null) Array.empty else bytes)
-                MediaHeaders.sniff(bytes) match {
-                  case Some(h) => DecodedContent(id, h.format, "stub",
-                    h.width, h.height, 0, f.checksum)
-                  case None => DecodedContent(id, "unknown", "stub",
-                    f.width, f.height, 0, f.checksum)
-                }
+          def raster(fmt: String, r: MediaHeaders.Raster) =
+            DecodedContent(id, fmt, "image", r.width, r.height,
+              r.pixels.length, rollingChecksum(r.pixels))
+          MediaHeaders.bmpPixels(bytes).map(raster("bmp", _))
+            .orElse(MediaHeaders.pngPixels(bytes).map(raster("png", _)))
+            .orElse(MediaHeaders.gifPixels(bytes).map(raster("gif", _)))
+            .orElse(MediaHeaders.wavSamples(bytes).map { p =>
+              DecodedContent(id, "wav", "audio", p.sampleRate, p.channels,
+                p.samples.length, rollingChecksum(p.samples))
+            })
+            .getOrElse {
+              // JPEG or unrecognized: header dims are still real where
+              // the container is known; sample decode is the stub
+              // (kind marks it)
+              val f = decodeStub(id, if (bytes == null) Array.empty else bytes)
+              MediaHeaders.sniff(bytes) match {
+                case Some(h) => DecodedContent(id, h.format, "stub",
+                  h.width, h.height, 0, f.checksum)
+                case None => DecodedContent(id, "unknown", "stub",
+                  f.width, f.height, 0, f.checksum)
+              }
             }
-          }
         }
       }
   }

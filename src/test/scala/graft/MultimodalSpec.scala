@@ -142,11 +142,242 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(-128, 0, 127))
   }
 
+  // ── PNG pixel decode (JDK Inflater + unfilter — no codec lib) ─────
+
+  /** Builds a real PNG: zlib-deflated scanlines, proper chunk layout
+    * (CRCs are dummy — the decoder doesn't verify them). `rows` are
+    * PRE-FILTERED scanlines (filter byte + filtered data) so tests
+    * control exactly which filters are exercised.
+    */
+  private def pngFile(w: Int, h: Int, colorType: Int,
+    scanlines: Array[Byte], palette: Seq[Int] = Nil,
+    splitIdat: Boolean = false, depth: Int = 8,
+    interlace: Int = 0): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(0) // dummy CRC
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scanlines)
+    defl.finish()
+    val buf = new Array[Byte](scanlines.length * 2 + 64)
+    val n = defl.deflate(buf)
+    defl.end()
+    val idat = buf.take(n)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val plte =
+      if (palette.isEmpty) Array.empty[Byte]
+      else chunk("PLTE", palette.flatMap(c => Seq(
+        ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+        (c & 0xff).toByte)).toArray)
+    val idatChunks =
+      if (splitIdat)
+        chunk("IDAT", idat.take(idat.length / 2)) ++
+          chunk("IDAT", idat.drop(idat.length / 2))
+      else chunk("IDAT", idat)
+    sig ++ chunk("IHDR", ihdr.array()) ++ plte ++ idatChunks ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** Independent FORWARD filter (png spec §9) — the inverse of what
+    * the decoder does, written from the spec, so a round-trip failure
+    * implicates one side, not a shared bug.
+    */
+  private def filterRows(img: Array[Int], w: Int, h: Int, bpp: Int,
+    filters: Seq[Int]): Array[Byte] = {
+    val stride = w * bpp
+    require(img.length == stride * h)
+    val out = java.nio.ByteBuffer.allocate((stride + 1) * h)
+    for (row <- 0 until h) {
+      val ft = filters(row)
+      out.put(ft.toByte)
+      for (x <- 0 until stride) {
+        val orig = img(row * stride + x)
+        val a = if (x >= bpp) img(row * stride + x - bpp) else 0
+        val b = if (row > 0) img((row - 1) * stride + x) else 0
+        val c = if (row > 0 && x >= bpp) img((row - 1) * stride + x - bpp)
+                else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out.put(((orig - pred) & 0xff).toByte)
+      }
+    }
+    out.array()
+  }
+
+  test("pngPixels decodes RGB through all five scanline filters to " +
+    "exact pixel values") {
+    // 2×5 RGB, one row per filter type 0..4, varied values so each
+    // predictor actually predicts something nontrivial
+    val px = Seq(
+      0xff0000, 0x00ff00,
+      0x0000ff, 0xffffff,
+      0x102030, 0x405060,
+      0x708090, 0xa0b0c0,
+      0x112233, 0xfedcba)
+    val img = px.flatMap(c =>
+      Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)).toArray
+    val scan = filterRows(img, 2, 5, 3, Seq(0, 1, 2, 3, 4))
+    val r = MediaHeaders.pngPixels(pngFile(2, 5, 2, scan)).get
+    assert(r.width == 2 && r.height == 5)
+    assert(r.pixels.toSeq == px)
+  }
+
+  test("pngPixels: palette, RGBA alpha-drop, grayscale, and " +
+    "multi-IDAT reassembly") {
+    // color type 3: palette indices through a PLTE chunk
+    val pal = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val idx = filterRows(Array(0, 1, 2, 3), 2, 2, 1, Seq(0, 0))
+    val p3 = MediaHeaders.pngPixels(pngFile(2, 2, 3, idx, pal)).get
+    assert(p3.pixels.toSeq == pal)
+    // color type 6: RGBA, alpha dropped from the packed raster
+    val rgba = filterRows(
+      Array(0x12, 0x34, 0x56, 0x80, 0xab, 0xcd, 0xef, 0x00),
+      2, 1, 4, Seq(1))
+    val p6 = MediaHeaders.pngPixels(pngFile(2, 1, 6, rgba)).get
+    assert(p6.pixels.toSeq == Seq(0x123456, 0xabcdef))
+    // color type 0: 8-bit gray replicated to RGB channels
+    val gray = filterRows(Array(0, 128, 255, 7), 2, 2, 1, Seq(0, 2))
+    val p0 = MediaHeaders.pngPixels(pngFile(2, 2, 0, gray)).get
+    assert(p0.pixels.toSeq ==
+      Seq(0x000000, 0x808080, 0xffffff, 0x070707))
+    // IDAT split across two chunks must reassemble transparently
+    val split = MediaHeaders.pngPixels(
+      pngFile(2, 2, 0, gray, splitIdat = true)).get
+    assert(split.pixels.toSeq == p0.pixels.toSeq)
+  }
+
+  test("pngPixels rejects what it cannot decode instead of emitting " +
+    "garbage") {
+    val gray = filterRows(Array(0, 128, 255, 7), 2, 2, 1, Seq(0, 0))
+    // 16-bit depth, Adam7 interlace, truncated stream → None
+    assert(MediaHeaders.pngPixels(
+      pngFile(2, 2, 0, gray, depth = 16)).isEmpty)
+    assert(MediaHeaders.pngPixels(
+      pngFile(2, 2, 0, gray, interlace = 1)).isEmpty)
+    val whole = pngFile(2, 2, 0, gray)
+    assert(MediaHeaders.pngPixels(whole.take(whole.length - 20)).isEmpty)
+    // palette type without a PLTE chunk → None
+    assert(MediaHeaders.pngPixels(pngFile(2, 2, 3, gray)).isEmpty)
+    // header-only sniff fixture (no IDAT at all) → None, not a crash
+    assert(MediaHeaders.pngPixels(pngBytes(640, 360)).isEmpty)
+  }
+
+  // ── GIF pixel decode (pure-code variable-width LZW) ───────────────
+
+  /** Packs explicit (code, bitWidth) pairs LSB-first — widths are
+    * given by the test so the packer can't share a width-schedule bug
+    * with the decoder — and wraps the result in ≤255-byte sub-blocks.
+    */
+  private def lzwBlocks(codes: Seq[(Int, Int)]): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    for ((code, width) <- codes; k <- 0 until width)
+      bits += ((code >> k) & 1)
+    val bytes = bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (bit, i) => bit << i }.sum.toByte).toArray
+    bytes.grouped(255).flatMap(g => g.length.toByte +: g).toArray :+
+      0.toByte // block terminator
+  }
+
+  private def gifFile(w: Int, h: Int, globalTable: Seq[Int],
+    minCode: Int, codes: Seq[(Int, Int)], localTable: Seq[Int] = Nil,
+    withExtension: Boolean = false): Array[Byte] = {
+    def table(t: Seq[Int]): Array[Byte] = t.flatMap(c => Seq(
+      ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+      (c & 0xff).toByte)).toArray
+    def sizeBits(n: Int): Int = // table length 2^(k+1) → k
+      (1 to 8).find(k => (2 << (k - 1)) >= n).get - 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array((w & 0xff).toByte, (w >> 8).toByte,
+      (h & 0xff).toByte, (h >> 8).toByte))
+    val gPacked =
+      if (globalTable.nonEmpty) 0x80 | sizeBits(globalTable.length)
+      else 0
+    out.write(Array(gPacked.toByte, 0.toByte, 0.toByte))
+    if (globalTable.nonEmpty) out.write(table(globalTable))
+    if (withExtension) // graphic-control extension must be skipped
+      out.write(Array(0x21, 0xf9, 4, 0, 0, 0, 0, 0).map(_.toByte))
+    out.write(0x2c) // image descriptor
+    out.write(Array(0, 0, 0, 0).map(_.toByte)) // left, top
+    out.write(Array((w & 0xff).toByte, (w >> 8).toByte,
+      (h & 0xff).toByte, (h >> 8).toByte))
+    val iPacked =
+      if (localTable.nonEmpty) 0x80 | sizeBits(localTable.length) else 0
+    out.write(iPacked)
+    if (localTable.nonEmpty) out.write(table(localTable))
+    out.write(minCode)
+    out.write(lzwBlocks(codes))
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  test("gifPixels decodes a variable-width LZW stream to exact " +
+    "palette colors, including the code-size growth point") {
+    val pal = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    // minCode 2: clear=4 end=5; dict hits 8 entries after the 4th
+    // code so the last two codes are read at 4 bits — the stream is
+    // INVALID if the decoder misses the growth point
+    val codes = Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4))
+    val r = MediaHeaders.gifPixels(gifFile(2, 2, pal, 2, codes)).get
+    assert(r.width == 2 && r.height == 2)
+    assert(r.pixels.toSeq == pal)
+  }
+
+  test("gifPixels: KwKwK self-referencing code, extension skipping, " +
+    "and local-table override") {
+    val pal = Seq(0x000000, 0xabcdef, 0x222222, 0x333333)
+    // pixels [1,1,1]: clear, 1, then code 6 == next dict slot (KwKwK)
+    val kwk = Seq((4, 3), (1, 3), (6, 3), (5, 3))
+    val r = MediaHeaders.gifPixels(
+      gifFile(3, 1, pal, 2, kwk, withExtension = true)).get
+    assert(r.pixels.toSeq == Seq(0xabcdef, 0xabcdef, 0xabcdef))
+    // a local color table overrides the global one
+    val local = Seq(0x111111, 0x995511, 0x444444, 0x555555)
+    val r2 = MediaHeaders.gifPixels(
+      gifFile(3, 1, pal, 2, kwk, localTable = local)).get
+    assert(r2.pixels.toSeq == Seq(0x995511, 0x995511, 0x995511))
+  }
+
+  test("gifPixels rejects truncated/invalid streams instead of " +
+    "emitting garbage") {
+    val pal = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val codes = Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4))
+    val whole = gifFile(2, 2, pal, 2, codes)
+    assert(MediaHeaders.gifPixels(whole.take(whole.length - 6)).isEmpty)
+    // header-only fixture (no image descriptor) → None, not a crash
+    assert(MediaHeaders.gifPixels(gifBytes(320, 200)).isEmpty)
+    // end-of-information before the raster fills → None
+    val short = Seq((4, 3), (0, 3), (5, 3))
+    assert(MediaHeaders.gifPixels(gifFile(2, 2, pal, 2, short)).isEmpty)
+  }
+
   test("decodeContent in the Spark pipeline: real BMP/WAV samples, " +
     "stub fallback for entropy-coded payloads") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
+    val pal = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val pngReal = pngFile(2, 2, 3,
+      filterRows(Array(0, 1, 2, 3), 2, 2, 1, Seq(0, 0)), pal)
+    val gifReal = gifFile(2, 2, pal, 2,
+      Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)))
     val media = Seq(
-      (1L, bmpBytes), (2L, wavBytes), (3L, jpegBytes(800, 600))
+      (1L, bmpBytes), (2L, wavBytes), (3L, jpegBytes(800, 600)),
+      (4L, pngReal), (5L, gifReal)
     ).toDF("doc_id", "content")
     val got = MultimodalOps.decodeContent(media).collect()
       .map(d => d.doc_id -> d).toMap
@@ -160,6 +391,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L).sample_checksum ==
       ck(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)))
     assert(got(2L).sample_checksum == ck(Seq(0, 1000, -1000, 32767, -32768)))
+    // PNG and GIF pixels decode for REAL in the pipeline — same
+    // raster, same checksum as the BMP that draws the same image
+    assert(got(4L).format == "png" && got(4L).kind == "image" &&
+      got(4L).n_samples == 4 &&
+      got(4L).sample_checksum == got(1L).sample_checksum)
+    assert(got(5L).format == "gif" && got(5L).kind == "image" &&
+      got(5L).n_samples == 4 &&
+      got(5L).sample_checksum == got(1L).sample_checksum)
     // JPEG pixels genuinely need a codec: stub path, flagged as such,
     // but the header dimensions are still real
     assert(got(3L).kind == "stub" && got(3L).format == "jpeg" &&
