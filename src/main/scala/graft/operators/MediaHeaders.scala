@@ -265,6 +265,14 @@ object MediaHeaders {
     Some(Raster(w, h, out))
   }
 
+  /** JPEG pixel decode — baseline-sequential Huffman DCT, pure code
+    * ([[JpegBaseline]]): DQT/DHT/SOF0-1/DRI/SOS, FF00 unstuffing,
+    * restart markers, zigzag dequant, 2-D IDCT, JFIF YCbCr→RGB with
+    * box chroma upsampling. Progressive / arithmetic / 12-bit
+    * layouts → None (caller falls back to the header-only sniff).
+    */
+  def jpegPixels(b: Array[Byte]): Option[Raster] = JpegBaseline.decode(b)
+
   /** GIF pixel decode — pure-code variable-width LZW, no codec
     * library. Decodes the FIRST image frame: global or local color
     * table, extension blocks skipped, non-interlaced only (Adam-free

@@ -7,13 +7,15 @@ import graft.Tables
 /** Multimodal-column plumbing (builder mandate): media payloads are
   * opaque `binary` columns beside a typed metadata struct; decode /
   * feature-extraction runs batched per partition. Decode coverage:
-  * headers for PNG/JPEG/GIF/BMP/WAV and FULL sample decode for BMP
-  * rasters, PCM WAV, PNG (JDK zlib inflate + scanline unfiltering)
-  * and GIF (pure-code LZW) — all [[MediaHeaders]], no external codec
-  * library — are REAL; only JPEG's entropy-coded pixel path
-  * (Huffman+DCT) is STUBBED behind [[MultimodalOps.decodeStub]] —
-  * a clearly-marked deterministic fake standing in for the codec
-  * library this container lacks.
+  * headers for PNG/JPEG/GIF/BMP/WAV and FULL sample decode for ALL
+  * FIVE containers — BMP rasters, PCM WAV, PNG (JDK zlib inflate +
+  * scanline unfiltering), GIF (pure-code LZW), and baseline JPEG
+  * (pure-code Huffman + IDCT, [[JpegBaseline]]) — all via
+  * [[MediaHeaders]], no external codec library. Only layouts outside
+  * decoder coverage (progressive/arithmetic JPEG, 16-bit PNG,
+  * interlaced GIF, float WAV, …) fall back to
+  * [[MultimodalOps.decodeStub]] — a clearly-marked deterministic
+  * fake whose rows carry kind='stub'.
   *
   * Scale posture: payload bytes never shuffle — metadata is derived
   * map-side and the per-frame fan-out is a generator (explode over a
@@ -55,12 +57,14 @@ object MultimodalOps {
         (length(col("content")) % 5 + 1).cast("long").as("n_frames"))
       .orderBy("doc_id")
 
-  /** STUB — stands in for a JPEG entropy decoder (Huffman+DCT; the
-    * codec libs are absent in this container). Every other container
-    * does NOT hit this: BMP rasters, PCM WAV samples, PNG pixels and
-    * GIF pixels are decoded for real ([[MediaHeaders.bmpPixels]] /
-    * [[MediaHeaders.wavSamples]] / [[MediaHeaders.pngPixels]] /
-    * [[MediaHeaders.gifPixels]] via [[decodeContent]]).
+  /** STUB — the fallback for payloads OUTSIDE the real decoders'
+    * coverage (progressive/arithmetic JPEG, 16-bit PNG, interlaced
+    * GIF, float WAV, unrecognized containers). The dominant layout of
+    * every container decodes for real: BMP rasters, PCM WAV samples,
+    * PNG, GIF, and baseline JPEG pixels
+    * ([[MediaHeaders.bmpPixels]] / [[MediaHeaders.wavSamples]] /
+    * [[MediaHeaders.pngPixels]] / [[MediaHeaders.gifPixels]] /
+    * [[MediaHeaders.jpegPixels]] via [[decodeContent]]).
     * Deterministic fake: dimensions and checksum derived from the
     * payload bytes. The mapPartitions plumbing around it (batching,
     * encoder, schema) is the real deliverable.
@@ -138,11 +142,12 @@ object MultimodalOps {
   }
 
   /** Full decode stage: same per-partition batched shape as
-    * [[decodeFeatures]], but BMP, PNG, GIF and PCM WAV payloads yield
-    * their REAL decoded samples (MediaHeaders, no external codec
-    * library); JPEG / unrecognized payloads fall back to the stub
-    * with kind 'stub'. MultimodalSpec pins exact pixel/sample values
-    * on hand-built containers in all four real formats.
+    * [[decodeFeatures]], but BMP, PNG, GIF, baseline-JPEG and PCM WAV
+    * payloads yield their REAL decoded samples (MediaHeaders, no
+    * external codec library); out-of-coverage / unrecognized payloads
+    * fall back to the stub with kind 'stub'. MultimodalSpec pins
+    * exact pixel/sample values on hand-built containers in all five
+    * real formats.
     */
   def decodeContent(media: DataFrame)(implicit s: SparkSession): Dataset[DecodedContent] = {
     import s.implicits._
@@ -157,14 +162,16 @@ object MultimodalOps {
           MediaHeaders.bmpPixels(bytes).map(raster("bmp", _))
             .orElse(MediaHeaders.pngPixels(bytes).map(raster("png", _)))
             .orElse(MediaHeaders.gifPixels(bytes).map(raster("gif", _)))
+            .orElse(MediaHeaders.jpegPixels(bytes).map(raster("jpeg", _)))
             .orElse(MediaHeaders.wavSamples(bytes).map { p =>
               DecodedContent(id, "wav", "audio", p.sampleRate, p.channels,
                 p.samples.length, rollingChecksum(p.samples))
             })
             .getOrElse {
-              // JPEG or unrecognized: header dims are still real where
-              // the container is known; sample decode is the stub
-              // (kind marks it)
+              // outside decoder coverage (progressive/arithmetic JPEG,
+              // 16-bit PNG, interlaced GIF, …) or unrecognized: header
+              // dims are still real where the container is known;
+              // sample decode is the stub (kind marks it)
               val f = decodeStub(id, if (bytes == null) Array.empty else bytes)
               MediaHeaders.sniff(bytes) match {
                 case Some(h) => DecodedContent(id, h.format, "stub",

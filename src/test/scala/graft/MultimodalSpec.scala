@@ -367,6 +367,264 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.gifPixels(gifFile(2, 2, pal, 2, short)).isEmpty)
   }
 
+  // ── baseline JPEG pixel decode (pure-code Huffman + IDCT) ─────────
+  //
+  // The fixtures come from a minimal INDEPENDENT encoder below: its
+  // canonical-Huffman assignment, entropy model (category bits,
+  // ZRL/EOB run-lengths, byte stuffing, restart markers) and the
+  // reference IDCT used for expected pixels are all written from the
+  // T.81 spec separately from the decoder, so a shared bug can't
+  // self-validate.
+
+  private val testZigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex-C canonical code assignment: symbol → (code, bitLength). */
+  private def huffAssign(counts: Seq[Int],
+    vals: Seq[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      for (_ <- 0 until counts(l - 1)) {
+        m(vals(vi)) = (code, l); code += 1; vi += 1
+      }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  private class JBitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def bit(v: Int): Unit = {
+      acc = (acc << 1) | (v & 1)
+      n += 1
+      if (n == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00) // byte stuffing
+        acc = 0; n = 0
+      }
+    }
+    def bits(v: Int, w: Int): Unit = {
+      var k = w - 1
+      while (k >= 0) { bit((v >> k) & 1); k -= 1 }
+    }
+    def align(): Unit = while (n != 0) bit(1) // 1-fill padding
+    def raw(b: Int): Unit = { require(n == 0); out.write(b) }
+  }
+
+  private def magCat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Entropy-encode one zigzag block; returns the new DC predictor. */
+  private def encodeBlock(w: JBitWriter, zz: Array[Int], pred: Int,
+    dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)]): Int = {
+    val diff = zz(0) - pred
+    val s = magCat(diff)
+    val (c0, l0) = dc(s)
+    w.bits(c0, l0)
+    if (s > 0)
+      w.bits(if (diff >= 0) diff else (diff - 1) & ((1 << s) - 1), s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      if (zz(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = ac(0xf0); w.bits(zc, zl); run -= 16
+        }
+        val sz = magCat(zz(k))
+        val (cc, ll) = ac((run << 4) | sz)
+        w.bits(cc, ll)
+        w.bits(if (zz(k) >= 0) zz(k) else (zz(k) - 1) & ((1 << sz) - 1), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = ac(0x00); w.bits(ec, el) }
+    zz(0)
+  }
+
+  private val dcCountsDflt = Seq(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val dcValsDflt = 0 to 11
+  private val acCountsDflt = Seq(0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val acValsDflt = Seq(0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06,
+    0x07, 0x08, 0x09, 0x0a, 0xf0, 0x11, 0x21, 0x31, 0x12)
+
+  /** Minimal baseline JPEG writer. `blocks(c)` holds component c's
+    * zigzag coefficient blocks in MCU-emission order (per MCU:
+    * components in order, V-major then H within a component).
+    */
+  private def jpegReal(w: Int, h: Int, comps: Seq[(Int, Int)],
+    qt: Array[Int], blocks: Seq[Seq[Array[Int]]], dri: Int = 0,
+    dcCounts: Seq[Int] = dcCountsDflt, dcVals: Seq[Int] = dcValsDflt,
+    sofMarker: Int = 0xc0): Array[Byte] = {
+    val dc = huffAssign(dcCounts, dcVals)
+    val ac = huffAssign(acCountsDflt, acValsDflt)
+    val bb = new java.io.ByteArrayOutputStream()
+    def word(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    def marker(m: Int): Unit = { bb.write(0xff); bb.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); word(2 + 65); bb.write(0x00) // DQT table 0
+    qt.foreach(bb.write)
+    marker(sofMarker); word(8 + 3 * comps.length)
+    bb.write(8); word(h); word(w); bb.write(comps.length)
+    comps.zipWithIndex.foreach { case ((ch, cv), k) =>
+      bb.write(k + 1); bb.write((ch << 4) | cv); bb.write(0)
+    }
+    def dht(tc: Int, counts: Seq[Int], vals: Seq[Int]): Unit = {
+      marker(0xc4); word(2 + 17 + vals.length)
+      bb.write(tc << 4)
+      counts.foreach(bb.write)
+      vals.foreach(bb.write)
+    }
+    dht(0, dcCounts, dcVals)
+    dht(1, acCountsDflt, acValsDflt)
+    if (dri > 0) { marker(0xdd); word(4); word(dri) }
+    marker(0xda); word(6 + 2 * comps.length)
+    bb.write(comps.length)
+    comps.indices.foreach { k => bb.write(k + 1); bb.write(0x00) }
+    bb.write(0); bb.write(63); bb.write(0) // Ss/Se/AhAl
+    // entropy-coded MCU interleave with restart intervals
+    val hmax = comps.map(_._1).max
+    val vmax = comps.map(_._2).max
+    val mcus = ((w + 8 * hmax - 1) / (8 * hmax)) *
+      ((h + 8 * vmax - 1) / (8 * vmax))
+    val wtr = new JBitWriter
+    val preds = Array.fill(comps.length)(0)
+    val queues = blocks.map(_.iterator)
+    var rst = 0
+    var since = 0
+    for (mcu <- 0 until mcus) {
+      if (dri > 0 && since == dri) {
+        wtr.align()
+        wtr.raw(0xff); wtr.raw(0xd0 | rst)
+        rst = (rst + 1) & 7
+        since = 0
+        java.util.Arrays.fill(preds, 0)
+      }
+      for (((ch, cv), c) <- comps.zipWithIndex; _ <- 0 until ch * cv)
+        preds(c) = encodeBlock(wtr, queues(c).next(), preds(c), dc, ac)
+      since += 1
+    }
+    wtr.align()
+    bb.write(wtr.out.toByteArray)
+    marker(0xd9) // EOI
+    bb.toByteArray
+  }
+
+  /** Reference IDCT (A.3.3), written directly from the formula with
+    * math.cos — independent of the decoder's tabulated transform.
+    */
+  private def refIdct(natural: Array[Int]): Array[Int] =
+    Array.tabulate(64) { p =>
+      val x = p % 8; val y = p / 8
+      var s = 0.0
+      for (v <- 0 until 8; uu <- 0 until 8) {
+        val cu = if (uu == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv * natural(v * 8 + uu) *
+          math.cos((2 * x + 1) * uu * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      val r = math.round(s / 4.0).toInt + 128
+      math.max(0, math.min(255, r))
+    }
+
+  private def flatQt: Array[Int] = Array.fill(64)(1)
+
+  test("jpegPixels decodes a DC-only grayscale block with " +
+    "dequantization to the exact flat value") {
+    val qt = flatQt; qt(0) = 2
+    val zz = new Array[Int](64); zz(0) = 16 // dequant → 32 → 32/8+128
+    val img = jpegReal(8, 8, Seq((1, 1)), qt, Seq(Seq(zz)))
+    val r = MediaHeaders.jpegPixels(img).get
+    assert(r.width == 8 && r.height == 8)
+    assert(r.pixels.forall(_ == 0x848484)) // gray 132
+  }
+
+  test("jpegPixels reproduces the reference IDCT exactly for an AC " +
+    "cosine pattern") {
+    val zz = new Array[Int](64); zz(1) = 50 // zigzag 1 = basis (u=1,v=0)
+    val img = jpegReal(8, 8, Seq((1, 1)), flatQt, Seq(Seq(zz)))
+    val natural = new Array[Int](64)
+    for (k <- 0 until 64) natural(testZigzag(k)) = zz(k)
+    val want = refIdct(natural).map(g => (g << 16) | (g << 8) | g)
+    assert(MediaHeaders.jpegPixels(img).get.pixels.toSeq == want.toSeq)
+  }
+
+  test("jpegPixels decodes 4:2:0 YCbCr with chroma upsampling to " +
+    "exact per-quadrant colors") {
+    // 16×16, Y at 2×2 sampling (4 blocks), flat Cb/Cr — DC-only
+    // blocks so every quadrant color has a closed form
+    def dcOnly(level: Int): Array[Int] = {
+      val a = new Array[Int](64); a(0) = (level - 128) * 8; a
+    }
+    val yLevels = Seq(60, 120, 180, 240) // TL TR BL BR
+    val img = jpegReal(16, 16, Seq((2, 2), (1, 1), (1, 1)), flatQt,
+      Seq(yLevels.map(dcOnly), Seq(dcOnly(100)), Seq(dcOnly(200))))
+    val r = MediaHeaders.jpegPixels(img).get
+    assert(r.width == 16 && r.height == 16)
+    def jfif(yy: Int, cb: Int, cr: Int): Int = {
+      def cl(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+      (cl(yy + 1.402 * (cr - 128)) << 16) |
+        (cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) << 8) |
+        cl(yy + 1.772 * (cb - 128))
+    }
+    val want = yLevels.map(jfif(_, 100, 200))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val q = (y / 8) * 2 + (x / 8)
+      assert(r.pixels(y * 16 + x) == want(q),
+        s"($x,$y) quadrant $q")
+    }
+  }
+
+  test("jpegPixels honors restart intervals: DC predictors reset at " +
+    "RSTn") {
+    // 16×8 gray = 2 MCUs, DRI=1 → RST0 between them. The second
+    // block's stored DC is its diff from a RESET predictor — a
+    // decoder that fails to reset shows 145 instead of 129.
+    def dc(v: Int) = { val a = new Array[Int](64); a(0) = v; a }
+    val img = jpegReal(16, 8, Seq((1, 1)), flatQt,
+      Seq(Seq(dc(40), dc(8))), dri = 1)
+    val r = MediaHeaders.jpegPixels(img).get
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert(r.pixels(y * 16 + x) ==
+        (if (x < 8) 0x858585 else 0x818181), s"($x,$y)") // 133 / 129
+  }
+
+  test("jpegPixels unstuffs FF00 in the entropy stream") {
+    // skewed unary-ish DC table puts category 8 at code 111111110;
+    // diff 255 appends 8 more 1-bits → a raw 0xFF byte the encoder
+    // must stuff and the decoder must unstuff
+    val counts = Seq(1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dc = { val a = new Array[Int](64); a(0) = 255; a }
+    val img = jpegReal(8, 8, Seq((1, 1)), flatQt, Seq(Seq(dc)),
+      dcCounts = counts, dcVals = 0 to 8)
+    val hasStuffing = img.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && p(1) == 0x00)
+    assert(hasStuffing, "fixture must actually contain a stuffed byte")
+    val r = MediaHeaders.jpegPixels(img).get
+    assert(r.pixels.forall(_ == 0xa0a0a0)) // round(255/8)+128 = 160
+  }
+
+  test("jpegPixels rejects progressive and truncated streams instead " +
+    "of emitting garbage") {
+    val zz = new Array[Int](64); zz(0) = 16
+    val prog = jpegReal(8, 8, Seq((1, 1)), flatQt, Seq(Seq(zz)),
+      sofMarker = 0xc2)
+    assert(MediaHeaders.jpegPixels(prog).isEmpty)
+    val whole = jpegReal(8, 8, Seq((1, 1)), flatQt, Seq(Seq(zz)))
+    assert(MediaHeaders.jpegPixels(whole.take(whole.length - 4)).isEmpty)
+    // the header-only sniff fixture has no scan at all
+    assert(MediaHeaders.jpegPixels(jpegBytes(800, 600)).isEmpty)
+  }
+
   test("decodeContent in the Spark pipeline: real BMP/WAV samples, " +
     "stub fallback for entropy-coded payloads") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
@@ -375,9 +633,14 @@ class MultimodalSpec extends AnyFunSuite {
       filterRows(Array(0, 1, 2, 3), 2, 2, 1, Seq(0, 0)), pal)
     val gifReal = gifFile(2, 2, pal, 2,
       Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)))
+    val jpegGray = { // flat gray 132 via a DC-only baseline block
+      val qt = flatQt; qt(0) = 2
+      val zz = new Array[Int](64); zz(0) = 16
+      jpegReal(8, 8, Seq((1, 1)), qt, Seq(Seq(zz)))
+    }
     val media = Seq(
       (1L, bmpBytes), (2L, wavBytes), (3L, jpegBytes(800, 600)),
-      (4L, pngReal), (5L, gifReal)
+      (4L, pngReal), (5L, gifReal), (6L, jpegGray)
     ).toDF("doc_id", "content")
     val got = MultimodalOps.decodeContent(media).collect()
       .map(d => d.doc_id -> d).toMap
@@ -399,8 +662,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(5L).format == "gif" && got(5L).kind == "image" &&
       got(5L).n_samples == 4 &&
       got(5L).sample_checksum == got(1L).sample_checksum)
-    // JPEG pixels genuinely need a codec: stub path, flagged as such,
-    // but the header dimensions are still real
+    // baseline JPEG decodes for REAL too
+    assert(got(6L).format == "jpeg" && got(6L).kind == "image" &&
+      got(6L).n_samples == 64 &&
+      got(6L).sample_checksum == ck(Seq.fill(64)(0x848484)))
+    // a headers-only JPEG (no scan) is outside decoder coverage:
+    // stub path, flagged as such, but the header dimensions are real
     assert(got(3L).kind == "stub" && got(3L).format == "jpeg" &&
       got(3L).width == 800 && got(3L).height == 600)
   }
