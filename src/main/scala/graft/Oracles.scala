@@ -645,6 +645,52 @@ object Oracles {
          |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
          |ORDER BY tfidf DESC, tf.doc_id, tf.tok LIMIT 500""".stripMargin,
 
+    // parameters interpolated from TextOps so the twins cannot drift;
+    // per-doc summation over DECIMAL(18,6)-rounded contributions is
+    // exact and order-independent (the q_agg_corr discipline)
+    "q_bm25" -> {
+      import graft.operators.TextOps.{bm25Terms, bm25K1, bm25B}
+      val terms = bm25Terms.map("'" + _ + "'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |contrib AS (SELECT tf.doc_id,
+         |  CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * (tf.tf * ${bm25K1 + 1}) / (tf.tf + $bm25K1
+         |      * (${1.0 - bm25B} + $bm25B * dl.dl / s.avgdl)), 6)
+         |    AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats s)
+         |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q_postings" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($tokL) AS tok FROM documents)
+         |SELECT tok, count(*) AS df,
+         |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
+         |FROM dt GROUP BY tok ORDER BY df DESC, tok LIMIT 200""".stripMargin,
+
+    "q_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.tok,
+         |  round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+         |ranked AS (SELECT doc_id, tok, score, CAST(row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, tok, score, rk FROM ranked WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
     "q_edit_distance" ->
       """SELECT a.doc_id,
         |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist

@@ -104,6 +104,9 @@ object SparkEntry {
     "q_redact" -> (TextOps.q_redact _),
     "q_text_clean" -> (TextOps.q_text_clean _),
     "q_tfidf" -> (TextOps.q_tfidf _),
+    "q_bm25" -> (TextOps.q_bm25 _),
+    "q_postings" -> (TextOps.q_postings _),
+    "q_keywords" -> (TextOps.q_keywords _),
     "q_edit_distance" -> (TextOps.q_edit_distance _),
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),

@@ -397,6 +397,91 @@ object TextOps {
       .limit(500)
   }
 
+  // ── lexical retrieval (BM25 / postings / keyword extraction) ──────
+
+  /** BM25 parameters, shared verbatim with the oracle SQL. */
+  private[graft] val bm25Terms = Seq("hash", "merge", "scan")
+  private[graft] val bm25K1 = 1.2
+  private[graft] val bm25B = 0.75
+
+  /** BM25 lexical retrieval for a fixed conjunctive query — the
+    * classic sparse twin of the dense ANN family (q_sim_topk /
+    * q_ann_*). Shape at 100 TB: ONE pass over the cached token
+    * stream; tf is filtered to the broadcast-small query vocabulary
+    * BEFORE its aggregate, so the heavy groupBy carries only
+    * query-term hits; df derives from tf (3 rows, broadcast);
+    * corpus stats (N, avgdl) are an in-plan broadcast 1-row
+    * aggregate. Per-doc summation is over DECIMAL(18,6)-rounded
+    * contributions — exact and order-independent under any
+    * partitioning (§2.12 rule 2) — then cast to double once for the
+    * final round, the q_agg_corr discipline.
+    */
+  def q_bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl")))
+    val tf = toks.filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
+    val contrib =
+      log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) *
+        (col("tf") * lit(bm25K1 + 1)) /
+        (col("tf") + lit(bm25K1) *
+          (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("__avgdl")))
+    tf.join(df_, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        round(contrib, 6).cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Inverted postings index materialization: per term, document
+    * frequency + the first 8 postings (sorted — collect_list order is
+    * partition-dependent, sort_array makes it canonical). This is the
+    * build side of lexical retrieval at scale: one shuffle on the
+    * term, postings capped so no group's state grows with the corpus.
+    */
+  def q_postings(s: SparkSession, dir: String): DataFrame =
+    docTokensDistinct(s, dir)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, 8).as("postings"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(200)
+
+  /** Per-document keyword extraction: top-3 terms by TF-IDF via a
+    * per-doc window rank — same proven-parity scoring formula as
+    * [[q_tfidf]], plus the (score desc, tok) total order inside each
+    * document so ranks are cross-engine deterministic. The window
+    * partitions by doc_id: state is bounded by a single document's
+    * vocabulary, never the corpus.
+    */
+  def q_keywords(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    val n = broadcast(t(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("__n")))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = docTokensDistinct(s, dir)
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df_, "tok")
+      .crossJoin(n)
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("__n") / col("df")), 4).as("score"))
+      .select(col("doc_id"), col("tok"), col("score"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("doc_id", "rk")
+  }
+
   // ── n-gram Jaccard near-dup ────────────────────────────────────────
 
   /** Jaccard near-dup candidates over 3-gram word shingles via an
