@@ -676,6 +676,52 @@ object Oracles {
          |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
          |FROM dt GROUP BY tok ORDER BY df DESC, tok LIMIT 200""".stripMargin,
 
+    // the two retriever CTEs repeat q_bm25 / the query-filtered tfidf
+    // verbatim; ranks are integers off rounded scores (+doc_id
+    // tie-break) so the fusion arithmetic is a single two-operand
+    // double add — order-free
+    "q_rrf" -> {
+      import graft.operators.TextOps.{bm25Terms, bm25K1, bm25B}
+      val terms = bm25Terms.map("'" + _ + "'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |contrib AS (SELECT tf.doc_id,
+         |  CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * (tf.tf * ${bm25K1 + 1}) / (tf.tf + $bm25K1
+         |      * (${1.0 - bm25B} + $bm25B * dl.dl / s.avgdl)), 6)
+         |    AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats s),
+         |bm AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+         |  FROM contrib GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |dfd AS (SELECT tok, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN ($terms))
+         |  GROUP BY tok),
+         |qc AS (SELECT tf.doc_id,
+         |  CAST(round(tf.tf * ln(n2.n / dfd.df), 6) AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN dfd USING (tok) CROSS JOIN n2),
+         |qt AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS qscore
+         |  FROM qc GROUP BY doc_id
+         |  ORDER BY qscore DESC, doc_id LIMIT 20),
+         |ra AS (SELECT doc_id, CAST(row_number() OVER
+         |  (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bm),
+         |rb AS (SELECT doc_id, CAST(row_number() OVER
+         |  (ORDER BY qscore DESC, doc_id) AS BIGINT) AS rank_tfidf FROM qt)
+         |SELECT doc_id, rank_bm25, rank_tfidf,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm25), 0.0)
+         |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_tfidf), 0.0), 6)
+         |    AS rrf
+         |FROM ra FULL JOIN rb USING (doc_id)
+         |ORDER BY rrf DESC, doc_id""".stripMargin
+    },
+
     "q_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_text_clean" -> (TextOps.q_text_clean _),
     "q_tfidf" -> (TextOps.q_tfidf _),
     "q_bm25" -> (TextOps.q_bm25 _),
+    "q_rrf" -> (TextOps.q_rrf _),
     "q_postings" -> (TextOps.q_postings _),
     "q_keywords" -> (TextOps.q_keywords _),
     "q_edit_distance" -> (TextOps.q_edit_distance _),

@@ -416,7 +416,10 @@ object TextOps {
     * partitioning (§2.12 rule 2) — then cast to double once for the
     * final round, the q_agg_corr discipline.
     */
-  def q_bm25(s: SparkSession, dir: String): DataFrame = {
+  /** The top-20 BM25 list — shared by [[q_bm25]] and the RRF fusion
+    * in [[q_rrf]].
+    */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
     val toks = docTokens(s, dir)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = broadcast(dl.agg(
@@ -440,6 +443,57 @@ object TextOps {
       .agg(round(sum(col("c")).cast("double"), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+  }
+
+  def q_bm25(s: SparkSession, dir: String): DataFrame = bm25Top(s, dir)
+
+  /** The top-20 query-TF-IDF list (Σ over query terms of the proven
+    * [[q_tfidf]] per-term score) — the second retriever fused by
+    * [[q_rrf]]. Same decimal-sum discipline as BM25.
+    */
+  private def qtfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    val n = broadcast(t(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("__n")))
+    val tf = toks.filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = broadcast(docTokensDistinct(s, dir)
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df")))
+    tf.join(df_, "tok")
+      .crossJoin(n)
+      .select(col("doc_id"),
+        round(col("tf") * log(col("__n") / col("df")), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c")).cast("double"), 4).as("qscore"))
+      .orderBy(col("qscore").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion: RRF(d) =
+    * Σ_retrievers 1/(60 + rank_r(d)) over the BM25 and query-TF-IDF
+    * top-20 lists (Cormack et al.'s k=60). Ranks are integers derived
+    * from rounded scores with a doc_id tie-break, so fusion is exact;
+    * the two reciprocal terms are a single two-operand double add —
+    * order-free by IEEE commutativity. Both inputs are 20-row frames:
+    * the fusion join is driver-trivial at any corpus size, and the
+    * per-retriever work is the linear shapes proven above.
+    */
+  def q_rrf(s: SparkSession, dir: String): DataFrame = {
+    val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wb = Window.orderBy(col("qscore").desc, col("doc_id"))
+    val ra = bm25Top(s, dir)
+      .select(col("doc_id"), row_number().over(wa).cast("long").as("rank_bm25"))
+    val rb = qtfidfTop(s, dir)
+      .select(col("doc_id"), row_number().over(wb).cast("long").as("rank_tfidf"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
   }
 
   /** Inverted postings index materialization: per term, document

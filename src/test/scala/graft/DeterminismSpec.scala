@@ -22,7 +22,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_corpus_stats", "q_dedup_semantic", "q_sample_weighted",
     // typed-Aggregator partial/merge order is partition-dependent —
     // TopKAgg's total order must make the result invariant anyway
-    "q_group_topk")
+    "q_group_topk",
+    // decimal-summed BM25 contributions must not depend on addition
+    // order; postings arrays come from collect_list, whose raw order
+    // IS partition-dependent — sort_array must canonicalize it
+    "q_bm25", "q_postings")
 
   test("declared outputs are identical under 3 vs 7 shuffle partitions") {
     val conf = spark.conf
