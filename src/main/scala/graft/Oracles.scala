@@ -424,6 +424,39 @@ object Oracles {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |    JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |    JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |    GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+        |    (SELECT count(*) FROM c) AS nc,
+        |    (SELECT count(*) FROM p) AS np)
+        |SELECT '1_view' AS stage, nv AS users, CAST(1.0 AS DOUBLE) AS pct FROM n
+        |UNION ALL SELECT '2_click', nc, round(CAST(nc AS DOUBLE) / nv, 4) FROM n
+        |UNION ALL SELECT '3_purchase', np, round(CAST(np AS DOUBLE) / nv, 4) FROM n
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohort AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS act_week FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "q_sessionize" ->
       """SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events

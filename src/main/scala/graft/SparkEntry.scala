@@ -79,6 +79,8 @@ object SparkEntry {
     "q_window_ntile" -> (Relational.q_window_ntile _),
     "q_window_percent" -> (Relational.q_window_percent _),
     "q_sessionize" -> (Relational.q_sessionize _),
+    "q_funnel" -> (Relational.q_funnel _),
+    "q_retention" -> (Relational.q_retention _),
     "q_rolling_time" -> (Relational.q_rolling_time _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
     "q_sample_stratified" -> (Relational.q_sample_stratified _),

@@ -718,6 +718,66 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Ordered funnel analysis — the classic event-analytics operator:
+    * per user, first `view`, first `click` strictly AFTER that view,
+    * first `purchase` strictly after that click; stage rows carry
+    * reached-user counts and conversion vs the first stage. Each
+    * stage is a filtered min-aggregate joined on user_id (partial
+    * map-side combine, shuffle bounded by the user universe); stage
+    * counts are in-plan broadcast 1-row aggregates, so the final
+    * 3-row result never touches the driver. Conversion is one double
+    * division of exact integers — identical IEEE in both engines.
+    */
+  def q_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    broadcast(v.agg(count(lit(1)).as("nv")))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("np"))))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("nv").as("users"),
+          lit(1.0).as("pct")),
+        struct(lit("2_click").as("stage"), col("nc").as("users"),
+          round(col("nc").cast("double") / col("nv"), 4).as("pct")),
+        struct(lit("3_purchase").as("stage"), col("np").as("users"),
+          round(col("np").cast("double") / col("nv"), 4).as("pct"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.users").as("users"),
+        col("r.pct").as("pct"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention — per (cohort week = Monday-truncated
+    * week of a user's first event, week offset), how many users were
+    * active. Both engines Monday-truncate (`date_trunc('week')`), so
+    * day differences are exact multiples of 7 and the offset division
+    * is integer-exact. Shape: two aggregates (first-event per user,
+    * distinct user-week activity) joined on user_id — everything
+    * partial-combines map-side; no window, no driver loop.
+    */
+  def q_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val act = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("act_week")).distinct()
+    act.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Sample size for [[q_sample_weighted]]. */
   val weightedSampleK = 150
 
