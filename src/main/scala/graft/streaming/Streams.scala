@@ -238,6 +238,62 @@ object Streams {
       }
   }
 
+  /** One user's retention snapshot: Monday epoch-day of the cohort
+    * week + sorted week offsets with activity, revisioned so
+    * downstream keeps the latest. Epoch-day longs (not DATEs) keep
+    * the contract timezone-free.
+    */
+  case class RetentionSnap(user_id: Long, cohort_day: Long,
+    offsets: Seq[Long], rev: Long)
+
+  /** Monday-truncated epoch day of a timestamp — the JVM twin of
+    * `date_trunc('week')` under UTC (1970-01-01 was a Thursday, so
+    * epoch day d is a Monday iff (d+3) % 7 == 0).
+    */
+  private[graft] def mondayEpochDay(ts: java.sql.Timestamp): Int = {
+    val days = Math.floorDiv(ts.getTime, 86400000L).toInt
+    days - Math.floorMod(days + 3, 7)
+  }
+
+  /** Streaming twin of batch q_retention: per-user state machine via
+    * flatMapGroupsWithState. State = the user's set of distinct
+    * activity weeks (epoch-day ints) — the cohort is its MIN, which is
+    * order-robust: late-arriving earlier events simply lower the min,
+    * and the emitted snapshot CORRECTS every offset in one row (this
+    * is why the twin is retention and not the funnel — an exact
+    * streaming funnel must re-qualify discarded clicks when an
+    * earlier view arrives, which needs unbounded state under
+    * adversarial arrival order).
+    *
+    * State is bounded by the stream's wall-clock span in weeks per
+    * user (one int per active week), NOT by event count; an infinite
+    * deployment ages out closed cohorts with a state TTL. Emission is
+    * one revisioned snapshot per user per changed micro-batch;
+    * downstream keeps max-rev (idempotent against replays).
+    */
+  def retentionSnapshots(spark: SparkSession,
+    events: DataFrame): Dataset[RetentionSnap] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+          st: GroupState[(Set[Int], Long)]) =>
+          val incoming = rows.map(r => mondayEpochDay(r._2)).toSet
+          val (oldWeeks, rev) = st.getOption.getOrElse((Set.empty[Int], 0L))
+          val weeks = oldWeeks ++ incoming
+          if (weeks == oldWeeks) Iterator.empty // no new activity week
+          else {
+            st.update((weeks, rev + 1))
+            val cohort = weeks.min
+            Iterator(RetentionSnap(uid, cohort.toLong,
+              weeks.toSeq.sorted.map(w => ((w - cohort) / 7).toLong),
+              rev + 1))
+          }
+      }
+  }
+
   /** foreachBatch LWW upsert sink over a parquet directory: merge the
     * micro-batch with existing state, keep the newest row per key
     * (`keyCol`, ordered by `orderCols` desc), atomically swap. The
