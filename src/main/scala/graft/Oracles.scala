@@ -1362,6 +1362,45 @@ object Oracles {
          |SELECT f.HTSUSCode, cnt, min_id, max_id, pushed_cnt
          |FROM f LEFT JOIN p USING (HTSUSCode)
          |ORDER BY f.HTSUSCode""".stripMargin
+    },
+
+    // ── graph ──────────────────────────────────────────────────────
+    // Iterations unrolled from the SAME constants the Spark side uses
+    // (GraphOps.prIters/prScale/prTeleportNano/prDampNum/prDampDen)
+    // so the twin can never silently desynchronize. All rank math is
+    // FIXED-POINT BIGINT (see GraphOps scaladoc): DuckDB `//` and
+    // Spark `div` both truncate, identical on the all-positive ranks;
+    // the only float op is the final nano→double rescale, a
+    // BIGINT/10⁹ division both engines compute identically in IEEE.
+    "q_pagerank" -> {
+      import graft.operators.GraphOps.{prDampDen, prDampNum, prIters, prScale, prTeleportNano}
+      val base =
+        s"""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+           |edges AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM li
+           |  UNION ALL
+           |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM li)),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS node, $prScale // n AS nr FROM deg, nn)""".stripMargin
+      val iters = (1 to prIters).map { i =>
+        s""",
+           |c$i AS (SELECT e.dst, sum(r.nr // d.deg) AS sc
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT dst AS node,
+           |    $prTeleportNano // n + ($prDampNum * sc) // $prDampDen AS nr
+           |  FROM c$i, nn)""".stripMargin
+      }.mkString
+      base + iters +
+        s"""
+           |SELECT r.node, d.deg,
+           |  CAST(r.nr AS DOUBLE) / CAST($prScale AS DOUBLE) AS pagerank
+           |FROM r$prIters r JOIN deg d ON r.node = d.src
+           |ORDER BY pagerank DESC, node
+           |LIMIT 50""".stripMargin
     }
   )
 }

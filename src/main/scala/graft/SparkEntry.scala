@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, GraphOps, MultimodalOps, Relational, TextOps, VectorOps}
 import graft.pipeline.ExclusionPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (declared inventory)
@@ -155,7 +155,9 @@ object SparkEntry {
     "q_ann_ivf" -> (VectorOps.q_ann_ivf _),
     // multimodal
     "q_media_meta" -> (MultimodalOps.q_media_meta _),
-    "q_media_frames" -> (MultimodalOps.q_media_frames _)
+    "q_media_frames" -> (MultimodalOps.q_media_frames _),
+    // graph analytics
+    "q_pagerank" -> (GraphOps.q_pagerank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
