@@ -1401,6 +1401,38 @@ object Oracles {
            |FROM r$prIters r JOIN deg d ON r.node = d.src
            |ORDER BY pagerank DESC, node
            |LIMIT 50""".stripMargin
-    }
+    },
+
+    // triangle census of the SAME LSH pair graph q_dedup_minhash
+    // declares; the naive x<y<z formulation here independently
+    // cross-checks the Spark side's degree-oriented enumeration
+    "q_triangles" ->
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT a_id AS node FROM pairs
+         |   UNION ALL SELECT b_id FROM pairs) GROUP BY node),
+         |tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+         |  FROM pairs e1 JOIN pairs e2 ON e2.a_id = e1.b_id
+         |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |tn AS (SELECT node, count(*) AS n_tri FROM
+         |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+         |   UNION ALL SELECT z FROM tri) GROUP BY node)
+         |SELECT d.node, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2 THEN round(CAST(2 AS DOUBLE)
+         |      * coalesce(tn.n_tri, 0) / (d.deg * (d.deg - 1)), 4)
+         |    ELSE CAST(0 AS DOUBLE) END AS cc
+         |FROM deg d LEFT JOIN tn USING (node)
+         |ORDER BY n_tri DESC, cc DESC, node
+         |LIMIT 50""".stripMargin
   )
 }

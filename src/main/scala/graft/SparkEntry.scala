@@ -157,7 +157,8 @@ object SparkEntry {
     "q_media_meta" -> (MultimodalOps.q_media_meta _),
     "q_media_frames" -> (MultimodalOps.q_media_frames _),
     // graph analytics
-    "q_pagerank" -> (GraphOps.q_pagerank _)
+    "q_pagerank" -> (GraphOps.q_pagerank _),
+    "q_triangles" -> (GraphOps.q_triangles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -84,4 +84,71 @@ object GraphOps {
       .orderBy(col("pagerank").desc, col("node"))
       .limit(50)
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list (canonical `a_id < b_id`, deduplicated).
+    *
+    * Degree-oriented enumeration: every edge is directed from its
+    * (deg, id)-smaller endpoint to the larger, so each triangle is
+    * produced exactly once — at its unique vertex with two out-edges.
+    * At scale this is the load-bearing trick: per-vertex out-degree
+    * is bounded by graph arboricity (≤ √m), so the wedge join
+    * generates O(m^1.5) rows worst-case instead of Σdeg² — a
+    * high-degree hub contributes wedges only through its LOW-degree
+    * neighbors. All three steps are equi-joins + one partial-
+    * combining count; nothing driver-side.
+    *
+    * cc = 2·tri / (deg·(deg−1)): one IEEE division of exact integers
+    * (identical in any engine), 0.0 where deg < 2.
+    */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a_id").as("node"))
+      .union(edges.select(col("b_id").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("node").as("a_id"), col("deg").as("a_deg"))
+    val db = deg.select(col("node").as("b_id"), col("deg").as("b_deg"))
+    val aFirst = col("a_deg") < col("b_deg") ||
+      (col("a_deg") === col("b_deg") && col("a_id") < col("b_id"))
+    val o = edges.join(da, "a_id").join(db, "b_id")
+      .select(when(aFirst, col("a_id")).otherwise(col("b_id")).as("src"),
+        when(aFirst, col("b_id")).otherwise(col("a_id")).as("dst"),
+        when(aFirst, col("b_deg")).otherwise(col("a_deg")).as("ddeg"))
+    val w1 = o.select(col("src"), col("dst").as("y"), col("ddeg").as("ydeg"))
+    val w2 = o.select(col("src"), col("dst").as("z"), col("ddeg").as("zdeg"))
+    val wedges = w1.join(w2, "src")
+      .filter(col("ydeg") < col("zdeg") ||
+        (col("ydeg") === col("zdeg") && col("y") < col("z")))
+      .select(col("src").as("x"), col("y"), col("z"))
+    // the closing edge {y,z} is oriented y→z because y precedes z in
+    // the same (deg, id) total order the wedge filter used
+    val tris = wedges.join(o.select(col("src").as("y"),
+      col("dst").as("z")), Seq("y", "z"))
+    val perNode = tris.select(col("x").as("node"))
+      .union(tris.select(col("y").as("node")))
+      .union(tris.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0).cast("double") * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
+  /** Triangle census of the MinHash-LSH near-dup pair graph — the
+    * transitivity diagnostic for clustering dedup: near-dup clusters
+    * whose pair graphs are triangle-dense (cc → 1) are safe to
+    * collapse to one representative (q_dedup_cluster's move), while
+    * triangle-free chains flag LSH bucket collisions chaining
+    * UNRELATED docs through a shared middle element. Runs on the
+    * SAME candidate pairs q_dedup_minhash declares, so the oracle's
+    * naive x<y<z triangle join independently cross-checks the
+    * degree-oriented enumeration.
+    */
+  def q_triangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(cached(
+      graft.operators.TextOps.minhashCandidatePairs(s, dir)))
+      .orderBy(col("n_tri").desc, col("cc").desc, col("node"))
+      .limit(50)
 }

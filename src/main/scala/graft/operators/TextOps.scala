@@ -632,7 +632,7 @@ object TextOps {
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-  private def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBandRows(s, dir)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bucket"))

@@ -44,6 +44,41 @@ class GraphSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
   }
 
+  test("triangleCounts: K4 + pendant + isolated edge, exact counts") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3), pendant 5 off
+    // node 1, isolated edge {6,7}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (6L, 7L)).toDF("a_id", "b_id")
+    val got = GraphOps.triangleCounts(edges)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = Seq(
+      (1L, 4L, 3L, 0.5), // deg 4: 2*3/(4*3)
+      (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0),
+      (5L, 1L, 0L, 0.0), (6L, 1L, 0L, 0.0), (7L, 1L, 0L, 0.0))
+    assert(got.toSeq == want)
+  }
+
+  test("triangleCounts agrees with a naive x<y<z reference on the sf0.001 pair graph") {
+    val pairs = operators.TextOps.minhashCandidatePairs(spark, TestSpark.sf0001)
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val naive = for {
+      (x, y) <- es; z <- nodes
+      if y < z && eset.contains((y, z)) && eset.contains((x, z))
+    } yield Seq(x, y, z)
+    val wantTri = naive.flatten.groupBy(identity)
+      .map { case (n, v) => (n, v.length.toLong) }
+    val got = GraphOps.triangleCounts(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      assert(got(n) == wantTri.getOrElse(n, 0L), s"node $n")
+    }
+  }
+
   test("rank mass is conserved within truncation loss") {
     // every truncating division loses < 1 nano-unit, and there is one
     // per edge contribution plus two per node per iteration (plus the
