@@ -484,6 +484,35 @@ object Oracles {
         |  CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
 
+    // deterministic train/val/test split (Relational.q_split_assign):
+    // first salted-md5 byte against the 0xcd/0xe6 boundaries
+    "q_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |         < 'cd' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |         < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SCD2 history build (Relational.q_scd2): run starts via lag,
+    // interval close via lead over the change rows; (ts, event_id)
+    // total tie order; open intervals closed with the 9999-12-31
+    // sentinel on both sides
+    "q_scd2" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM r
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  event_id AS first_event_id
+        |FROM c ORDER BY user_id, valid_from, first_event_id""".stripMargin,
+
     // ── scalar functions ───────────────────────────────────────────
     // clean_key chains the four marker replaces in the reference's
     // order, mirroring Scalars.stripMarkers (literal replace-all, not
@@ -1107,6 +1136,55 @@ object Oracles {
         |       > (n * sxx - sx * sx) * n * 4 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_outlier
         |FROM documents JOIN s USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Tukey-fence winsorization (TextOps.q_winsorize): quartiles of
+    // BIGINTs interpolate at exact binary fractions, so the fences
+    // (multiples of 1/8) and the clamp agree bit-for-bit — no round
+    "q_winsorize" ->
+      """WITH f AS (SELECT lang,
+        |    quantile_cont(n_chars, 0.25) * 2.5
+        |      - quantile_cont(n_chars, 0.75) * 1.5 AS lo_fence,
+        |    quantile_cont(n_chars, 0.75) * 2.5
+        |      - quantile_cont(n_chars, 0.25) * 1.5 AS hi_fence
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars,
+        |  least(greatest(CAST(n_chars AS DOUBLE), lo_fence), hi_fence)
+        |    AS clamped,
+        |  CAST(CASE WHEN CAST(n_chars AS DOUBLE) < lo_fence
+        |         OR CAST(n_chars AS DOUBLE) > hi_fence
+        |       THEN 1 ELSE 0 END AS BIGINT) AS was_clamped
+        |FROM documents JOIN f USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // MAD outliers (TextOps.q_anomaly_mad): med2 = 2·median and
+    // mad4 = 4·MAD are integer-exact (medians of BIGINTs are exact
+    // halves; medians of the integer deviations exact quarters), so
+    // the flag comparison is pure integer arithmetic in both engines
+    "q_anomaly_mad" ->
+      """WITH med AS (SELECT lang,
+        |    CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM documents GROUP BY lang),
+        |dev AS (SELECT d.lang, abs(d.n_chars * 2 - m.med2) AS dev2
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (SELECT lang,
+        |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |  CAST(m.med2 AS DOUBLE) / 2 AS med,
+        |  CAST(a.mad4 AS DOUBLE) / 4 AS mad,
+        |  CAST(CASE WHEN abs(n_chars * 2 - m.med2) * 2 > a.mad4 * 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM documents d JOIN med m USING (lang) JOIN mad a USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    // BPE-trainer pair statistics (TextOps.q_bpe_pairs): adjacent
+    // token bigram counts, overlapping occurrences all counted; the
+    // (cnt DESC, pair) order makes the LIMIT deterministic
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (SELECT $tokL AS l FROM documents),
+         |p AS (SELECT unnest(list_transform(range(greatest(len(l) - 1, 0)),
+         |    i -> concat(l[i + 1], ' ', l[i + 2]))) AS pair FROM toks)
+         |SELECT pair, count(*) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     // Efraimidis–Spirakis weighted sampling: key = ln(u)/w from a
     // salted md5 uniform, top-k keys = the weighted sample

@@ -85,6 +85,8 @@ object SparkEntry {
     "q_sample_hash" -> (Relational.q_sample_hash _),
     "q_sample_stratified" -> (Relational.q_sample_stratified _),
     "q_sample_weighted" -> (Relational.q_sample_weighted _),
+    "q_split_assign" -> (Relational.q_split_assign _),
+    "q_scd2" -> (Relational.q_scd2 _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),
@@ -128,6 +130,9 @@ object SparkEntry {
     "q_boilerplate" -> (TextOps.q_boilerplate _),
     "q_cooccur" -> (TextOps.q_cooccur _),
     "q_outlier" -> (TextOps.q_outlier _),
+    "q_winsorize" -> (TextOps.q_winsorize _),
+    "q_anomaly_mad" -> (TextOps.q_anomaly_mad _),
+    "q_bpe_pairs" -> (TextOps.q_bpe_pairs _),
     "q_corpus_stats" -> (TextOps.q_corpus_stats _),
     "q_histogram" -> (Relational.q_histogram _),
     "q_histogram_log" -> (TextOps.q_histogram_log _),

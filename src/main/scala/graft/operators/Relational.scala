@@ -834,6 +834,55 @@ object Relational {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split assignment — the companion
+    * to q_sample_hash every training pipeline runs exactly once per
+    * corpus: each document lands in a split by the first md5 byte of
+    * its id (salted so the split is independent of the sampling
+    * hashes), ~80/10/10 by the 256-bucket boundaries 0xcd and 0xe6.
+    * Hash-based (not rand()) so the assignment is reproducible across
+    * retries, engines and re-runs, and any later pipeline stage can
+    * recompute membership from the id alone instead of joining a
+    * split table. Map-only: one scan, no shuffle beyond the declared
+    * output sort.
+    */
+  def q_split_assign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 2) < "cd", "train")
+          .when(substring(md5(concat(lit("split:"),
+            col("doc_id").cast("string"))), 1, 2) < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** SCD2 history build — the warehouse-standard temporal versioning
+    * the reference's last-write-wins sink discards: collapse each
+    * user's event stream into validity intervals [valid_from,
+    * valid_to) per run of consecutive equal event_type, open
+    * intervals closed with a 9999-12-31 sentinel (also keeps the
+    * emitted column non-null, per the §2.12 null-sort rule). Total
+    * tie order (ts, event_id) makes runs well-defined when one user
+    * has simultaneous events.
+    *
+    * Scale shape: both window passes share the (user_id) partitioning
+    * and (ts, event_id) sort, so Catalyst plans ONE shuffle + ONE
+    * sort and the second Window reuses the child's ordering — the
+    * change-row filter in between only shrinks partitions in place.
+    */
+  def q_scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        coalesce(lead(col("ts"), 1).over(w),
+          lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+        col("event_id").as("first_event_id"))
+      .orderBy("user_id", "valid_from", "first_event_id")
+  }
+
   // ── §2.8 scalar functions ──────────────────────────────────────────
 
   /** F1–F3+F8: key normalization pipeline on synthesized scrape-shaped

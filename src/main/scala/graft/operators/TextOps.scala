@@ -1403,4 +1403,145 @@ object TextOps {
         round(col("n_types").cast("double") / col("n"), 4).as("ttr"))
       .orderBy("doc_id")
   }
+
+  /** Tukey-fence winsorization of per-language document lengths —
+    * the standard pre-aggregation treatment for heavy-tailed corpus
+    * statistics: clamp n_chars into [p25 − 1.5·IQR, p75 + 1.5·IQR]
+    * of the document's own language stratum (mixture-weight and
+    * packing passes otherwise let one concatenation blob dominate a
+    * stratum's token budget).
+    *
+    * Engine-exactness: quartiles of BIGINT values interpolate at
+    * fractions {0, .25, .5, .75} — both engines' interpolation
+    * formulas are exact there (every intermediate is a multiple of
+    * 2⁻³, exactly representable), so the fences and the clamp agree
+    * bit-for-bit with NO rounding guard. This is why the fences are
+    * quartile-based rather than p05/p95: (n−1)·0.05 is inexact in
+    * binary and Spark (lower·(1−f)+upper·f) and DuckDB
+    * (lower+(upper−lower)·f) can then split by an ulp.
+    *
+    * Scale shape: one hash aggregate to a per-language quartile row
+    * (cardinality = language count, broadcast), one map-side join
+    * back + clamp; a second scan never happens. The exact percentile
+    * buffers per-group values — at 100 TB the same query swaps in
+    * approx_percentile for the fence aggregate (q_agg_quantile_approx
+    * precedent) with everything downstream unchanged.
+    */
+  def q_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val fences = d.groupBy("lang")
+      .agg(expr("percentile(n_chars, array(0.25, 0.75))").as("ps"))
+      .select(col("lang"),
+        (element_at(col("ps"), 1) * 2.5 - element_at(col("ps"), 2) * 1.5)
+          .as("lo_fence"),
+        (element_at(col("ps"), 2) * 2.5 - element_at(col("ps"), 1) * 1.5)
+          .as("hi_fence"))
+    d.join(broadcast(fences), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        least(greatest(col("n_chars").cast("double"), col("lo_fence")),
+          col("hi_fence")).as("clamped"),
+        when(col("n_chars").cast("double") < col("lo_fence")
+          || col("n_chars").cast("double") > col("hi_fence"), 1L)
+          .otherwise(0L).as("was_clamped"))
+      .orderBy("doc_id")
+  }
+
+  /** Median-absolute-deviation outliers — the robust twin of
+    * q_outlier's z-score gate: MAD is immune to the very outliers it
+    * hunts (one 10 MB blob inflates a stratum's stddev enough to
+    * hide itself; it moves the median of deviations not at all).
+    * Flags documents with |n_chars − median| > 3·MAD within their
+    * language stratum.
+    *
+    * Engine-exactness: medians of BIGINTs are exact halves and
+    * medians of the integer deviations dev2 = |2·x − 2·median| are
+    * exact halves of halves — every value is a multiple of 2⁻²,
+    * exactly representable, so doubling them back to BIGINT is exact
+    * and the outlier decision 2·dev2 > 3·mad4 is taken in pure
+    * integer arithmetic (q_outlier discipline: a flag must never
+    * straddle a float boundary).
+    *
+    * Scale shape: two per-language hash aggregates (median, then
+    * median of deviations — both broadcast-size results) and two
+    * map-side joins back. Exact medians buffer per-group values; the
+    * 100 TB swap is approx_percentile, downstream unchanged.
+    */
+  def q_anomaly_mad(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // med2 = 2·median(n_chars): integer-exact (median is a multiple of ½)
+    val med = d.groupBy("lang")
+      .agg((expr("percentile(n_chars, 0.5)") * 2).cast("long").as("med2"))
+    val dev = d.join(broadcast(med), Seq("lang"))
+      .withColumn("dev2", abs(col("n_chars") * 2 - col("med2")))
+    // mad4 = 4·MAD = 2·median(dev2): again integer-exact
+    val mad = dev.groupBy("lang")
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"),
+        first(col("med2")).as("med2"))
+    d.join(broadcast(mad), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("med2").cast("double") / 2).as("med"),
+        (col("mad4").cast("double") / 4).as("mad"),
+        when(abs(col("n_chars") * 2 - col("med2")) * 2 > col("mad4") * 3, 1L)
+          .otherwise(0L).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-trainer pair statistics — the inner loop of byte-pair /
+    * word-pair tokenizer training is "count all adjacent symbol
+    * pairs, take the most frequent": the top-k adjacent token
+    * bigrams over the corpus with their occurrence counts
+    * (overlapping occurrences all count, per the BPE convention).
+    *
+    * Scale shape: the pair explode is a map-side transform over the
+    * staged token arrays (one tokenization per row, the CSE-staging
+    * rule from the sf1.0 pass), then ONE partial-combining hash
+    * aggregate whose key space is the bigram vocabulary — bounded by
+    * corpus content, not corpus size — and a TakeOrderedAndProject
+    * top-k. No window, no self-join. The merge-application half of
+    * the trainer step is [[applyBpeMerge]] (spec-checked: greedy
+    * left-to-right fold, the part SQL can't express portably).
+    */
+  def q_bpe_pairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextFns.tokens(col("text")).as("toks"))
+      // explicit size guard: sequence(0, -1) runs DOWNWARD in Spark,
+      // so an unguarded transform would index out of bounds on
+      // zero/one-token documents
+      .select(explode(when(size(col("toks")) >= 2, expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  /** One greedy BPE merge application over a token array: every
+    * leftmost non-overlapping occurrence of the adjacent pair (a, b)
+    * is replaced by the concatenated symbol a+b, in one left-to-right
+    * pass (after [a,b] merges, the result cannot immediately re-merge
+    * with the next token — [a,a,a] with pair (a,a) yields [aa,a],
+    * the BPE convention). Pure fold via the codegen'd aggregate()
+    * HOF, so the merge runs map-side with zero shuffle; a full
+    * trainer iterates q_bpe_pairs → applyBpeMerge, each round one
+    * aggregate + one map pass over the corpus.
+    *
+    * Spec-checked (TextOpsSpec) against an independent Scala fold —
+    * greedy left-to-right replacement is not portably expressible in
+    * ANSI SQL, so this is a spec'd component, not an oracle query
+    * (same declaration rule as the sketch families).
+    */
+  def applyBpeMerge(toks: Column, a: String, b: String): Column =
+    aggregate(
+      toks,
+      array().cast("array<string>"),
+      (acc, t) =>
+        // the tail test only ever matches an UNMERGED a: right after
+        // a merge the accumulated tail is a+b, which can't equal a
+        // (tokens are non-empty by TextFns.tokens). get() is 0-based
+        // and null-safe on the empty accumulator (element_at(-1)
+        // raises under ANSI mode).
+        when(
+          get(acc, size(acc) - 1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(t))))
 }

@@ -328,4 +328,58 @@ class TextOpsSpec extends AnyFunSuite {
       assert(math.abs(zsum) < rows.length * 1e-3)
     }
   }
+
+  /** Independent greedy reference for applyBpeMerge: leftmost
+    * non-overlapping replacement in one left-to-right pass.
+    */
+  private def greedyMerge(toks: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("applyBpeMerge: greedy left-to-right, matches independent fold") {
+    // the canonical overlap trap: (a,a) over [a,a,a] must give [aa,a],
+    // and over [a,a,a,a] must give [aa,aa]
+    val cases = Seq(
+      ("a a a", "a", "a"),
+      ("a a a a", "a", "a"),
+      ("x a b a b x", "a", "b"),
+      ("a b", "a", "b"),
+      ("b a", "a", "b"),
+      ("", "a", "b"),
+      ("q", "a", "b"),
+      ("a b a b a b", "b", "a"))
+    for ((text, a, b) <- cases) {
+      val got = Seq(text).toDF("text")
+        .select(TextOps.applyBpeMerge(TextFns.tokens($"text"), a, b))
+        .as[Seq[String]].head()
+      val want = greedyMerge(text.split(" ").filter(_.nonEmpty).toSeq, a, b)
+      assert(got == want, s"text='$text' pair=($a,$b): $got != $want")
+    }
+  }
+
+  test("applyBpeMerge on the fixture corpus: token counts drop by " +
+    "exactly the merged-pair occurrences, nothing else changes") {
+    val (a, b) = {
+      // most frequent adjacent pair from the declared trainer stats
+      val top = TextOps.q_bpe_pairs(spark, dir).head()
+      val Array(x, y) = top.getString(0).split(" ", 2)
+      (x, y)
+    }
+    val rows = Tables(spark, dir, "documents")
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks",
+        TextOps.applyBpeMerge($"toks", a, b).as("merged"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    assert(rows.exists { case (_, t, m) => m.length < t.length })
+    rows.foreach { case (id, t, m) =>
+      assert(m == greedyMerge(t, a, b), s"doc $id diverges from reference")
+    }
+  }
 }
