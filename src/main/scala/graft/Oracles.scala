@@ -495,6 +495,22 @@ object Oracles {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Markov transition matrix (Relational.q_markov): lead() per
+    // user, counts over the |types|^2 key space, per-source
+    // normalization as one exact-integer double division
+    "q_markov" ->
+      """WITH tr AS (SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |c AS (SELECT src_type, dst_type, count(*) AS cnt FROM tr
+        |  WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+        |tot AS (SELECT src_type, sum(cnt) AS tot FROM c GROUP BY src_type)
+        |SELECT src_type, dst_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN tot USING (src_type)
+        |ORDER BY src_type, dst_type""".stripMargin,
+
     // SCD2 history build (Relational.q_scd2): run starts via lag,
     // interval close via lead over the change rows; (ts, event_id)
     // total tie order; open intervals closed with the 9999-12-31
@@ -1081,6 +1097,27 @@ object Oracles {
          |  round(exp(ln((SELECT total FROM tot)) - sll / n_tok), 4) AS ppl
          |FROM per ORDER BY doc_id""".stripMargin,
 
+    // bigram LM with add-one smoothing (TextOps.q_lm_bigram):
+    // per-position contributions rounded to 6dp and summed as
+    // DECIMAL(18,6) — the BM25 order-independence discipline
+    "q_lm_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+         |dp AS (SELECT doc_id,
+         |    unnest(list_transform(range(greatest(len(l) - 1, 0)),
+         |      i -> concat(l[i + 1], ' ', l[i + 2]))) AS pair FROM toks),
+         |dp2 AS (SELECT doc_id, split_part(pair, ' ', 1) AS a,
+         |    split_part(pair, ' ', 2) AS b FROM dp),
+         |cb AS (SELECT a, b, count(*) AS cb FROM dp2 GROUP BY a, b),
+         |tk AS (SELECT unnest(l) AS tok FROM toks),
+         |cu AS (SELECT tok AS a, count(*) AS cu FROM tk GROUP BY tok),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM tk)
+         |SELECT doc_id, count(*) AS n_big,
+         |  round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS nll_bigram
+         |FROM (SELECT doc_id,
+         |    CAST(round(ln(cu + v) - ln(cb + 1), 6) AS DECIMAL(18,6)) AS c
+         |  FROM dp2 JOIN cb USING (a, b) JOIN cu USING (a) CROSS JOIN v)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // fixed-token-window chunking (size 32, stride 24; TextOps.q_chunk)
     "q_chunk" ->
       s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
@@ -1479,6 +1516,30 @@ object Oracles {
            |FROM r$prIters r JOIN deg d ON r.node = d.src
            |ORDER BY pagerank DESC, node
            |LIMIT 50""".stripMargin
+    },
+
+    // bounded-hop BFS (GraphOps.q_bfs): unrolled frontier expansion
+    // over the same co-purchase edges as q_pagerank; min(dist)
+    // absorbs re-reaching a node on a later hop
+    "q_bfs" -> {
+      import graft.operators.GraphOps.{bfsHops, bfsSeed}
+      val base =
+        s"""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+           |edges AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM li
+           |  UNION ALL
+           |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM li)),
+           |d0 AS (SELECT '$bfsSeed' AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+      val iters = (1 to bfsHops).map { i =>
+        s""",
+           |d$i AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, CAST($i AS BIGINT) AS dist
+           |  FROM d${i - 1} r JOIN edges e ON r.node = e.src) GROUP BY node)""".stripMargin
+      }.mkString
+      base + iters +
+        s"\nSELECT node, dist FROM d$bfsHops ORDER BY node"
     },
 
     // triangle census of the SAME LSH pair graph q_dedup_minhash

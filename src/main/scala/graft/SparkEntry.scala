@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sample_weighted" -> (Relational.q_sample_weighted _),
     "q_split_assign" -> (Relational.q_split_assign _),
     "q_scd2" -> (Relational.q_scd2 _),
+    "q_markov" -> (Relational.q_markov _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_pack" -> (TextOps.q_pack _),
     "q_token_entropy" -> (TextOps.q_token_entropy _),
     "q_lm_score" -> (TextOps.q_lm_score _),
+    "q_lm_bigram" -> (TextOps.q_lm_bigram _),
     "q_chunk" -> (TextOps.q_chunk _),
     "q_boilerplate" -> (TextOps.q_boilerplate _),
     "q_cooccur" -> (TextOps.q_cooccur _),
@@ -163,7 +165,8 @@ object SparkEntry {
     "q_media_frames" -> (MultimodalOps.q_media_frames _),
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),
-    "q_triangles" -> (GraphOps.q_triangles _)
+    "q_triangles" -> (GraphOps.q_triangles _),
+    "q_bfs" -> (GraphOps.q_bfs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -883,6 +883,32 @@ object Relational {
       .orderBy("user_id", "valid_from", "first_event_id")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral-model statistic behind funnel design
+    * and anomaly detection (which state transitions exist, how
+    * likely each is). One lead() window per user + one hash
+    * aggregate whose key space is |event types|² — bounded by the
+    * type vocabulary, not the event volume — then the per-source
+    * normalization joins against a broadcast total frame of the same
+    * tiny cardinality. p is one double division of exact counts
+    * (identical IEEE both engines), rounded for display.
+    */
+  def q_markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy("src_type").agg(sum(col("cnt")).as("tot"))
+    tr.join(broadcast(tot), Seq("src_type"))
+      .select(col("src_type"), col("dst_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+          .as("p"))
+      .orderBy("src_type", "dst_type")
+  }
+
   // ── §2.8 scalar functions ──────────────────────────────────────────
 
   /** F1–F3+F8: key normalization pipeline on synthesized scrape-shaped

@@ -1515,6 +1515,51 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
 
+  /** Bigram language-model scoring with add-one smoothing — the
+    * sequence-aware upgrade of [[q_lm_score]]'s unigram perplexity
+    * filter (CCNet-style: a real deployment scores against a clean
+    * reference LM; the dataflow is identical with the count tables
+    * as staged side inputs). Per doc: mean over adjacent token pairs
+    * of −ln P(b|a), P = (c(ab)+1)/(c(a)+V).
+    *
+    * Engine-exactness: each position's contribution
+    * ln(c(a)+V) − ln(c(ab)+1) is rounded to 6dp and cast to
+    * DECIMAL(18,6) before the per-doc sum (the BM25 discipline —
+    * decimal sums are order-independent where raw double sums depend
+    * on partitioning).
+    *
+    * Scale shape: bigram/unigram count tables aggregate with map-side
+    * partials to vocabulary-bounded sizes; the per-position joins
+    * shuffle on the token keys; V rides as an in-plan 1-row
+    * broadcast. Documents with <2 tokens have no bigrams and emit no
+    * row (same as the oracle's inner grouping).
+    */
+  def q_lm_bigram(s: SparkSession, dir: String): DataFrame = {
+    val dp = cached(t(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2, expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as a, toks[i + 1] as b))"))
+        .otherwise(expr("cast(array() as array<struct<a:string,b:string>>)")))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b")))
+    val cb = dp.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+    val cu = docTokens(s, dir).groupBy(col("tok").as("a"))
+      .agg(count(lit(1)).as("cu"))
+    val v = broadcast(docTokens(s, dir)
+      .agg(count_distinct(col("tok")).as("__v")))
+    dp.join(cb, Seq("a", "b"))
+      .join(cu, Seq("a"))
+      .crossJoin(v)
+      .select(col("doc_id"),
+        round(log(col("cu") + col("__v")) - log(col("cb") + 1), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        round(sum(col("c")).cast("double") / count(lit(1)), 4)
+          .as("nll_bigram"))
+      .orderBy("doc_id")
+  }
+
   /** One greedy BPE merge application over a token array: every
     * leftmost non-overlapping occurrence of the adjacent pair (a, b)
     * is replaced by the concatenated symbol a+b, in one left-to-right

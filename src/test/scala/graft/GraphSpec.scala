@@ -79,6 +79,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bfs agrees with a driver-side Dijkstra-on-unit-edges reference") {
+    val got = GraphOps.q_bfs(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // independent reference: rebuild the co-purchase edges and BFS
+    // from the seed with a plain queue
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (s"s${r.getLong(0)}", s"p${r.getLong(1)}"))
+    val adj = (li ++ li.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).distinct) }
+    val dist = scala.collection.mutable.Map(GraphOps.bfsSeed -> 0L)
+    var frontier = Seq(GraphOps.bfsSeed)
+    for (d <- 1 to GraphOps.bfsHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[String]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d.toLong)
+    }
+    assert(got == dist.toMap)
+    // the seed itself is distance 0 and hop counts are within bounds
+    assert(got(GraphOps.bfsSeed) == 0L)
+    assert(got.values.forall(d => d >= 0L && d <= GraphOps.bfsHops))
+  }
+
   test("rank mass is conserved within truncation loss") {
     // every truncating division loses < 1 nano-unit, and there is one
     // per edge contribution plus two per node per iteration (plus the
