@@ -1097,6 +1097,28 @@ object Oracles {
          |  round(exp(ln((SELECT total FROM tot)) - sll / n_tok), 4) AS ppl
          |FROM per ORDER BY doc_id""".stripMargin,
 
+    // SymSpell fuzzy join (TextOps.q_fuzzy_join): 1-deletion
+    // neighborhoods block the candidates, exact levenshtein verifies
+    "q_fuzzy_join" ->
+      s"""WITH tk AS (SELECT DISTINCT unnest($tokL) AS tok FROM documents),
+         |dict AS (SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS term
+         |  FROM tk WHERE length(tok) >= 4
+         |    AND substr(md5('dict:' || tok), 1, 2) < '80'),
+         |dv AS (SELECT DISTINCT term, v FROM (
+         |  SELECT term, unnest(list_prepend(term,
+         |    list_transform(range(1, length(term) + 1),
+         |      i -> substr(term, 1, i - 1) || substr(term, i + 1)))) AS v
+         |  FROM dict)),
+         |vv AS (SELECT DISTINCT tok, v FROM (
+         |  SELECT tok, unnest(list_prepend(tok,
+         |    list_transform(range(1, length(tok) + 1),
+         |      i -> substr(tok, 1, i - 1) || substr(tok, i + 1)))) AS v
+         |  FROM tk)),
+         |cand AS (SELECT DISTINCT term, tok FROM dv JOIN vv USING (v))
+         |SELECT term, tok, CAST(levenshtein(term, tok) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(term, tok) <= 1
+         |ORDER BY term, tok""".stripMargin,
+
     // bigram LM with add-one smoothing (TextOps.q_lm_bigram):
     // per-position contributions rounded to 6dp and summed as
     // DECIMAL(18,6) — the BM25 order-independence discipline

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_postings" -> (TextOps.q_postings _),
     "q_keywords" -> (TextOps.q_keywords _),
     "q_edit_distance" -> (TextOps.q_edit_distance _),
+    "q_fuzzy_join" -> (TextOps.q_fuzzy_join _),
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),

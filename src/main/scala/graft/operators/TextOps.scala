@@ -1560,6 +1560,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy dictionary join via SymSpell deletion-neighborhood
+    * blocking — the scalable entity-resolution / spell-correction
+    * shape: match a dictionary of corrupted terms against the corpus
+    * vocabulary within edit distance 1 WITHOUT an all-pairs distance
+    * computation. Two strings are within edit distance 1 only if
+    * their 1-deletion neighborhoods (the string plus every
+    * single-character deletion) intersect, so the candidate set is
+    * an equi-join on exploded variants — fan-out is (len+1) per term,
+    * linear in the vocabulary — followed by an exact levenshtein
+    * verify that discards the blocking stage's false positives
+    * (distance-2 pairs CAN share a deletion variant: "ab" and "ba"
+    * both generate "a" and "b", yet levenshtein("ab","ba") = 2 — the
+    * verify is load-bearing, not belt-and-braces).
+    *
+    * The "dictionary" is manufactured deterministically from the
+    * corpus itself (md5-selected vocabulary terms with the 2nd
+    * character dropped), so both engines derive the identical
+    * fixture — the dataflow is what's declared, a production run
+    * swaps in a real lookup table.
+    */
+  def q_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docTokens(s, dir).select("tok").distinct()
+    val dict = vocab
+      .filter(length(col("tok")) >= 4 &&
+        substring(md5(concat(lit("dict:"), col("tok"))), 1, 2) < "80")
+      .select(concat(substring(col("tok"), 1, 1), expr("substr(tok, 3)"))
+        .as("term"))
+      .distinct()
+    fuzzyJoin(dict, vocab).orderBy("term", "tok")
+  }
+
+  /** The reusable half of [[q_fuzzy_join]]: `dict("term")` matched
+    * against `vocab("tok")` within edit distance 1 via the deletion-
+    * neighborhood equi-join + exact verify. Unordered (callers
+    * declare their own sort).
+    */
+  private[graft] def fuzzyJoin(dict: DataFrame, vocab: DataFrame): DataFrame = {
+    def variants(c: String): Column = expr(
+      s"concat(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substr($c, 1, i - 1), substr($c, i + 1))))")
+    val dv = dict.select(col("term"),
+      explode(variants("term")).as("v")).distinct()
+    val vv = vocab.select(col("tok"),
+      explode(variants("tok")).as("v")).distinct()
+    dv.join(vv, "v")
+      .select(col("term"), col("tok")).distinct()
+      .select(col("term"), col("tok"),
+        levenshtein(col("term"), col("tok")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
   /** One greedy BPE merge application over a token array: every
     * leftmost non-overlapping occurrence of the adjacent pair (a, b)
     * is replaced by the concatenated symbol a+b, in one left-to-right

@@ -329,6 +329,23 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyJoin: deletion-neighborhood blocking admits distance-2 " +
+    "false positives and the levenshtein verify discards them") {
+    // "ab" and "ba" share deletion variants "a" and "b" but are at
+    // edit distance 2 — they MUST be blocked as candidates yet absent
+    // from the verified output; matches at 0 and 1 survive
+    val dict = Seq("ab", "kitten", "sittin").toDF("term")
+    val vocab = Seq("ba", "ab", "mitten", "sitting", "kitten").toDF("tok")
+    val got = graft.operators.TextOps.fuzzyJoin(dict, vocab)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("ab", "ab", 0L), // exact
+      ("kitten", "kitten", 0L),
+      ("kitten", "mitten", 1L), // substitution (shared variant "itten")
+      ("sittin", "sitting", 1L))) // insertion (sitting minus 'g')
+    assert(!got.exists { case (a, b, _) => a == "ab" && b == "ba" })
+  }
+
   /** Independent greedy reference for applyBpeMerge: leftmost
     * non-overlapping replacement in one left-to-right pass.
     */
