@@ -495,6 +495,41 @@ object Oracles {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // gap-fill + linear interpolation (Relational.q_interp): hourly
+    // spine per type, DECIMAL hourly sums, neighbor lookup via
+    // last/first IGNORE NULLS, identical double interpolation shape
+    "q_interp" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM types, b),
+        |j AS (SELECT s.event_type, s.h, CAST(v AS DOUBLE) AS v,
+        |    last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER w_prev AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER w_prev AS ph,
+        |    first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER w_next AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER w_next AS nh
+        |  FROM spine s LEFT JOIN hourly USING (event_type, h)
+        |  WINDOW w_prev AS (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h,
+        |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS observed,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)
+        |        / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+        |    WHEN pv IS NOT NULL THEN pv ELSE nv END, 4) AS filled
+        |FROM j ORDER BY event_type, h""".stripMargin,
+
     // Markov transition matrix (Relational.q_markov): lead() per
     // user, counts over the |types|^2 key space, per-source
     // normalization as one exact-integer double division

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_split_assign" -> (Relational.q_split_assign _),
     "q_scd2" -> (Relational.q_scd2 _),
     "q_markov" -> (Relational.q_markov _),
+    "q_interp" -> (Relational.q_interp _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

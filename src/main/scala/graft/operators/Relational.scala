@@ -909,6 +909,63 @@ object Relational {
       .orderBy("src_type", "dst_type")
   }
 
+  /** Gap-fill + linear interpolation — the time-series densification
+    * every monitoring/feature pipeline runs: an hourly spine per
+    * event_type over the table's full range, observed hourly sums
+    * where present, linear interpolation between the neighboring
+    * observations where absent (carry-forward / backfill at the
+    * edges).
+    *
+    * Shapes: one hash aggregate to hourly sums; the spine is a
+    * map-side sequence() explode against in-plan broadcast 1-row
+    * bounds (never a driver loop); the neighbor lookup is
+    * last/first-ignoring-nulls over ONE (event_type) window
+    * partitioning — both directions share the shuffle+sort.
+    *
+    * Engine-exactness: hourly sums go through DECIMAL(18,2) (exact,
+    * order-independent); hour offsets are exact BIGINTs
+    * (hour-truncated timestamps); the interpolation
+    * prev + (next−prev)·(dh/DH) is the identical double expression
+    * shape on identical exact inputs, then rounded to 4dp.
+    */
+  def q_interp(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev.groupBy(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val bounds = broadcast(ev.agg(
+      date_trunc("hour", min(col("ts"))).as("__lo"),
+      date_trunc("hour", max(col("ts"))).as("__hi")))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"), explode(
+        expr("sequence(__lo, __hi, interval 1 hour)")).as("h"))
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        col("v").cast("double").as("v"),
+        last(col("v").cast("double"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+          .over(wPrev).as("ph"),
+        first(col("v").cast("double"), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+          .over(wNext).as("nh"))
+    joined.select(col("event_type"), col("h"),
+      when(col("v").isNotNull, 1L).otherwise(0L).as("observed"),
+      round(
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv"))
+              * (expr("timestampdiff(HOUR, ph, h)").cast("double")
+                / expr("timestampdiff(HOUR, ph, nh)").cast("double")))
+          .when(col("pv").isNotNull, col("pv"))
+          .otherwise(col("nv")), 4).as("filled"))
+      .orderBy("event_type", "h")
+  }
+
   // ── §2.8 scalar functions ──────────────────────────────────────────
 
   /** F1–F3+F8: key normalization pipeline on synthesized scrape-shaped

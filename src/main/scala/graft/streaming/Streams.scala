@@ -207,6 +207,63 @@ object Streams {
   case class LwwWinner(user_id: Long, event_id: Long, event_type: String,
     value: Double, ts: java.sql.Timestamp)
 
+  /** One observed state transition for one user (streaming twin of a
+    * q_markov input row; downstream counts these).
+    */
+  case class Transition(user_id: Long, src_type: String, dst_type: String)
+
+  /** Streaming twin of batch q_markov's transition extraction, under
+    * the per-user in-order delivery contract (the keyed-log
+    * deployment: a stream keyed by user delivers each user's events
+    * in (ts, event_id) order — batches may interleave users freely).
+    * State is ONE row per user — the last seen event's
+    * (ts-millis, nanos, event_id, type) — so state is bounded by the
+    * user universe, never by event volume. Each micro-batch emits the
+    * newly observed transitions; a partial-combining count over them
+    * is q_markov's cnt column, and the per-source normalization is a
+    * display projection over those counts.
+    *
+    * An incoming event older than the stored last event is a contract
+    * violation: it is DROPPED (detectably — the transition count then
+    * undershoots the batch twin), never silently mis-sequenced. An
+    * exact order-robust streaming Markov needs the user's full event
+    * sequence (a late event splits one adjacent pair into two and
+    * retracts a previously emitted transition) — the same
+    * unbounded-state obstruction documented on [[retentionSnapshots]]
+    * for the exact streaming funnel.
+    */
+  def markovTransitions(spark: SparkSession,
+    events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    // state: (millis, nanos, event_id, last event_type)
+    def key(e: EventRow): (Long, Int, Long) =
+      (e.ts.getTime, e.ts.getNanos, e.event_id)
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+          st: GroupState[(Long, Int, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(key)
+          var last = st.getOption
+          val out = Seq.newBuilder[Transition]
+          for (e <- sorted) {
+            val k = key(e)
+            last match {
+              case Some((lm, ln, lid, ltype)) =>
+                if (Ordering[(Long, Int, Long)].gt(k, (lm, ln, lid))) {
+                  out += Transition(uid, ltype, e.event_type)
+                  last = Some((k._1, k._2, k._3, e.event_type))
+                } // older than the stored last: contract violation, drop
+              case None =>
+                last = Some((k._1, k._2, k._3, e.event_type))
+            }
+          }
+          last.foreach(st.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful last-write-wins: state = current winner per user_id;
     * each micro-batch emits keys whose winner changed. Tie-break
     * (ts, event_id) matches the batch q_window_dedup_lww.

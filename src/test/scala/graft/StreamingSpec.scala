@@ -339,4 +339,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(heavyCount.get <= 60L)
     assert(60L - heavyCount.get <= hot.size.toLong / (k + 1))
   }
+
+  test("streaming Markov transitions over two in-order batches equal " +
+    "batch q_markov's counts, with one state row per user") {
+    // per-user in-order contract: a global ts split preserves each
+    // user's (ts, event_id) order across the two batches
+    val d = Files.createTempDirectory("events_markov")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_mk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_markov").toString
+    val q = Streams.markovTransitions(spark, raw)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mk_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mk_out")
+      .groupBy("src_type", "dst_type").count()
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = Relational.q_markov(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
 }
