@@ -530,6 +530,113 @@ object Oracles {
         |    WHEN pv IS NOT NULL THEN pv ELSE nv END, 4) AS filled
         |FROM j ORDER BY event_type, h""".stripMargin,
 
+    // A/B experiment readout (Relational.q_ab_test): salted-md5
+    // variant split, exact BIGINT conversion counts, decimal revenue
+    // moments cast to double once, identical closed-form z / Welch-t
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2)
+        |           < '80' THEN 'A' ELSE 'B' END AS variant,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_b,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN rev END) AS DOUBLE)
+        |      AS s_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN rev END) AS DOUBLE)
+        |      AS s_b,
+        |    CAST(sum(CASE WHEN variant = 'A'
+        |      THEN CAST(rev * rev AS DECIMAL(28,4)) END) AS DOUBLE) AS ss_a,
+        |    CAST(sum(CASE WHEN variant = 'B'
+        |      THEN CAST(rev * rev AS DECIMAL(28,4)) END) AS DOUBLE) AS ss_b
+        |  FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |    THEN 0.0
+        |    ELSE round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE)
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |            / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+        |      4) END AS z_conv,
+        |  round(s_a / CAST(n_a AS DOUBLE), 4) AS rev_a,
+        |  round(s_b / CAST(n_b AS DOUBLE), 4) AS rev_b,
+        |  CASE WHEN ((ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+        |        / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) = 0.0
+        |    THEN 0.0
+        |    ELSE round((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+        |      / sqrt(((ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |        + ((ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+        |          / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)),
+        |      4) END AS t_rev
+        |FROM g ORDER BY n_a""".stripMargin,
+
+    // data-quality audit (Relational.q_dq_checks): per-constraint
+    // violation counts — fused single-pass scan checks per table,
+    // count-distinct uniqueness, anti-join referential integrity
+    "q_dq_checks" ->
+      """WITH li AS (SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |        OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_null,
+        |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+        |        OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL
+        |        OR l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_price,
+        |    CAST(sum(CASE WHEN NOT coalesce(
+        |        l_returnflag IN ('A', 'N', 'R'), FALSE)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_domain
+        |  FROM lineitem),
+        |o AS (SELECT count(*) AS total,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_date
+        |  FROM orders),
+        |fk AS (SELECT (SELECT count(*) FROM orders os
+        |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = os.o_custkey)) AS violations,
+        |    (SELECT count(*) FROM orders) AS total),
+        |rows_ AS (
+        |  SELECT 'lineitem.discount_in_0_1' AS check_name, total,
+        |    v_disc AS violations FROM li
+        |  UNION ALL SELECT 'lineitem.extendedprice_positive', total,
+        |    v_price FROM li
+        |  UNION ALL SELECT 'lineitem.quantity_in_1_50', total,
+        |    v_range FROM li
+        |  UNION ALL SELECT 'lineitem.returnflag_domain', total,
+        |    v_domain FROM li
+        |  UNION ALL SELECT 'lineitem.shipdate_not_null', total,
+        |    v_null FROM li
+        |  UNION ALL SELECT 'orders.orderdate_not_null', total,
+        |    v_date FROM o
+        |  UNION ALL SELECT 'orders.orderkey_unique', total, v_uniq FROM o
+        |  UNION ALL SELECT 'orders.custkey_in_customer', total,
+        |    violations FROM fk)
+        |SELECT check_name, total, violations,
+        |  round(1.0 - CAST(violations AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS pass_rate
+        |FROM rows_ ORDER BY check_name""".stripMargin,
+
     // Markov transition matrix (Relational.q_markov): lead() per
     // user, counts over the |types|^2 key space, per-source
     // normalization as one exact-integer double division

@@ -89,6 +89,8 @@ object SparkEntry {
     "q_scd2" -> (Relational.q_scd2 _),
     "q_markov" -> (Relational.q_markov _),
     "q_interp" -> (Relational.q_interp _),
+    "q_ab_test" -> (Relational.q_ab_test _),
+    "q_dq_checks" -> (Relational.q_dq_checks _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

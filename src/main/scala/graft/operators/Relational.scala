@@ -966,6 +966,141 @@ object Relational {
       .orderBy("event_type", "h")
   }
 
+  /** Experimentation analytics: deterministic 50/50 hash split of
+    * users into variants (the same salted-md5 device as
+    * q_split_assign), then a two-proportion z-test on purchase
+    * conversion and a Welch t-test on per-user revenue. Every test
+    * statistic derives from EXACT aggregates (§2.12): user counts and
+    * conversions are BIGINTs, revenue moments (Σrev, Σrev²) are
+    * decimal sums cast to double ONCE, and the closed forms are then
+    * identical double expressions in both engines — no streaming
+    * variance whose low bits depend on partition fold order.
+    *
+    * Scale shape: one hash aggregate keyed on user_id (map-side
+    * combinable), then a single global conditional aggregate to one
+    * row. No join anywhere; at 100 TB this is the minimal two-shuffle
+    * experiment readout, and the variant assignment is a pure
+    * projection so exposure logging never needs a lookup table.
+    */
+  def q_ab_test(s: SparkSession, dir: String): DataFrame = {
+    val variant = when(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 2) < "80", "A").otherwise("B")
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase"
+          && col("value") > 90, 1L).otherwise(0L)).as("conv"),
+        coalesce(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).as("rev"))
+      .select(variant.as("variant"), col("conv"), col("rev"))
+    val g = perUser.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "A", col("conv")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("variant") === "B", col("conv")).otherwise(0L))
+        .as("conv_b"),
+      sum(when(col("variant") === "A", col("rev")))
+        .cast("double").as("s_a"),
+      sum(when(col("variant") === "B", col("rev")))
+        .cast("double").as("s_b"),
+      sum(when(col("variant") === "A",
+        (col("rev") * col("rev")).cast("decimal(28,4)")))
+        .cast("double").as("ss_a"),
+      sum(when(col("variant") === "B",
+        (col("rev") * col("rev")).cast("decimal(28,4)")))
+        .cast("double").as("ss_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ra = col("conv_a").cast("double") / na
+    val rb = col("conv_b").cast("double") / nb
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val va = (col("ss_a") - col("s_a") * col("s_a") / na) / (na - lit(1.0))
+    val vb = (col("ss_b") - col("s_b") * col("s_b") / nb) / (nb - lit(1.0))
+    g.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(ra, 6).as("rate_a"),
+      round(rb, 6).as("rate_b"),
+      // degenerate-experiment guards (§2.12 sentinel rule + ANSI
+      // divide-by-zero): all-convert / none-convert pins z to 0,
+      // zero pooled variance pins t to 0 — identically in the oracle
+      when(col("conv_a") + col("conv_b") === 0L
+        || col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+        lit(0.0))
+        .otherwise(round((ra - rb) / sqrt(p * (lit(1.0) - p)
+          * (lit(1.0) / na + lit(1.0) / nb)), 4)).as("z_conv"),
+      round(col("s_a") / na, 4).as("rev_a"),
+      round(col("s_b") / nb, 4).as("rev_b"),
+      when(va / na + vb / nb === 0.0, lit(0.0))
+        .otherwise(round((col("s_a") / na - col("s_b") / nb)
+          / sqrt(va / na + vb / nb), 4)).as("t_rev"))
+      .orderBy("n_a")
+  }
+
+  /** Data-quality audit — the "expectations" pass a training pipeline
+    * runs before ingesting a data drop: one output row per declared
+    * constraint with total rows, violation count, and pass rate.
+    * Check classes: completeness (NOT NULL), range, domain
+    * membership, non-negativity, key uniqueness, referential
+    * integrity.
+    *
+    * Scale shape: the five lineitem constraints FUSE into one
+    * scan/aggregate (K checks = one pass, the whole point at
+    * 100 TB), orders' two scan-checks fuse the same way, uniqueness
+    * rides the same aggregate via count-distinct, and the FK check is
+    * a left-anti join on the key counted into one row. Every
+    * violation counter is a map-side-combinable conditional sum; the
+    * tiny per-constraint rows union at the end.
+    */
+  def q_dq_checks(s: SparkSession, dir: String): DataFrame = {
+    def row(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"), v.as("violations"), col("total"))
+    val li = t(s, dir, "lineitem")
+    val liRows = li.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("l_quantity").isNull
+        || col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("l_discount").isNull
+        || col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(col("l_extendedprice").isNull
+        || col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(!coalesce(col("l_returnflag").isin("A", "N", "R"),
+        lit(false)), 1L).otherwise(0L)).as("v_domain"))
+      .select(explode(array(
+        row("lineitem.discount_in_0_1", col("v_disc")),
+        row("lineitem.extendedprice_positive", col("v_price")),
+        row("lineitem.quantity_in_1_50", col("v_range")),
+        row("lineitem.returnflag_domain", col("v_domain")),
+        row("lineitem.shipdate_not_null", col("v_null")))).as("r"))
+      .select(col("r.check_name"), col("r.violations"), col("r.total"))
+    val o = t(s, dir, "orders")
+    val oRows = o.agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v_date"))
+      .select(explode(array(
+        row("orders.orderdate_not_null", col("v_date")),
+        row("orders.orderkey_unique", col("v_uniq")))).as("r"))
+      .select(col("r.check_name"), col("r.violations"), col("r.total"))
+    val fkRows = o.select(col("o_custkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("total"))))
+      .select(lit("orders.custkey_in_customer").as("check_name"),
+        col("violations"), col("total"))
+    liRows.unionByName(oRows).unionByName(fkRows)
+      .select(col("check_name"), col("total"), col("violations"),
+        round(lit(1.0) - col("violations").cast("double")
+          / col("total").cast("double"), 6).as("pass_rate"))
+      .orderBy("check_name")
+  }
+
   // ── §2.8 scalar functions ──────────────────────────────────────────
 
   /** F1–F3+F8: key normalization pipeline on synthesized scrape-shaped
