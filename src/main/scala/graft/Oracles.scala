@@ -637,6 +637,56 @@ object Oracles {
         |    AS pass_rate
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
+    // exact per-group mode (Relational.q_agg_mode): (lang, source)
+    // counts, rank by (cnt DESC, source ASC) for a deterministic tie
+    "q_agg_mode" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, source) AS rk,
+        |    sum(cnt) OVER (PARTITION BY lang) AS lang_total
+        |  FROM c)
+        |SELECT lang, source AS mode_source, cnt,
+        |  CAST(lang_total AS BIGINT) AS lang_total,
+        |  round(CAST(cnt AS DOUBLE) / CAST(lang_total AS DOUBLE), 4)
+        |    AS share
+        |FROM r WHERE rk = 1 ORDER BY lang""".stripMargin,
+
+    // sharding balance report (Relational.q_shard_assign): first hex
+    // nibble of salted md5 -> 16 shards, per-shard totals + skew
+    "q_shard_assign" ->
+      """WITH s AS (SELECT
+        |    substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      AS shard,
+        |    n_chars
+        |  FROM documents),
+        |g AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM s GROUP BY 1)
+        |SELECT shard, n_docs, chars,
+        |  round(CAST(n_docs AS DOUBLE) * 16.0
+        |    / CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS skew_vs_ideal
+        |FROM g ORDER BY shard""".stripMargin,
+
+    // Flesch reading ease (TextOps.q_readability): regexp counters
+    // over raw text, one fixed-shape double formula, sentences
+    // floored at 1
+    "q_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len($tokL) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+         |      AS n_syll,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |      AS BIGINT) AS n_sent
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_syll, n_sent,
+         |  round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+         |    4) AS flesch
+         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
     // Markov transition matrix (Relational.q_markov): lead() per
     // user, counts over the |types|^2 key space, per-source
     // normalization as one exact-integer double division

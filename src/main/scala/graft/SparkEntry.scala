@@ -91,6 +91,9 @@ object SparkEntry {
     "q_interp" -> (Relational.q_interp _),
     "q_ab_test" -> (Relational.q_ab_test _),
     "q_dq_checks" -> (Relational.q_dq_checks _),
+    "q_agg_mode" -> (Relational.q_agg_mode _),
+    "q_shard_assign" -> (Relational.q_shard_assign _),
+    "q_readability" -> (TextOps.q_readability _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

@@ -1172,6 +1172,64 @@ object Relational {
           "$[0].OriginCountry").as("origin_country"))
   }
 
+  /** Exact per-group mode — the deterministic companion to
+    * q_heavy_hitters' Misra-Gries sketch: for each language, the
+    * modal source with its exact count and share, ties broken by the
+    * LOWEST source string so the answer is total-order deterministic
+    * (approximate frequent-items can't promise either property).
+    *
+    * Scale shape: one hash aggregate on (lang, source) — map-side
+    * combinable, cardinality bounded by the value vocabulary, not the
+    * corpus — then a rank window over that tiny frame. The raw rows
+    * are never re-scanned; at 100 TB this is two stages over
+    * |langs|·|sources| intermediate rows.
+    */
+  def q_agg_mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("source"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("lang_total", sum(col("cnt"))
+        .over(Window.partitionBy("lang")))
+      .filter(col("rk") === 1)
+      .select(col("lang"), col("source").as("mode_source"),
+        col("cnt"), col("lang_total"),
+        round(col("cnt").cast("double")
+          / col("lang_total").cast("double"), 4).as("share"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic output sharding report — the write-side companion
+    * to q_split_assign: each document lands in one of 16 shards by
+    * the first hex nibble of a salted md5 of its id (reproducible
+    * across engines/retries, recomputable from the id alone), and
+    * the query reports per-shard document and character totals plus
+    * each shard's skew vs the ideal 1/16 share — the balance check a
+    * pipeline runs before committing a sharded training dump.
+    *
+    * Scale shape: shard assignment is a pure projection; the report
+    * is one 16-group map-side-combinable hash aggregate plus a
+    * broadcast-sized window for the global total. The write itself
+    * would be `.repartition(16, col("shard"))` on the same
+    * expression — co-partitioned with this report for free.
+    */
+  def q_shard_assign(s: SparkSession, dir: String): DataFrame = {
+    val shard = substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 1)
+    t(s, dir, "documents")
+      .select(shard.as("shard"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("total_docs", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col("shard"), col("n_docs"), col("chars"),
+        round(col("n_docs").cast("double") * 16.0
+          / col("total_docs").cast("double"), 4).as("skew_vs_ideal"))
+      .orderBy("shard")
+  }
+
   /** F7/F10: explode list column to rows, empty tokens dropped (P3). */
   def q_explode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

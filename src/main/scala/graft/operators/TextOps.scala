@@ -1611,6 +1611,38 @@ object TextOps {
       .filter(col("dist") <= 1)
   }
 
+  /** Readability scoring (Flesch reading ease, Kincaid 1975) — the
+    * classic document-difficulty signal corpus curation uses next to
+    * the Gopher rules: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word). Sentences are [.!?]+ runs (floored at 1
+    * so punctuation-free docs — this fixture — degrade to one
+    * sentence, not a division by zero); syllables use the standard
+    * dependency-free heuristic of counting [aeiouy]+ vowel groups.
+    * All three counters are regexp counts over the raw text, the
+    * formula is one fixed-shape double expression of exact BIGINTs
+    * (identical IEEE evaluation both engines), rounded for display.
+    *
+    * Scale shape: pure map-only scan — zero shuffle beyond the
+    * declared output sort at any corpus size.
+    */
+  def q_readability(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"),
+        greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sent"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_sent"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sent").cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double")
+            / col("n_words").cast("double")), 4).as("flesch"))
+      .orderBy("doc_id")
+
   /** One greedy BPE merge application over a token array: every
     * leftmost non-overlapping occurrence of the adjacent pair (a, b)
     * is replaced by the concatenated symbol a+b, in one left-to-right
