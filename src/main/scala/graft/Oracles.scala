@@ -637,6 +637,78 @@ object Oracles {
         |    AS pass_rate
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
+    // categorical association (Relational.q_contingency): chi-square
+    // over the FULL RxC grid (zero cells included), MI over observed
+    // cells; per-cell terms rounded to 8 decimals and summed as
+    // DECIMAL(28,8) so the aggregate is fold-order-independent
+    "q_contingency" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_ij
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(n_ij) AS BIGINT) AS r_i
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT source, CAST(sum(n_ij) AS BIGINT) AS c_j
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_r,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_c
+        |  FROM cells),
+        |grid AS (SELECT r.r_i, c.c_j,
+        |    coalesce(cells.n_ij, 0) AS n_ij, tot.n, tot.n_r, tot.n_c
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.lang = r.lang
+        |    AND cells.source = c.source
+        |  CROSS JOIN tot),
+        |terms AS (SELECT n, n_r, n_c,
+        |    CAST(round(
+        |      (CAST(n_ij AS DOUBLE) - CAST(r_i AS DOUBLE)
+        |          * CAST(c_j AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(n_ij AS DOUBLE) - CAST(r_i AS DOUBLE)
+        |          * CAST(c_j AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)
+        |          / CAST(n AS DOUBLE)), 8) AS DECIMAL(28,8)) AS chi_t,
+        |    CAST(round(CASE WHEN n_ij > 0
+        |      THEN (CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          / (CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)))
+        |      ELSE 0.0 END, 8) AS DECIMAL(28,8)) AS mi_t
+        |  FROM grid)
+        |SELECT n, n_r, n_c, (n_r - 1) * (n_c - 1) AS dof,
+        |  round(CAST(sum(chi_t) AS DOUBLE), 4) AS chi2,
+        |  round(sqrt(CAST(sum(chi_t) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)
+        |      * CAST(least(n_r, n_c) - 1 AS DOUBLE))), 4) AS cramers_v,
+        |  round(CAST(sum(mi_t) AS DOUBLE), 4) AS mutual_info
+        |FROM terms GROUP BY n, n_r, n_c ORDER BY n""".stripMargin,
+
+    // last-touch attribution (Relational.q_attribution): IGNORE NULLS
+    // last() over preceding rows, 7-day lookback, per-channel rollup
+    "q_attribution" ->
+      """WITH h AS (SELECT event_type, ts, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS attr_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS attr_ts
+        |  FROM events),
+        |p AS (SELECT CASE WHEN attr_ts IS NOT NULL
+        |      AND attr_ts >= ts - INTERVAL 7 DAY
+        |    THEN attr_type ELSE 'direct' END AS channel, value
+        |  FROM h WHERE event_type = 'purchase'),
+        |g AS (SELECT channel, count(*) AS purchases,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM p GROUP BY 1)
+        |SELECT channel, purchases,
+        |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(purchases AS DOUBLE), 4)
+        |    AS rev_per_purchase
+        |FROM g ORDER BY channel""".stripMargin,
+
     // exact per-group mode (Relational.q_agg_mode): (lang, source)
     // counts, rank by (cnt DESC, source ASC) for a deterministic tie
     "q_agg_mode" ->

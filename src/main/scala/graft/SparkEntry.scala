@@ -92,6 +92,8 @@ object SparkEntry {
     "q_ab_test" -> (Relational.q_ab_test _),
     "q_dq_checks" -> (Relational.q_dq_checks _),
     "q_agg_mode" -> (Relational.q_agg_mode _),
+    "q_contingency" -> (Relational.q_contingency _),
+    "q_attribution" -> (Relational.q_attribution _),
     "q_shard_assign" -> (Relational.q_shard_assign _),
     "q_readability" -> (TextOps.q_readability _),
     // §2.8 scalar functions

@@ -1230,6 +1230,107 @@ object Relational {
       .orderBy("shard")
   }
 
+  /** Categorical-association readout — chi-square independence test,
+    * Cramér's V, and mutual information over the (lang, source)
+    * contingency table: the statistic a mixture-design pass runs to
+    * learn whether two corpus facets are independent before
+    * stratifying on both. The chi-square runs over the FULL R×C grid
+    * (zero-observed cells contribute their expected mass), built by
+    * cross-joining the two tiny margin frames; MI sums observed
+    * cells only (0·log 0 = 0).
+    *
+    * Engine-exactness (§2.12): every per-cell term is a double of
+    * exact BIGINT counts, rounded to 8 decimals and summed as
+    * DECIMAL(28,8) — the q_bm25 device — so the aggregate is
+    * order-independent and the engines agree bit-for-bit regardless
+    * of partition fold order.
+    *
+    * Scale shape: ONE hash aggregate over the corpus to the
+    * |langs|·|sources| cell frame; margins, the R×C grid, and the
+    * statistics all derive from that broadcast-sized frame — the
+    * corpus is scanned once at any scale.
+    */
+  def q_contingency(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_ij"))
+    val rows_ = cells.groupBy("lang").agg(sum(col("n_ij")).as("r_i"))
+    val cols_ = cells.groupBy("source").agg(sum(col("n_ij")).as("c_j"))
+    val tot = cells.agg(sum(col("n_ij")).as("n"),
+      countDistinct(col("lang")).as("n_r"),
+      countDistinct(col("source")).as("n_c"))
+    val grid = broadcast(rows_).crossJoin(broadcast(cols_))
+      .join(cells, Seq("lang", "source"), "left")
+      .select(col("r_i"), col("c_j"),
+        coalesce(col("n_ij"), lit(0L)).as("n_ij"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val e = col("r_i").cast("double") * col("c_j").cast("double") / nD
+    val pij = col("n_ij").cast("double") / nD
+    val chiTerm = (col("n_ij").cast("double") - e) * (col("n_ij").cast("double") - e) / e
+    val miTerm = when(col("n_ij") > 0,
+      pij * log(pij * nD * nD
+        / (col("r_i").cast("double") * col("c_j").cast("double"))))
+      .otherwise(lit(0.0))
+    grid
+      .groupBy(col("n"), col("n_r"), col("n_c"))
+      .agg(
+        sum(round(chiTerm, 8).cast("decimal(28,8)")).as("chi2s"),
+        sum(round(miTerm, 8).cast("decimal(28,8)")).as("mis"))
+      .select(col("n"), col("n_r"), col("n_c"),
+        ((col("n_r") - 1) * (col("n_c") - 1)).as("dof"),
+        round(col("chi2s").cast("double"), 4).as("chi2"),
+        round(sqrt(col("chi2s").cast("double") / (col("n").cast("double")
+          * (least(col("n_r"), col("n_c")) - lit(1L)).cast("double"))), 4)
+          .as("cramers_v"),
+        round(col("mis").cast("double"), 4).as("mutual_info"))
+      .orderBy("n")
+  }
+
+  /** Last-touch attribution — credit each purchase to the user's most
+    * recent preceding non-purchase event within a 7-day lookback
+    * ('direct' when none), then roll credited purchases and revenue
+    * up per channel: the readout that connects the funnel
+    * (q_funnel) to revenue.
+    *
+    * The credited channel is one IGNORE NULLS last() over the
+    * user's (ts, event_id)-ordered history restricted to preceding
+    * rows — no self-join against the event history, which is the
+    * naive quadratic formulation. The paired timestamp rides the
+    * same window so the lookback check is a plain comparison.
+    *
+    * Scale shape: one (user_id) window partition + one
+    * channel-cardinality hash aggregate; revenue sums are
+    * DECIMAL(18,2) (order-independent), divisions happen once on
+    * the final tiny frame.
+    */
+  def q_attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .select(col("event_type"), col("ts"), col("value"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w).as("attr_type"),
+        last(when(col("event_type") =!= "purchase", col("ts")),
+          ignoreNulls = true).over(w).as("attr_ts"))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("attr_ts").isNotNull
+          && col("attr_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("attr_type")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+    touched.groupBy("channel")
+      .agg(count(lit(1)).as("purchases"),
+        sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .select(col("channel"), col("purchases"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("rev").cast("double")
+          / col("purchases").cast("double"), 4).as("rev_per_purchase"))
+      .orderBy("channel")
+  }
+
   /** F7/F10: explode list column to rows, empty tokens dropped (P3). */
   def q_explode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
