@@ -709,6 +709,43 @@ object Oracles {
         |    AS rev_per_purchase
         |FROM g ORDER BY channel""".stripMargin,
 
+    // unpivot/melt (Relational.q_unpivot): four measure columns to
+    // (metric, value) rows; full physical key + metric in the sort
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  metric, value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'discount' AS metric, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'quantity', l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'tax', l_tax FROM lineitem)
+        |WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  metric""".stripMargin,
+
+    // vocab coverage (TextOps.q_vocab_coverage): top-100 corpus vocab
+    // (freq DESC, tok ASC), per-doc OOV occurrence rate
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok FROM (
+         |    SELECT tok, count(*) AS freq FROM toks GROUP BY 1)
+         |  ORDER BY freq DESC, tok LIMIT 100)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+         |      THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // exact per-group mode (Relational.q_agg_mode): (lang, source)
     // counts, rank by (cnt DESC, source ASC) for a deterministic tie
     "q_agg_mode" ->

@@ -96,6 +96,8 @@ object SparkEntry {
     "q_attribution" -> (Relational.q_attribution _),
     "q_shard_assign" -> (Relational.q_shard_assign _),
     "q_readability" -> (TextOps.q_readability _),
+    "q_unpivot" -> (Relational.q_unpivot _),
+    "q_vocab_coverage" -> (TextOps.q_vocab_coverage _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

@@ -1331,6 +1331,33 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** Unpivot (melt) — the inverse reshape of q_pivot: the four
+    * lineitem measure columns stack into (metric, value) rows, wide →
+    * long, the form every generic metrics store and plotting layer
+    * ingests. Implemented with the codegen'd stack() table generator —
+    * a pure map-side row expansion (no Expand-on-shuffle, no join);
+    * at 100 TB this is a 4× row multiplier inside the scan stage and
+    * nothing else. The ORDER BY carries the full physical key
+    * (orderkey, linenumber, partkey, suppkey — the fixture has
+    * duplicate (orderkey, linenumber) pairs) plus metric, so
+    * cross-engine row order is total.
+    */
+  def q_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        expr("""stack(4,
+          'discount', l_discount,
+          'extendedprice', l_extendedprice,
+          'quantity', l_quantity,
+          'tax', l_tax) AS (metric, value)"""))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "metric")
+
   /** F7/F10: explode list column to rows, empty tokens dropped (P3). */
   def q_explode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -1643,6 +1643,36 @@ object TextOps {
             / col("n_words").cast("double")), 4).as("flesch"))
       .orderBy("doc_id")
 
+  /** Vocabulary coverage / OOV-rate report — the tokenizer-design
+    * metric: fix the vocabulary at the corpus's top-100 tokens by
+    * total frequency (ties broken by token string, so the vocab is
+    * deterministic), then measure per-document how many token
+    * occurrences fall outside it. High OOV documents are exactly the
+    * ones a subword tokenizer will fragment.
+    *
+    * Scale shape: reuses the cached corpus token frame (tokenize
+    * once); the vocab is a bounded top-k of a hash aggregate
+    * (TakeOrdered over |vocab| candidates, never corpus-sized) and
+    * rejoins as a broadcast left-semi mark. One aggregate back to
+    * per-doc rows; no shuffle scales with anything but |docs|.
+    */
+  def q_vocab_coverage(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docTokens(s, dir)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(100)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    docTokens(s, dir)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        round(col("n_oov").cast("double")
+          / col("n_tok").cast("double"), 4).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** One greedy BPE merge application over a token array: every
     * leftmost non-overlapping occurrence of the adjacent pair (a, b)
     * is replaced by the concatenated symbol a+b, in one left-to-right
