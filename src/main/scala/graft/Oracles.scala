@@ -746,6 +746,77 @@ object Oracles {
          |    / CAST(count(*) AS DOUBLE), 4) AS oov_rate
          |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // CUSUM change-point (Relational.q_changepoint): exact BIGINT
+    // running sums, cusum = runsum - t*mean as one double expression,
+    // top-10 |cusum| hours (ordering uses the ROUNDED value, as Spark)
+    "q_changepoint" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT h, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS runsum,
+        |    row_number() OVER (ORDER BY h) AS rn,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total,
+        |    count(*) OVER () AS n_hours
+        |  FROM hourly),
+        |c AS (SELECT h, cnt,
+        |    round(CAST(runsum AS DOUBLE) - CAST(rn AS DOUBLE)
+        |      * (CAST(total AS DOUBLE) / CAST(n_hours AS DOUBLE)), 4)
+        |      AS cusum
+        |  FROM s)
+        |SELECT h, cnt, cusum FROM c
+        |ORDER BY abs(cusum) DESC, h LIMIT 10""".stripMargin,
+
+    // lead-lag cross-correlation (Relational.q_cross_corr): one lead()
+    // family over the observed-hour series, exact BIGINT co-moments,
+    // closed-form Pearson r per lag with a zero-variance guard
+    "q_cross_corr" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |led AS (SELECT x,
+        |    lead(y, 0) OVER (ORDER BY h) AS y0,
+        |    lead(y, 1) OVER (ORDER BY h) AS y1,
+        |    lead(y, 2) OVER (ORDER BY h) AS y2,
+        |    lead(y, 3) OVER (ORDER BY h) AS y3,
+        |    lead(y, 4) OVER (ORDER BY h) AS y4,
+        |    lead(y, 5) OVER (ORDER BY h) AS y5,
+        |    lead(y, 6) OVER (ORDER BY h) AS y6
+        |  FROM hourly),
+        |stacked AS (
+        |  SELECT x, 0 AS lag, y0 AS y FROM led
+        |  UNION ALL SELECT x, 1, y1 FROM led
+        |  UNION ALL SELECT x, 2, y2 FROM led
+        |  UNION ALL SELECT x, 3, y3 FROM led
+        |  UNION ALL SELECT x, 4, y4 FROM led
+        |  UNION ALL SELECT x, 5, y5 FROM led
+        |  UNION ALL SELECT x, 6, y6 FROM led),
+        |m AS (SELECT lag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM stacked WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+        |    OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+        |    THEN 0.0
+        |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |  END AS r
+        |FROM m ORDER BY lag""".stripMargin,
+
     // exact per-group mode (Relational.q_agg_mode): (lang, source)
     // counts, rank by (cnt DESC, source ASC) for a deterministic tie
     "q_agg_mode" ->

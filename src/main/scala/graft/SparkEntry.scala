@@ -97,6 +97,8 @@ object SparkEntry {
     "q_shard_assign" -> (Relational.q_shard_assign _),
     "q_readability" -> (TextOps.q_readability _),
     "q_unpivot" -> (Relational.q_unpivot _),
+    "q_changepoint" -> (Relational.q_changepoint _),
+    "q_cross_corr" -> (Relational.q_cross_corr _),
     "q_vocab_coverage" -> (TextOps.q_vocab_coverage _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),

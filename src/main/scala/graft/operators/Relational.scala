@@ -1358,6 +1358,96 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "metric")
 
+  /** CUSUM change-point scan — mean-shift detection over the hourly
+    * event-count series: cumulative sum of deviations from the
+    * series mean, reported at the ten hours where |CUSUM| peaks (the
+    * classic location estimate for a level shift). Everything
+    * upstream of the final division is exact: hourly counts and
+    * their running sum are BIGINTs, so cusum_t = runsum_t − t·mean
+    * is one fixed-shape double expression of exact integers in both
+    * engines.
+    *
+    * Scale shape: one hash aggregate corpus → hours (bounded by the
+    * time span, not event volume), then windows + a top-k over that
+    * tiny series frame. The raw table is scanned once.
+    */
+  def q_changepoint(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSeq = Window.orderBy("h")
+    val wAll = Window.partitionBy()
+    val mean = col("total").cast("double") / col("n_hours").cast("double")
+    hourly
+      .withColumn("runsum", sum(col("cnt")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("n_hours", count(lit(1)).over(wAll))
+      .select(col("h"), col("cnt"),
+        round(col("runsum").cast("double")
+          - col("rn").cast("double") * mean, 4).as("cusum"))
+      .withColumn("abs_cusum", abs(col("cusum")))
+      .orderBy(col("abs_cusum").desc, col("h"))
+      .limit(10)
+      .select("h", "cnt", "cusum")
+  }
+
+  /** Lead-lag cross-correlation — Pearson correlation between the
+    * hourly view series and the purchase series shifted by 0..6
+    * hours: the demand-forecasting probe for "do views predict
+    * purchases, and at what delay". Each lagged pair comes from ONE
+    * lead() family sharing a single sort of the observed-hour
+    * series (missing hours shift to the next observed hour,
+    * identically in both engines); the seven lags then stack() into
+    * rows and reduce to exact BIGINT co-moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²), from which the correlation is one closed-form
+    * double expression. Zero-variance series pin r to 0 rather than
+    * dividing by zero.
+    *
+    * Scale shape: the corpus collapses to the bounded hourly frame
+    * in one aggregate; everything after — windows, stack, the
+    * 7-group moment aggregate — runs on series-sized data. At a
+    * 100 TB span the BIGINT moments swap to DECIMAL sums, nothing
+    * else changes.
+    */
+  def q_cross_corr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val w = Window.orderBy("h")
+    val lagged = hourly
+      .select(col("x") +: (0 to 6).map(l =>
+        lead(col("y"), l).over(w).as(s"y$l")): _*)
+      .select(col("x"), expr("""stack(7,
+        0, y0, 1, y1, 2, y2, 3, y3, 4, y4, 5, y5, 6, y6)
+        AS (lag, y)"""))
+      .filter(col("y").isNotNull)
+    val n = col("n").cast("double")
+    // NB: the binary operator must end the line (or the whole RHS be
+    // parenthesized) — a leading `-` starts a NEW statement under
+    // Scala semicolon inference and silently drops the subtraction
+    val cov = (n * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+    val vx = (n * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val vy = (n * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag").cast("long").as("lag"), col("n"),
+        when(vx === 0.0 || vy === 0.0, lit(0.0))
+          .otherwise(round(cov / sqrt(vx * vy), 4)).as("r"))
+      .orderBy("lag")
+  }
+
   /** F7/F10: explode list column to rows, empty tokens dropped (P3). */
   def q_explode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
