@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated star schema
   * (TESTDATA.md). One parquet file per table under `$dir/`.
@@ -12,13 +12,24 @@ import org.apache.spark.sql.types.LongType
   * at cluster scale the same call pattern works over a partitioned
   * directory tree — nothing here assumes single-file layout.
   *
-  * Nanosecond timestamps: `events.ts` is TIMESTAMP(NANOS) in parquet,
-  * which Spark has no native type for (PARQUET_TYPE_ILLEGAL without
-  * the legacy conf). Sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (graft.Verify /
-  * graft.Bench / specs do); the loader then truncates nanos → µs
-  * TimestampType here, exactly matching DuckDB's ns → µs truncation
-  * (SURVEY §2.12 rule 5 / FIXTURES.md §1).
+  * Timestamp normalization — the driver's fixtures have shipped two
+  * different parquet annotations across rounds, and this loader maps
+  * BOTH to the same µs TimestampType so the query surface never sees
+  * the difference:
+  *  - TIMESTAMP(NANOS) (rounds ≤ 4): Spark has no native ns type
+  *    (PARQUET_TYPE_ILLEGAL without the legacy conf). Sessions set
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (graft.Verify /
+  *    graft.Bench / specs do); the loader truncates the ns long → µs
+  *    TimestampType, exactly matching DuckDB's ns → µs truncation
+  *    (SURVEY §2.12 rule 5 / FIXTURES.md §1).
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-5 regeneration):
+  *    Spark reads TIMESTAMP_NTZ, which Spark 4 refuses to cast to
+  *    numeric (the RANGE-frame and epoch-arithmetic queries analyze
+  *    with DATATYPE_MISMATCH). Every session here runs in UTC
+  *    (SURVEY §2.12 rule 4), so NTZ → TimestampType is a pure
+  *    re-annotation: identical micros-since-epoch, identical wall
+  *    clock, and DuckDB (whose TIMESTAMP is itself naive) computes
+  *    on the very same values.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -27,12 +38,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        // ns-since-epoch long → µs TimestampType (floor division ≡
-        // DuckDB truncation; ts values are post-1970 so floor = trunc)
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          // ns-since-epoch long → µs TimestampType (floor division ≡
+          // DuckDB truncation; ts values are post-1970, floor = trunc)
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} DIV 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 

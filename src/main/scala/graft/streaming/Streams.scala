@@ -27,13 +27,14 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS) on disk ⇒
-    * LongType under nanosAsLong; normalized to µs TimestampType here,
-    * same as graft.Tables).
+  /** Raw parquet schema of events (ts is TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) on disk ⇒ TIMESTAMP_NTZ; normalized to µs
+    * TimestampType in [[eventsStream]], same re-annotation as
+    * graft.Tables — sessions run in UTC so the micros are identical).
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)) :+ StructField("props", StringType))
@@ -81,7 +82,7 @@ object Streams {
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Event-time tumbling window + watermark for late data. */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
@@ -200,14 +200,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted > 0) // watermark advanced, old windows finalized
     // craft one event 3h older than anything seen — far past the 1h
     // watermark — targeting an already-emitted window
-    val maxTsNs = Tables(spark, dir, "events")
+    val maxTsUs = Tables(spark, dir, "events")
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.unix_micros(col("ts"))))
-      .head().getLong(0) * 1000L
-    val lateRow = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(
-        999999L, maxTsNs - 3L * 3600 * 1000000000L, 1L, "late", 1.0, "{}")),
-      Streams.eventsRawSchema)
+      .head().getLong(0)
+    val lateRow = spark.range(1).select(
+      lit(999999L).as("event_id"),
+      org.apache.spark.sql.functions
+        .timestamp_micros(lit(maxTsUs - 3L * 3600 * 1000000L))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+      lit(1L).as("user_id"), lit("late").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
     // the file stream source lists plain files — stage the part file
     // itself, not a nested directory
     val staged = Files.createTempDirectory("late_write")
