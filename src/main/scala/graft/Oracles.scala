@@ -1966,6 +1966,167 @@ object Oracles {
          |    ELSE CAST(0 AS DOUBLE) END AS cc
          |FROM deg d LEFT JOIN tn USING (node)
          |ORDER BY n_tri DESC, cc DESC, node
-         |LIMIT 50""".stripMargin
+         |LIMIT 50""".stripMargin,
+
+    // per-series OLS trend (Relational.q_linreg): rebased hour index,
+    // exact BIGINT co-moments, closed-form slope/intercept/R² with the
+    // same double expression order as the Spark side
+    "q_linreg" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS eh,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |based AS (SELECT event_type,
+        |    eh - min(eh) OVER (PARTITION BY event_type) AS x, y
+        |  FROM hourly),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(max(x) AS BIGINT) AS mx
+        |  FROM based GROUP BY 1),
+        |c AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(mx AS DOUBLE) AS mxd,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN vx = 0.0 THEN 0.0
+        |    ELSE round(cov / vx, 6) END AS slope,
+        |  CASE WHEN vx = 0.0 THEN round(syd / nd, 4)
+        |    ELSE round((syd - cov / vx * sxd) / nd, 4) END AS intercept,
+        |  CASE WHEN vx = 0.0 OR vy = 0.0 THEN 0.0
+        |    ELSE round(cov * cov / (vx * vy), 4) END AS r2,
+        |  CASE WHEN vx = 0.0 THEN round(syd / nd, 4)
+        |    ELSE round((syd - cov / vx * sxd) / nd
+        |      + cov / vx * (mxd + 1.0), 4) END AS next_hour_forecast
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    // market-basket rules (Relational.q_basket): per-order distinct
+    // brands, pair counts via the order-key self-join, exact integer
+    // support/confidence/lift, top-20 by lift
+    "q_basket" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (SELECT a.brand AS b1, b.brand AS b2,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM ob a JOIN ob b
+        |    ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ob GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+        |  FROM ob)
+        |SELECT b1, b2, pair_cnt,
+        |  round(CAST(pair_cnt AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(pair_cnt AS DOUBLE) / CAST(m1.cnt AS DOUBLE), 4)
+        |    AS confidence,
+        |  round(CAST(pair_cnt AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(m1.cnt AS DOUBLE) * CAST(m2.cnt AS DOUBLE)), 4)
+        |    AS lift
+        |FROM pairs
+        |JOIN marg m1 ON pairs.b1 = m1.brand
+        |JOIN marg m2 ON pairs.b2 = m2.brand
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, b1, b2 LIMIT 20""".stripMargin,
+
+    // revenue concentration (Relational.q_concentration): exact
+    // DECIMAL Gini/HHI/top-decile numerators, double only in the final
+    // closed-form division
+    "q_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |per AS (SELECT n_name, c_custkey, rev
+        |  FROM customer
+        |  JOIN rev ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |rk AS (SELECT n_name, rev,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY rev, c_custkey) AS i,
+        |    count(*) OVER (PARTITION BY n_name) AS nn
+        |  FROM per),
+        |m AS (SELECT n_name, count(*) AS n,
+        |    sum(rev) AS t,
+        |    sum(CAST(rev * rev AS DECIMAL(38,4))) AS ssq,
+        |    sum(CAST(i AS DECIMAL(18,0)) * rev) AS siw,
+        |    sum(CASE WHEN i > nn - CAST(floor(
+        |        CAST(nn + 9 AS DOUBLE) / 10) AS BIGINT)
+        |      THEN rev END) AS topsum
+        |  FROM rk GROUP BY 1)
+        |SELECT n_name, n,
+        |  round(CAST(t AS DOUBLE), 2) AS total_rev,
+        |  round(2.0 * CAST(siw AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 4) AS gini,
+        |  round(CAST(ssq AS DOUBLE)
+        |    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi,
+        |  round(CAST(topsum AS DOUBLE) / CAST(t AS DOUBLE), 4)
+        |    AS top_decile_share
+        |FROM m ORDER BY n_name""".stripMargin,
+
+    // Benford first-digit audit (Relational.q_benford): first
+    // significant digit from the DECIMAL(18,4) string rendering,
+    // libm log10 expectation, χ² contribution per digit
+    "q_benford" ->
+      """WITH d AS (SELECT regexp_extract(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+        |    '[1-9]', 0) AS digit
+        |  FROM orders),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs
+        |  FROM d WHERE digit <> '' GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+        |SELECT digit, obs,
+        |  round(CAST(obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS obs_p,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+        |    AS benford_p,
+        |  round((CAST(obs AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |    * (CAST(obs AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |    / (CAST(n_total AS DOUBLE)
+        |      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4) AS chi2
+        |FROM o CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // seasonal-naive backtest (Relational.q_forecast_eval): hourly
+    // series densified onto the per-series min→max hour spine
+    // (missing hour = 0 events) so lag-24 is exactly one day back,
+    // exact BIGINT error sums
+    "q_forecast_eval" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS mn, max(h) AS mx
+        |    FROM hourly GROUP BY 1)),
+        |dense AS (SELECT s.event_type, s.h,
+        |    coalesce(hourly.cnt, 0) AS cnt
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h),
+        |l AS (SELECT event_type, h, cnt,
+        |    lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY h) AS f
+        |  FROM dense),
+        |m AS (SELECT event_type, count(*) AS n_eval,
+        |    CAST(sum(abs(cnt - f)) AS BIGINT) AS sae,
+        |    CAST(sum(cnt - f) AS BIGINT) AS sbias,
+        |    CAST(sum((cnt - f) * (cnt - f)) AS BIGINT) AS sse
+        |  FROM l WHERE f IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |  round(CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) AS mae,
+        |  round(sqrt(CAST(sse AS DOUBLE) / CAST(n_eval AS DOUBLE)), 4)
+        |    AS rmse,
+        |  round(CAST(sbias AS DOUBLE) / CAST(n_eval AS DOUBLE), 4)
+        |    AS bias
+        |FROM m ORDER BY event_type""".stripMargin
   )
 }

@@ -100,6 +100,11 @@ object SparkEntry {
     "q_changepoint" -> (Relational.q_changepoint _),
     "q_cross_corr" -> (Relational.q_cross_corr _),
     "q_vocab_coverage" -> (TextOps.q_vocab_coverage _),
+    "q_linreg" -> (Relational.q_linreg _),
+    "q_basket" -> (Relational.q_basket _),
+    "q_concentration" -> (Relational.q_concentration _),
+    "q_benford" -> (Relational.q_benford _),
+    "q_forecast_eval" -> (Relational.q_forecast_eval _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

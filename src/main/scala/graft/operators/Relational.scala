@@ -1467,4 +1467,217 @@ object Relational {
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4).as("sum_value"))
       .orderBy("bucket", "event_type")
+
+  /** Per-series OLS trend fit — regress the hourly event count on the
+    * hour index per event_type: slope (events/hour of drift),
+    * intercept, R², and a next-hour forecast. The hour index is
+    * rebased to each series' first observed hour so the exact BIGINT
+    * co-moments (Σx, Σy, Σxy, Σx², Σy²) stay small; the closed-form
+    * OLS solution is then one double expression per coefficient.
+    * Zero-variance series (constant count, or a single hour) pin
+    * R² to 0 and slope to 0 rather than dividing by zero.
+    *
+    * Scale shape: the corpus collapses to the bounded hourly frame in
+    * one aggregate (same contract as q_changepoint/q_cross_corr);
+    * windows and the per-series moment aggregate run on series-sized
+    * data. A 100 TB span swaps the BIGINT moments to DECIMAL sums.
+    */
+  def q_linreg(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("eh"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type")
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    val slope = cov / vx
+    val icept = (d("sy") - cov / vx * d("sx")) / n
+    hourly
+      .withColumn("x", col("eh") - min(col("eh")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        max(col("x")).as("mx"))
+      .select(col("event_type"), col("n"),
+        when(vx === 0.0, lit(0.0)).otherwise(round(slope, 6)).as("slope"),
+        when(vx === 0.0, round(d("sy") / n, 4))
+          .otherwise(round(icept, 4)).as("intercept"),
+        when(vx === 0.0 || vy === 0.0, lit(0.0))
+          .otherwise(round(cov * cov / (vx * vy), 4)).as("r2"),
+        when(vx === 0.0, round(d("sy") / n, 4))
+          .otherwise(round(icept + slope * (d("mx") + 1.0), 4))
+          .as("next_hour_forecast"))
+      .orderBy("event_type")
+  }
+
+  /** Market-basket association rules over co-purchased brands: for
+    * each ordered brand pair appearing in the same order, support,
+    * confidence and lift from exact integer counts, top-20 by lift.
+    * The per-order distinct-brand frame self-joins ONLY on the order
+    * key, so fan-out is bounded by C(brands-per-order, 2) — ≤ C(11,2)
+    * in the testdata and O(lines²/orders) in general, never corpus-
+    * quadratic. Brand marginals and the order total are broadcast
+    * back onto the pair counts (25 brands / 1 row — dimension-sized
+    * at any corpus scale).
+    */
+  def q_basket(s: SparkSession, dir: String): DataFrame = {
+    val ob = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val pairs = ob.as("a")
+      .join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("b1"), col("b.brand").as("b2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    val marg = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val total = ob.agg(countDistinct(col("okey")).as("n_orders"))
+    val nOrd = col("n_orders").cast("double")
+    pairs
+      .join(broadcast(marg.select(col("brand").as("b1"), col("cnt").as("cnt1"))), "b1")
+      .join(broadcast(marg.select(col("brand").as("b2"), col("cnt").as("cnt2"))), "b2")
+      .crossJoin(broadcast(total))
+      .select(col("b1"), col("b2"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / nOrd, 6).as("support"),
+        round(col("pair_cnt").cast("double") / col("cnt1").cast("double"), 4)
+          .as("confidence"),
+        round(col("pair_cnt").cast("double") * nOrd
+          / (col("cnt1").cast("double") * col("cnt2").cast("double")), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("b1"), col("b2"))
+      .limit(20)
+  }
+
+  /** Revenue-concentration report per nation: Gini coefficient, HHI,
+    * and top-decile revenue share over per-customer order revenue.
+    * Every numerator is an exact DECIMAL aggregate — Gini via the
+    * sorted-index identity (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n (tie order
+    * among equal revenues cannot change the sum), HHI as Σx²/(Σx)²
+    * so no per-row double share is ever summed — and only the final
+    * closed-form division happens in double.
+    *
+    * Scale shape: one shuffle to per-customer revenue, one window
+    * rank per nation, one hash aggregate; nation is the only
+    * broadcast (25 rows).
+    */
+  def q_concentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val per = t(s, dir, "customer")
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      // narrow the summed revenue back to (18,2): per-customer revenue
+      // fits with room to spare, and (18,2)×(18,2) → (37,4) multiplies
+      // exactly under the 38-precision cap (no precision-loss rescale)
+      .select(col("n_name"), col("c_custkey"),
+        col("rev").cast("decimal(18,2)").as("rev"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("rev").asc, col("c_custkey").asc)
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    per
+      .withColumn("i", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("n_name")))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev")).as("t"),
+        sum((col("rev") * col("rev")).cast("decimal(38,4)")).as("ssq"),
+        sum(col("i").cast("decimal(18,0)") * col("rev")).as("siw"),
+        sum(when(col("i") > col("nn") - floor((col("nn") + 9) / 10),
+          col("rev"))).as("topsum"))
+      .select(col("n_name"), col("n"),
+        round(d("t"), 2).as("total_rev"),
+        round(lit(2.0) * d("siw") / (n * d("t")) - (n + 1.0) / n, 4)
+          .as("gini"),
+        round(d("ssq") / (d("t") * d("t")), 6).as("hhi"),
+        round(d("topsum") / d("t"), 4).as("top_decile_share"))
+      .orderBy("n_name")
+  }
+
+  /** Benford first-digit audit of order totals: observed digit
+    * frequency vs the Benford expectation log₁₀(1+1/d), with the
+    * χ² contribution per digit — the classic synthetic-data /
+    * fraud screen, as a data-quality operator. The first significant
+    * digit comes from the DECIMAL(18,4) string rendering (identical
+    * in both engines; no float-log extraction that could mis-bucket
+    * values sitting on a power of ten). Map-side digit extraction,
+    * one 9-row aggregate, one broadcast total.
+    */
+  def q_benford(s: SparkSession, dir: String): DataFrame = {
+    val digit = regexp_extract(
+      col("o_totalprice").cast("decimal(18,4)").cast("string"), "[1-9]", 0)
+    val total = t(s, dir, "orders").agg(count(lit(1)).as("n_total"))
+    val nT = col("n_total").cast("double")
+    // log10(), not log(10, x): Spark's two-arg log computes ln(x)/ln(10)
+    // while DuckDB's log10 is libm log10 — same function via Math.log10
+    // on both sides keeps the last-ulp behavior aligned
+    val expP = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val expCnt = nT * expP
+    t(s, dir, "orders")
+      .select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("obs"),
+        round(col("obs").cast("double") / nT, 6).as("obs_p"),
+        round(expP, 6).as("benford_p"),
+        round((col("obs").cast("double") - expCnt)
+          * (col("obs").cast("double") - expCnt) / expCnt, 4).as("chi2"))
+      .orderBy("digit")
+  }
+
+  /** Seasonal-naive forecast backtest: predict each hour's event
+    * count by the same hour one day earlier, then score MAE / RMSE /
+    * mean bias per event_type from exact BIGINT error sums. The
+    * hourly series is first densified onto each series' complete
+    * min→max hour spine (a missing hour IS a real observation of 0
+    * events), so the lag-24 forecast always aligns to exactly one
+    * day back — on a sparse series a row-based lag would silently
+    * compare across gaps, and at sf0.001 would leave no aligned
+    * rows at all. The baseline every real forecasting pipeline must
+    * beat — and the evaluation harness for one.
+    *
+    * Scale shape: identical to q_linreg — corpus → bounded hourly
+    * frame in one aggregate; the spine explode, window and final
+    * aggregate run on series-sized data (≤ hours-in-span rows per
+    * series regardless of corpus size).
+    */
+  def q_forecast_eval(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val err = col("cnt") - col("f")
+    val n = col("n_eval").cast("double")
+    spine
+      .join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("f", lag(col("cnt"), 24).over(w))
+      .filter(col("f").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(err)).as("sae"),
+        sum(err).as("sbias"),
+        sum(err * err).as("sse"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("sae").cast("double") / n, 4).as("mae"),
+        round(sqrt(col("sse").cast("double") / n), 4).as("rmse"),
+        round(col("sbias").cast("double") / n, 4).as("bias"))
+      .orderBy("event_type")
+  }
 }

@@ -198,4 +198,73 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(4).sign == corr.sign || corr == 0.0)
     }
   }
+
+  test("q_linreg: R² in [0,1]; forecast consistent with the fitted " +
+    "line's sign of drift") {
+    val out = Relational.q_linreg(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2 out of range")
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+    }
+  }
+
+  test("q_basket: rules are well-formed — ordered pairs, " +
+    "support ≤ confidence ≤ 1, positive lift") {
+    val out = Relational.q_basket(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not ordered b1 < b2")
+      val (sup, conf, lift) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(sup > 0.0 && sup <= conf + 1e-9,
+        s"support $sup vs confidence $conf")
+      assert(conf <= 1.0 && lift > 0.0)
+    }
+  }
+
+  test("q_concentration: Gini in [0,1), HHI in [1/n, 1], top-decile " +
+    "share within (0, 1]") {
+    val out = Relational.q_concentration(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val (gini, hhi, top) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(gini >= 0.0 && gini < 1.0, s"gini $gini")
+      // Σ share² is minimized at equal shares (1/n) and capped at 1
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9, s"hhi $hhi n=$n")
+      assert(top > 0.0 && top <= 1.0 + 1e-9, s"top share $top")
+      // the top decile can never hold less than its population share
+      assert(top >= math.floor((n + 9) / 10) / n - 1e-6)
+    }
+  }
+
+  test("q_benford: probabilities are a distribution and the " +
+    "expectation column IS Benford's law") {
+    val out = Relational.q_benford(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == (1 to 9).map(_.toString).toSet)
+    val obsSum = out.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-3, s"obs_p sums to $obsSum")
+    out.foreach { r =>
+      val d = r.getString(0).toInt
+      val expect = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(r.getDouble(3) - expect) < 5e-7)
+      assert(r.getDouble(4) >= 0.0) // χ² contribution nonnegative
+    }
+  }
+
+  test("q_forecast_eval: rmse ≥ mae ≥ |bias| and the spine gives " +
+    "every series an evaluation window") {
+    val out = Relational.q_forecast_eval(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mae, rmse, bias) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0)
+      assert(rmse >= mae - 1e-9, s"rmse $rmse < mae $mae")
+      assert(mae >= math.abs(bias) - 1e-9, s"mae $mae < |bias| $bias")
+    }
+  }
 }
