@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DeflateSize, MortonCode, VectorDot, VectorNorm2, WordShingles}
+import graft.functions.{DeflateSize, JaroWinkler, MortonCode, VectorDot, VectorNorm2, WordShingles}
 
 /** Library registration surface: makes graft's custom Catalyst
   * expressions available to SQL users, either at session build time
@@ -69,8 +69,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MortonCode].getName, "morton_code"),
     (args: Seq[Expression]) => MortonCode(args(0), args(1)))
 
+  /** DuckDB-parity fuzzy-name similarity: jaro_winkler(a, b). */
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (args: Seq[Expression]) => JaroWinkler(args(0), args(1)))
+
   val functions = Seq(wordShinglesFunction, vectorDotFunction,
-    vectorNorm2Function, deflateSizeFunction, mortonCodeFunction)
+    vectorNorm2Function, deflateSizeFunction, mortonCodeFunction,
+    jaroWinklerFunction)
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =

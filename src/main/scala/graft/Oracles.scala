@@ -1126,6 +1126,75 @@ object Oracles {
          |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
          |FROM dt GROUP BY tok ORDER BY df DESC, tok LIMIT 200""".stripMargin,
 
+    // blocked fuzzy-name matching (TextOps.q_name_match): the Spark
+    // side scores with the custom JaroWinkler expression, built
+    // DuckDB-bit-exact — so the oracle can use DuckDB's own builtin
+    "q_name_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name AS name, substr(p_name, 1, 1) AS blk
+        |  FROM names)
+        |SELECT x.name AS name_a, y.name AS name_b,
+        |  round(jaro_winkler_similarity(x.name, y.name), 4) AS jw
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
+        |WHERE round(jaro_winkler_similarity(x.name, y.name), 4) >= 0.5
+        |ORDER BY jw DESC, name_a, name_b LIMIT 50""".stripMargin,
+
+    // NDCG@{5,10,20} of the BM25 top-20 (TextOps.q_ndcg): the bm25
+    // CTEs repeat q_bm25 verbatim; relevance = distinct query terms
+    // per doc; IDCG over the whole corpus; per-rank contributions
+    // rounded to DECIMAL(18,6) before the exact sum
+    "q_ndcg" -> {
+      import graft.operators.TextOps.{bm25Terms, bm25K1, bm25B}
+      val terms = bm25Terms.map("'" + _ + "'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |contrib AS (SELECT tf.doc_id,
+         |  CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * (tf.tf * ${bm25K1 + 1}) / (tf.tf + $bm25K1
+         |      * (${1.0 - bm25B} + $bm25B * dl.dl / s.avgdl)), 6)
+         |    AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats s),
+         |bm AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+         |  FROM contrib GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |rel AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rel
+         |  FROM (SELECT DISTINCT doc_id, unnest($tokL) AS tok
+         |    FROM documents)
+         |  WHERE tok IN ($terms) GROUP BY doc_id),
+         |ranked AS (SELECT r.rank, coalesce(rel.rel, 0) AS rel
+         |  FROM (SELECT doc_id, row_number()
+         |      OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm) r
+         |  LEFT JOIN rel USING (doc_id)),
+         |ideal AS (SELECT rank, rel FROM
+         |  (SELECT row_number() OVER (ORDER BY rel DESC, doc_id)
+         |      AS rank, rel FROM rel)
+         |  WHERE rank <= 20),
+         |ks AS (SELECT unnest([5, 10, 20]) AS k),
+         |dcg AS (SELECT k, sum(CAST(round(
+         |    (power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         |    / log2(CAST(rank AS DOUBLE) + 1.0), 6)
+         |    AS DECIMAL(18,6))) AS dcg_d
+         |  FROM ranked CROSS JOIN ks WHERE rank <= k GROUP BY k),
+         |idcg AS (SELECT k, sum(CAST(round(
+         |    (power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         |    / log2(CAST(rank AS DOUBLE) + 1.0), 6)
+         |    AS DECIMAL(18,6))) AS idcg_d
+         |  FROM ideal CROSS JOIN ks WHERE rank <= k GROUP BY k)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  round(CAST(dcg_d AS DOUBLE), 4) AS dcg,
+         |  round(CAST(idcg_d AS DOUBLE), 4) AS idcg,
+         |  CASE WHEN idcg_d = 0 THEN 0.0
+         |    ELSE round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 4)
+         |  END AS ndcg
+         |FROM dcg JOIN idcg USING (k) ORDER BY k""".stripMargin
+    },
+
     // the two retriever CTEs repeat q_bm25 / the query-filtered tfidf
     // verbatim; ranks are integers off rounded scores (+doc_id
     // tie-break) so the fusion arithmetic is a single two-operand

@@ -128,10 +128,12 @@ object SparkEntry {
     "q_tfidf" -> (TextOps.q_tfidf _),
     "q_bm25" -> (TextOps.q_bm25 _),
     "q_rrf" -> (TextOps.q_rrf _),
+    "q_ndcg" -> (TextOps.q_ndcg _),
     "q_postings" -> (TextOps.q_postings _),
     "q_keywords" -> (TextOps.q_keywords _),
     "q_edit_distance" -> (TextOps.q_edit_distance _),
     "q_fuzzy_join" -> (TextOps.q_fuzzy_join _),
+    "q_name_match" -> (TextOps.q_name_match _),
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),

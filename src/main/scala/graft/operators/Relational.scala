@@ -1528,11 +1528,15 @@ object Relational {
     * at any corpus scale).
     */
   def q_basket(s: SparkSession, dir: String): DataFrame = {
-    val ob = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
+    // the distinct (order, brand) frame feeds BOTH self-join sides,
+    // the marginals and the order total — persist it once (cache
+    // -manager plan dedup then gives all four consumers one scan)
+    val ob = graft.Caches.cached(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct())
     val pairs = ob.as("a")
       .join(ob.as("b"),
         col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))

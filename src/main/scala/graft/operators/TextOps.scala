@@ -496,6 +496,56 @@ object TextOps {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** Ranking-quality evaluation of the BM25 retriever: NDCG@{5,10,20}
+    * against term-overlap graded relevance (rel(d) = number of
+    * distinct query terms d contains, 0–3) — the metric every
+    * retrieval stack reports, computed inside the engine. DCG uses
+    * the standard (2^rel − 1)/log₂(rank+1) gains; IDCG ranks the
+    * WHOLE corpus by relevance (best achievable list, not just a
+    * reshuffle of the retrieved one), so NDCG < 1 whenever BM25
+    * misses a relevant doc. Per-rank contributions are rounded to
+    * DECIMAL(18,6) before the exact sum — ten-term double fold order
+    * can't drift between engines.
+    *
+    * Scale shape: relevance reuses the cached distinct-token frame
+    * (one aggregate filtered to the broadcast query vocabulary);
+    * everything after the retriever runs on ≤ corpus-relevant-docs
+    * rows for IDCG and 20 rows for DCG.
+    */
+  def q_ndcg(s: SparkSession, dir: String): DataFrame = {
+    val rel = docTokensDistinct(s, dir)
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+    val wR = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val ranked = bm25Top(s, dir)
+      .select(col("doc_id"), row_number().over(wR).as("rank"))
+      .join(rel, Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val wI = Window.orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rel
+      .withColumn("rank", row_number().over(wI))
+      .filter(col("rank") <= 20)
+    val ks = s.range(1)
+      .select(explode(array(lit(5), lit(10), lit(20))).as("k"))
+    def contrib(df: DataFrame) = df.select(col("rank"),
+      round((pow(lit(2.0), col("rel").cast("double")) - lit(1.0))
+        / log2(col("rank").cast("double") + lit(1.0)), 6)
+        .cast("decimal(18,6)").as("c"))
+    def cut(df: DataFrame, out: String) = contrib(df)
+      .crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k").agg(sum(col("c")).as(out))
+    cut(ranked, "dcg_d")
+      .join(cut(ideal, "idcg_d"), Seq("k"))
+      .select(col("k").cast("long").as("k"),
+        round(col("dcg_d").cast("double"), 4).as("dcg"),
+        round(col("idcg_d").cast("double"), 4).as("idcg"),
+        when(col("idcg_d") === 0, lit(0.0))
+          .otherwise(round(col("dcg_d").cast("double")
+            / col("idcg_d").cast("double"), 4)).as("ndcg"))
+      .orderBy("k")
+  }
+
   /** Inverted postings index materialization: per term, document
     * frequency + the first 8 postings (sorted — collect_list order is
     * partition-dependent, sort_array makes it canonical). This is the
@@ -1609,6 +1659,35 @@ object TextOps {
       .select(col("term"), col("tok"),
         levenshtein(col("term"), col("tok")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
+  }
+
+  /** Blocked fuzzy-name matching on the custom codegen'd
+    * [[graft.functions.JaroWinkler]] expression (§2.9: Spark has no
+    * built-in Jaro-Winkler; the Expression is DuckDB-bit-exact, so
+    * the oracle is DuckDB's own `jaro_winkler_similarity`) — the
+    * entity-resolution companion to [[q_fuzzy_join]]'s edit-distance
+    * dictionary join: candidate pairs come from first-character
+    * blocking over the DISTINCT name vocabulary, scored pairs keep
+    * jw ≥ 0.5, top-50. The similarity join is quadratic only within
+    * a block of the name VOCABULARY (bounded by name cardinality,
+    * not corpus rows); a 100 TB deployment swaps the block key for
+    * q_fuzzy_join's deletion neighborhoods or length+prefix bands to
+    * tighten candidate sets — the scoring expression is the same.
+    */
+  def q_name_match(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"),
+      substring(col("p_name"), 1, 1).as("blk"))
+    val b = names.select(col("p_name").as("name_b"),
+      substring(col("p_name"), 1, 1).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 4)
+          .as("jw"))
+      .filter(col("jw") >= 0.5)
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+      .limit(50)
   }
 
   /** Readability scoring (Flesch reading ease, Kincaid 1975) — the
