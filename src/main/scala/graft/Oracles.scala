@@ -1126,6 +1126,113 @@ object Oracles {
          |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
          |FROM dt GROUP BY tok ORDER BY df DESC, tok LIMIT 200""".stripMargin,
 
+    // 2-D Pareto frontier (Relational.q_skyline): one row per distinct
+    // price (max size), running-max window keeps strictly-improving
+    // levels, parts re-attach by (price, size)
+    "q_skyline" ->
+      """WITH lvl AS (SELECT p_retailprice, max(p_size) AS lvl_size
+        |  FROM part GROUP BY 1),
+        |f AS (SELECT p_retailprice, lvl_size,
+        |    max(lvl_size) OVER (ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_cheaper
+        |  FROM lvl)
+        |SELECT p.p_partkey, p.p_name, p.p_retailprice,
+        |  CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p JOIN f ON p.p_retailprice = f.p_retailprice
+        |  AND p.p_size = f.lvl_size
+        |WHERE f.best_cheaper IS NULL OR f.lvl_size > f.best_cheaper
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
+
+    // exact weighted median (Relational.q_weighted_median): integer
+    // 2*cumw >= W crossing in (price, orderkey) order
+    "q_weighted_median" ->
+      """WITH weights AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
+        |    AS w FROM lineitem GROUP BY 1),
+        |ord AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    o_totalprice AS price, w
+        |  FROM orders JOIN weights ON o_orderkey = l_orderkey),
+        |r AS (SELECT prio, price,
+        |    sum(w) OVER (PARTITION BY prio
+        |      ORDER BY price, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cumw,
+        |    sum(w) OVER (PARTITION BY prio) AS wtot
+        |  FROM ord)
+        |SELECT prio, count(*) AS n_at_or_above,
+        |  CAST(max(wtot) AS BIGINT) AS w_total,
+        |  round(CAST(CAST(min(price) AS DECIMAL(18,2)) AS DOUBLE), 2)
+        |    AS w_median
+        |FROM r WHERE cumw * 2 >= wtot GROUP BY prio
+        |ORDER BY prio""".stripMargin,
+
+    // gaps-and-islands (Relational.q_streak): epoch-hour minus
+    // row_number island ids, longest island by (len DESC, start)
+    "q_streak" ->
+      """WITH hrs AS (SELECT DISTINCT event_type,
+        |    date_trunc('hour', ts) AS h,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS eh
+        |  FROM events),
+        |isl AS (SELECT event_type,
+        |    eh - row_number() OVER (PARTITION BY event_type
+        |      ORDER BY eh) AS grp, h
+        |  FROM hrs),
+        |runs AS (SELECT event_type, grp,
+        |    CAST(count(*) AS BIGINT) AS len, min(h) AS start_h
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (SELECT event_type, len, start_h,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start_h) AS rk,
+        |    CAST(sum(len) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_active_hours,
+        |    count(*) OVER (PARTITION BY event_type) AS n_streaks
+        |  FROM runs)
+        |SELECT event_type, n_active_hours, n_streaks,
+        |  len AS longest, start_h AS longest_start
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // CDC merge accounting (Relational.q_cdc_merge): LWW per half,
+    // one full-outer join, op classification, exact checksums
+    "q_cdc_merge" ->
+      """WITH snap AS (SELECT user_id, event_type AS snap_et FROM
+        |  (SELECT user_id, event_type, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rk
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rk = 1),
+        |delta AS (SELECT user_id, event_type AS delta_et FROM
+        |  (SELECT user_id, event_type, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rk
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rk = 1),
+        |m AS (SELECT coalesce(snap.user_id, delta.user_id) AS user_id,
+        |    CASE WHEN delta_et IS NULL THEN 'carry'
+        |      WHEN delta_et = 'error' THEN 'delete'
+        |      WHEN snap.user_id IS NULL THEN 'insert'
+        |      ELSE 'update' END AS op
+        |  FROM snap FULL OUTER JOIN delta
+        |    ON snap.user_id = delta.user_id)
+        |SELECT op, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS checksum
+        |FROM m GROUP BY op ORDER BY op""".stripMargin,
+
+    // hashing-trick featurization (TextOps.q_feature_hash): md5-nibble
+    // bucket + parity sign, one 16-group aggregate
+    "q_feature_hash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |f AS (SELECT doc_id, tok,
+         |    substr(md5('fh:' || tok), 1, 1) AS bucket,
+         |    CASE WHEN substr(md5('fh:' || tok), 2, 1) IN
+         |      ('0','2','4','6','8','a','c','e')
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM toks)
+         |SELECT bucket, count(*) AS n_tokens,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(sign) AS BIGINT) AS signed_mass
+         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // blocked fuzzy-name matching (TextOps.q_name_match): the Spark
     // side scores with the custom JaroWinkler expression, built
     // DuckDB-bit-exact — so the oracle can use DuckDB's own builtin

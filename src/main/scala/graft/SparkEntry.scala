@@ -105,6 +105,11 @@ object SparkEntry {
     "q_concentration" -> (Relational.q_concentration _),
     "q_benford" -> (Relational.q_benford _),
     "q_forecast_eval" -> (Relational.q_forecast_eval _),
+    "q_skyline" -> (Relational.q_skyline _),
+    "q_weighted_median" -> (Relational.q_weighted_median _),
+    "q_streak" -> (Relational.q_streak _),
+    "q_cdc_merge" -> (Relational.q_cdc_merge _),
+    "q_feature_hash" -> (TextOps.q_feature_hash _),
     // §2.8 scalar functions
     "q_regex_clean" -> (Relational.q_regex_clean _),
     "q_typify_cast" -> (Relational.q_typify_cast _),

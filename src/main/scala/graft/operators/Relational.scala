@@ -1640,6 +1640,148 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** 2-D Pareto frontier (skyline operator): parts not dominated on
+    * (price ↓ better, size ↑ better) — cheapest-for-their-capability
+    * candidates, the classic multi-criteria shortlist. No self-join:
+    * collapse to one row per distinct price (max size at that
+    * price — same-price smaller parts are dominated by it), then one
+    * ordered window pass keeps the price levels whose size strictly
+    * exceeds every cheaper level's running max; parts re-attach by
+    * (price, size) equality against the frontier-level frame, which
+    * is bounded by the distinct-size cardinality.
+    *
+    * Scale shape: one hash aggregate on price + a window over
+    * distinct-price rows + one join against the ≤|sizes| frontier
+    * frame. The window's single ordered pass is the skyline
+    * algorithm itself — sort-based skyline, Börzsönyi et al. 2001 —
+    * with the sort delegated to Spark's range-partitioned exchange.
+    */
+  def q_skyline(s: SparkSession, dir: String): DataFrame = {
+    val lvl = t(s, dir, "part")
+      .groupBy("p_retailprice").agg(max(col("p_size")).as("lvl_size"))
+    val w = Window.orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = lvl
+      .withColumn("best_cheaper", max(col("lvl_size")).over(w))
+      .filter(col("best_cheaper").isNull ||
+        col("lvl_size") > col("best_cheaper"))
+      .select(col("p_retailprice"), col("lvl_size"))
+    t(s, dir, "part")
+      .join(frontier, Seq("p_retailprice"))
+      .filter(col("p_size") === col("lvl_size"))
+      .select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** Exact weighted median of order value per priority, weighted by
+    * the order's line count — "the order price at which half the
+    * LINES sit below" (a volume-weighted center, robust where the
+    * plain median over-weights single-line orders). Lower weighted
+    * median: the first price (in price order) whose running weight
+    * reaches half the total, found with two windows and an exact
+    * integer 2·cumw ≥ W comparison — no doubles anywhere until the
+    * display rounding.
+    *
+    * Scale shape: one aggregate for weights, one partitioned window
+    * pass, one final aggregate — all shuffles on the group key.
+    */
+  def q_weighted_median(s: SparkSession, dir: String): DataFrame = {
+    val weights = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("w"))
+    val ord = t(s, dir, "orders")
+      .join(weights, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        col("o_totalprice").as("price"), col("w"))
+    val wRun = Window.partitionBy("prio")
+      .orderBy(col("price"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("prio")
+    ord
+      .withColumn("cumw", sum(col("w")).over(wRun))
+      .withColumn("wtot", sum(col("w")).over(wAll))
+      .filter(col("cumw") * 2 >= col("wtot"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_at_or_above"),
+        max(col("wtot")).as("w_total"),
+        round(min(col("price")).cast("decimal(18,2)").cast("double"), 2)
+          .as("w_median"))
+      .orderBy("prio")
+  }
+
+  /** Gaps-and-islands: per event_type, the activity-streak profile of
+    * the hourly series — total active hours, number of maximal
+    * consecutive-hour runs, and the longest run with its start hour
+    * (earliest on ties). The island id is the classic epoch-hour −
+    * row_number() difference (constant within a consecutive run,
+    * distinct across gaps); the longest island is picked by a
+    * rank over (len DESC, start) so both engines tie-break
+    * identically without struct-extremum support.
+    *
+    * Scale shape: the corpus collapses to distinct (type, hour) in
+    * one aggregate; islands and ranks run on series-sized data.
+    */
+  def q_streak(s: SparkSession, dir: String): DataFrame = {
+    val hrs = t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("eh"))
+      .distinct()
+    val wSeq = Window.partitionBy("event_type").orderBy("eh")
+    val isl = hrs
+      .withColumn("grp", col("eh") - row_number().over(wSeq))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), min(col("h")).as("start_h"))
+    val wBest = Window.partitionBy("event_type")
+      .orderBy(col("len").desc, col("start_h"))
+    isl
+      .withColumn("rk", row_number().over(wBest))
+      .withColumn("n_active_hours",
+        sum(col("len")).over(Window.partitionBy("event_type")))
+      .withColumn("n_streaks",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        col("n_active_hours").cast("long").as("n_active_hours"),
+        col("n_streaks"), col("len").as("longest"),
+        col("start_h").as("longest_start"))
+      .orderBy("event_type")
+  }
+
+  /** CDC merge accounting: apply the second half of the event stream
+    * as a change feed onto the LWW user-state snapshot built from the
+    * first half, and report the MERGE INTO outcome per operation —
+    * insert (new key), update (existing key, new last event), delete
+    * (the feed's last event is the modeled `error` tombstone), carry
+    * (key untouched by the feed). Both halves reduce to one row per
+    * user via the same rank over (ts DESC, event_id DESC) — the LWW
+    * discipline of q_window_dedup_lww — and the merge itself is ONE
+    * full-outer join on the user key with exact count/checksum
+    * aggregates, the shape a table-format MERGE executes at scale.
+    */
+  def q_cdc_merge(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    def lww(df: DataFrame, et: String, ts: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as(et), col("ts").as(ts))
+    }
+    val ev = t(s, dir, "events")
+    val snap = lww(ev.filter(col("ts") < cutoff), "snap_et", "snap_ts")
+    val delta = lww(ev.filter(col("ts") >= cutoff), "delta_et", "delta_ts")
+    snap.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("delta_et").isNull, lit("carry"))
+          .when(col("delta_et") === "error", lit("delete"))
+          .when(col("snap_et").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("checksum"))
+      .orderBy("op")
+  }
+
   /** Seasonal-naive forecast backtest: predict each hour's event
     * count by the same hour one day earlier, then score MAE / RMSE /
     * mean bias per event_type from exact BIGINT error sums. The

@@ -1661,6 +1661,35 @@ object TextOps {
       .filter(col("dist") <= 1)
   }
 
+  /** Hashing-trick featurization audit (Weinberger et al. 2009): every
+    * token maps to one of 16 buckets by its first md5 nibble with a
+    * ±1 sign from the second nibble's parity — the signed feature
+    * hashing ML pipelines use when the vocabulary is unbounded. The
+    * report shows, per bucket, total token mass, distinct terms and
+    * docs landing there, and the signed mass (whose cancellation is
+    * the point of the sign bit: collisions add noise, not bias).
+    * All-integer, engine-neutral (md5 nibbles, no float hash).
+    *
+    * Scale shape: map-side projection + ONE 16-group aggregate; the
+    * distinct counts shuffle on (bucket, term)/(bucket, doc) — both
+    * bounded by vocabulary/corpus cardinality, never quadratic.
+    */
+  def q_feature_hash(s: SparkSession, dir: String): DataFrame = {
+    val evenNibbles = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val feats = docTokens(s, dir)
+      .withColumn("h", md5(concat(lit("fh:"), col("tok"))))
+      .select(col("doc_id"), col("tok"),
+        substring(col("h"), 1, 1).as("bucket"),
+        when(substring(col("h"), 2, 1).isin(evenNibbles: _*), lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+    feats.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("sign")).as("signed_mass"))
+      .orderBy("bucket")
+  }
+
   /** Blocked fuzzy-name matching on the custom codegen'd
     * [[graft.functions.JaroWinkler]] expression (§2.9: Spark has no
     * built-in Jaro-Winkler; the Expression is DuckDB-bit-exact, so

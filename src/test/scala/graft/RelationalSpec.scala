@@ -255,6 +255,65 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skyline: output is exactly the non-dominated set") {
+    val out = Relational.q_skyline(spark, dir)
+      .select("p_retailprice", "p_size").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    // no output point dominated by another output point
+    for (a <- out; b <- out if a != b)
+      assert(!(b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)),
+        s"$a dominated by $b inside the frontier")
+    // completeness: no INPUT point dominates an output point
+    val all = Tables(spark, dir, "part")
+      .select("p_retailprice", "p_size").collect()
+      .map(r => (r.getDouble(0), r.getInt(1).toLong))
+    for (a <- out; b <- all)
+      assert(!(b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)),
+        s"frontier point $a dominated by input $b")
+  }
+
+  test("q_weighted_median equals the brute-force lower weighted median") {
+    val weights = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("w"))
+    val rows = Tables(spark, dir, "orders")
+      .join(weights, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority", $"o_totalprice", $"w")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (prio, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; cum * 2 >= total }.get._2
+      prio -> (math.rint(med * 100) / 100)
+    }
+    val got = Relational.q_weighted_median(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got == expect)
+  }
+
+  test("q_streak: island accounting is internally consistent") {
+    Relational.q_streak(spark, dir).collect().foreach { r =>
+      val (active, streaks, longest) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(streaks >= 1 && longest >= 1)
+      assert(longest <= active)
+      // every non-longest island holds ≥ 1 hour
+      assert(active >= longest + (streaks - 1))
+    }
+  }
+
+  test("q_cdc_merge: op partition covers every user exactly once") {
+    val out = Relational.q_cdc_merge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val allowed = Set("carry", "delete", "insert", "update")
+    assert(out.map(_._1).forall(allowed))
+    val users = Tables(spark, dir, "events")
+      .select("user_id").distinct().as[Long].collect()
+    assert(out.map(_._2).sum == users.length.toLong)
+    assert(out.map(_._3).sum == users.sum)
+  }
+
   test("q_forecast_eval: rmse ≥ mae ≥ |bias| and the spine gives " +
     "every series an evaluation window") {
     val out = Relational.q_forecast_eval(spark, dir).collect()

@@ -399,4 +399,21 @@ class TextOpsSpec extends AnyFunSuite {
       assert(m == greedyMerge(t, a, b), s"doc $id diverges from reference")
     }
   }
+
+  test("q_feature_hash: bucket masses partition the token stream and " +
+    "signs bound the signed mass") {
+    val out = TextOps.q_feature_hash(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (b, _, _) => "0123456789abcdef".contains(b) })
+    val totalTokens = Tables(spark, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("tok")).count()
+    assert(out.map(_._2).sum == totalTokens,
+      "bucket token counts do not partition the corpus token stream")
+    out.foreach { case (b, n, mass) =>
+      assert(math.abs(mass) <= n, s"bucket $b |signed_mass| > n_tokens")
+      assert((mass - n) % 2 == 0, // mass = n_plus - n_minus, n = sum
+        s"bucket $b mass/count parity violated")
+    }
+  }
 }
