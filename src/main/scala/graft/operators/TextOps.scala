@@ -1676,17 +1676,30 @@ object TextOps {
     */
   def q_feature_hash(s: SparkSession, dir: String): DataFrame = {
     val evenNibbles = Seq("0", "2", "4", "6", "8", "a", "c", "e")
-    val feats = docTokens(s, dir)
-      .withColumn("h", md5(concat(lit("fh:"), col("tok"))))
-      .select(col("doc_id"), col("tok"),
-        substring(col("h"), 1, 1).as("bucket"),
-        when(substring(col("h"), 2, 1).isin(evenNibbles: _*), lit(1L))
-          .otherwise(lit(-1L)).as("sign"))
-    feats.groupBy("bucket")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_terms"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("sign")).as("signed_mass"))
+    def bucketOf(tok: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("fh:"), tok)), 1, 1)
+    def signOf(tok: org.apache.spark.sql.Column) =
+      when(substring(md5(concat(lit("fh:"), tok)), 2, 1)
+        .isin(evenNibbles: _*), lit(1L)).otherwise(lit(-1L))
+    // token/term/sign stats from the VOCABULARY-sized per-term
+    // aggregate (one shuffle on tok), doc counts from the cached
+    // distinct (doc, tok) frame deduped to (doc, bucket) — a single
+    // multi-countDistinct here would Expand the full token stream ×2
+    val termStats = docTokens(s, dir)
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .select(bucketOf(col("tok")).as("bucket"),
+        col("tf"), signOf(col("tok")).as("sign"))
+      .groupBy("bucket")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("sign") * col("tf")).as("signed_mass"))
+    val docStats = docTokensDistinct(s, dir)
+      .select(col("doc_id"), bucketOf(col("tok")).as("bucket"))
+      .distinct()
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    termStats.join(docStats, Seq("bucket"))
+      .select(col("bucket"), col("n_tokens"), col("n_terms"),
+        col("n_docs"), col("signed_mass"))
       .orderBy("bucket")
   }
 
