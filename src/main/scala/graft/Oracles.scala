@@ -2303,6 +2303,139 @@ object Oracles {
         |    AS rmse,
         |  round(CAST(sbias AS DOUBLE) / CAST(n_eval AS DOUBLE), 4)
         |    AS bias
-        |FROM m ORDER BY event_type""".stripMargin
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // RFM quartile segmentation (Relational.q_rfm): ntile tie-broken
+    // by c_custkey so both engines walk one total order
+    "q_rfm" ->
+      """WITH pc AS (SELECT c_custkey, c_mktsegment,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+        |      AS rec_days,
+        |    count(*) AS freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |qq AS (SELECT c_mktsegment, mon,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY rec_days, c_custkey) AS BIGINT) AS r_q,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY freq DESC, c_custkey) AS BIGINT) AS f_q,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY mon DESC, c_custkey) AS BIGINT) AS m_q
+        |  FROM pc)
+        |SELECT c_mktsegment, r_q, f_q, m_q,
+        |  count(*) AS n_customers,
+        |  round(CAST(sum(mon) AS DOUBLE), 2) AS total_monetary
+        |FROM qq GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    // month-over-month / year-over-year growth (Relational.q_growth)
+    "q_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS rev_d
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT mon, n_orders, rev_d,
+        |    lag(rev_d, 1) OVER (ORDER BY mon) AS prev,
+        |    lag(rev_d, 12) OVER (ORDER BY mon) AS prev12
+        |  FROM m)
+        |SELECT mon, n_orders, round(rev_d, 2) AS revenue,
+        |  round((rev_d - prev) / prev * 100, 4) AS mom_pct,
+        |  round((rev_d - prev12) / prev12 * 100, 4) AS yoy_pct
+        |FROM l ORDER BY mon""".stripMargin,
+
+    // top-20 3-step event paths (Relational.q_paths)
+    "q_paths" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT concat_ws('>', event_type, e2, e3) AS path,
+        |  count(*) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // 8-tap power-of-two EWMA over the densified hourly series
+    // (Relational.q_ewma; taps interpolated from ewmaTaps)
+    "q_ewma" -> {
+      val taps = operators.Relational.ewmaTaps
+      val chain = (0 until taps)
+        .map(k => s"lag(cnt, $k) OVER w * ${1L << (taps - 1 - k)}")
+        .mkString(" + ")
+      s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS mn, max(h) AS mx
+        |    FROM hourly GROUP BY 1)),
+        |dense AS (SELECT s.event_type, s.h,
+        |    coalesce(hourly.cnt, 0) AS cnt
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h),
+        |l AS (SELECT event_type, h, cnt,
+        |    $chain AS wnum
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, h, cnt,
+        |  round(CAST(wnum AS DOUBLE) / ${(1L << taps) - 1}.0, 4) AS smooth
+        |FROM l WHERE wnum IS NOT NULL
+        |ORDER BY event_type, h""".stripMargin
+    },
+
+    // one-pass 4-column Pearson matrix (Relational.q_corr_matrix):
+    // moment names and the float op ORDER mirror the Spark side
+    "q_corr_matrix" -> {
+      val names = Seq("l_quantity" -> "quantity",
+        "l_extendedprice" -> "extendedprice",
+        "l_discount" -> "discount", "l_tax" -> "tax")
+      val castCols = names
+        .map { case (c, a) => s"CAST($c AS DECIMAL(18,2)) AS $a" }
+        .mkString(", ")
+      val sums = names.map { case (_, a) => s"sum($a) AS s_$a" }
+      val prods = for {
+        i <- names.indices; j <- i until names.size
+        a = names(i)._2; b = names(j)._2
+      } yield s"sum(CAST($a * $b AS DECIMAL(30,4))) AS s_${a}_$b"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      def varOf(a: String) =
+        s"(${dd("n")} * ${dd(s"s_${a}_$a")} - ${dd(s"s_$a")} * ${dd(s"s_$a")})"
+      val cells = for {
+        i <- names.indices; j <- (i + 1) until names.size
+        a = names(i)._2; b = names(j)._2
+      } yield s"SELECT '$a~$b' AS pair, " +
+        s"round((${dd("n")} * ${dd(s"s_${a}_$b")} - " +
+        s"${dd(s"s_$a")} * ${dd(s"s_$b")}) / " +
+        s"sqrt(${varOf(a)} * ${varOf(b)}), 6) AS corr FROM m"
+      s"""WITH b AS (SELECT $castCols FROM lineitem),
+        |m AS (SELECT count(*) AS n, ${(sums ++ prods).mkString(", ")}
+        |  FROM b)
+        |SELECT pair, corr FROM (${cells.mkString(" UNION ALL ")})
+        |ORDER BY pair""".stripMargin
+    },
+
+    // navigation-function journey matrix (Relational.q_window_nav):
+    // full-partition frame, floor-epoch span, sum/count mean
+    "q_window_nav" ->
+      """WITH per0 AS (SELECT user_id,
+        |    first_value(event_type) OVER w AS first_et,
+        |    nth_value(event_type, 2) OVER w AS second_et,
+        |    last_value(event_type) OVER w AS last_et,
+        |    CAST(floor(epoch(max(ts) OVER w)) AS BIGINT)
+        |      - CAST(floor(epoch(min(ts) OVER w)) AS BIGINT) AS span_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING)),
+        |per AS (SELECT DISTINCT user_id, first_et,
+        |    coalesce(second_et, 'none') AS second_et, last_et, span_s
+        |  FROM per0)
+        |SELECT first_et, second_et, last_et,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(span_s) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS avg_span_s
+        |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -191,7 +191,14 @@ object SparkEntry {
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),
     "q_triangles" -> (GraphOps.q_triangles _),
-    "q_bfs" -> (GraphOps.q_bfs _)
+    "q_bfs" -> (GraphOps.q_bfs _),
+    // customer / time-series analytics (round 5, batch 2)
+    "q_rfm" -> (Relational.q_rfm _),
+    "q_growth" -> (Relational.q_growth _),
+    "q_paths" -> (Relational.q_paths _),
+    "q_ewma" -> (Relational.q_ewma _),
+    "q_corr_matrix" -> (Relational.q_corr_matrix _),
+    "q_window_nav" -> (Relational.q_window_nav _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

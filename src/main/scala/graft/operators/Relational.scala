@@ -1826,4 +1826,224 @@ object Relational {
         round(col("sbias").cast("double") / n, 4).as("bias"))
       .orderBy("event_type")
   }
+
+  /** RFM customer segmentation — the classic marketing-analytics
+    * cohorting: per customer, recency (days from the latest order
+    * date in the table back to the customer's last order), frequency
+    * (order count) and monetary (exact DECIMAL revenue), each cut
+    * into quartiles with `ntile(4)`, then segment populations and
+    * revenue reported per (segment, R, F, M) cell.
+    *
+    * Determinism: ntile is tie-broken by appending c_custkey to each
+    * ORDER BY, making the quartile assignment a total order both
+    * engines walk identically. Scale shape: the ntile windows are
+    * PARTITIONED by c_mktsegment (quartiles-within-segment), so no
+    * global single-partition sort exists; the per-customer frame is
+    * one hash aggregate over orders, and the reference date is a
+    * broadcast 1-row aggregate.
+    */
+  def q_rfm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val ref = broadcast(
+      o.agg(max(to_date(col("o_orderdate"))).as("__ref")))
+    val perCust = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+      .crossJoin(ref)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        datediff(col("__ref"), col("last_d")).cast("long").as("rec_days"),
+        col("freq"), col("mon"))
+    def q4(keys: org.apache.spark.sql.Column*) =
+      ntile(4).over(Window.partitionBy("c_mktsegment").orderBy(keys: _*))
+        .cast("long")
+    perCust
+      .withColumn("r_q", q4(col("rec_days"), col("c_custkey")))
+      .withColumn("f_q", q4(col("freq").desc, col("c_custkey")))
+      .withColumn("m_q", q4(col("mon").desc, col("c_custkey")))
+      .groupBy("c_mktsegment", "r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mon")).cast("double"), 2).as("total_monetary"))
+      .orderBy("c_mktsegment", "r_q", "f_q", "m_q")
+  }
+
+  /** Period-over-period growth: monthly order revenue with
+    * month-over-month and year-over-year percent change via `lag(1)`
+    * / `lag(12)` on the monthly frame. The row-based lag is the
+    * declared semantic ("previous observed month") — the testdata's
+    * order stream has no empty months at any SF; a sparse calendar
+    * would densify onto a month spine first exactly as
+    * q_forecast_eval does for hours.
+    *
+    * Growth is computed in DOUBLE from the exact decimal revenue
+    * (cents→double is exact far past this magnitude), one IEEE
+    * division both engines share. The unpartitioned window runs on
+    * the AGGREGATED monthly frame — bounded by the calendar (≤ a few
+    * hundred rows however large the corpus), the q_linreg /
+    * q_changepoint scale pattern.
+    */
+  def q_growth(s: SparkSession, dir: String): DataFrame = {
+    // month grain is a DATE (DuckDB's date_trunc('month') yields DATE)
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("rev_d"))
+    val w = Window.orderBy("mon")
+    monthly
+      .withColumn("prev", lag(col("rev_d"), 1).over(w))
+      .withColumn("prev12", lag(col("rev_d"), 12).over(w))
+      .select(col("mon"), col("n_orders"),
+        round(col("rev_d"), 2).as("revenue"),
+        round((col("rev_d") - col("prev")) / col("prev") * 100, 4)
+          .as("mom_pct"),
+        round((col("rev_d") - col("prev12")) / col("prev12") * 100, 4)
+          .as("yoy_pct"))
+      .orderBy("mon")
+  }
+
+  /** Top event paths — sequential pattern mining's workhorse query:
+    * every length-3 step sequence a user walks (ordered by (ts,
+    * event_id), the engine-identical total order), counted corpus-wide,
+    * top-20. Two `lead`s in ONE window materialize each trigram at its
+    * first step, so a user with n events contributes exactly n−2
+    * paths with no self-join. Scale: the window is partitioned by
+    * user; the count is one partial-combining hash aggregate over
+    * 125 distinct paths.
+    */
+  def q_paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** EWMA smoothing constants — shared verbatim with the oracle:
+    * α = 1/2 over a [[ewmaTaps]]-tap truncated horizon, so the weight
+    * of lag k is 2^(taps−1−k) and the normalizer is 2^taps − 1.
+    * Power-of-two weights keep the weighted sum EXACT BIGINT
+    * arithmetic; the single final division is the only float op.
+    */
+  private[graft] val ewmaTaps = 8
+
+  /** Exponentially-weighted moving average of the hourly event count
+    * per event_type — the smoothing primitive behind anomaly
+    * dashboards and rate limiters. The hourly series is densified
+    * onto each series' min→max hour spine first (a missing hour is a
+    * real 0 — the q_forecast_eval lesson: row-based lags on a sparse
+    * series silently span gaps), then one window with an 8-tap
+    * integer-weighted lag chain computes
+    * `Σ 2^(7−k)·cnt[t−k]` exactly; smooth = that sum / 255.
+    *
+    * Scale shape: corpus → bounded hourly frame in one aggregate;
+    * the spine explode and window run on calendar-sized data.
+    */
+  def q_ewma(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val taps = ewmaTaps
+    val wsum = (0 until taps)
+      .map(k => lag(col("cnt"), k).over(w) * lit(1L << (taps - 1 - k)))
+      .reduce(_ + _)
+    spine
+      .join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("wnum", wsum)
+      .filter(col("wnum").isNotNull) // first taps−1 hours: no full window
+      .select(col("event_type"), col("h"), col("cnt"),
+        round(col("wnum").cast("double") /
+          lit(((1L << taps) - 1).toDouble), 4).as("smooth"))
+      .orderBy("event_type", "h")
+  }
+
+  /** Pairwise Pearson correlation matrix of four lineitem measures
+    * (quantity, extendedprice, discount, tax) from ONE pass: a single
+    * global hash aggregate collects every exact-decimal moment (4
+    * sums, 4 sum-of-squares, 6 cross-products — partial-combining,
+    * map-side), and all six correlations are derived from that one
+    * 1-row frame. The multi-column generalization of q_agg_corr:
+    * profiling k columns costs one scan and C(k,2) scalar divisions,
+    * never k² passes.
+    */
+  def q_corr_matrix(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("l_quantity" -> "quantity",
+      "l_extendedprice" -> "extendedprice",
+      "l_discount" -> "discount", "l_tax" -> "tax")
+    val base = t(s, dir, "lineitem").select(
+      names.map { case (c, a) => col(c).cast("decimal(18,2)").as(a) }: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      names.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++
+      (for { i <- names.indices; j <- i until names.size } yield {
+        val (a, b) = (names(i)._2, names(j)._2)
+        sum((col(a) * col(b)).cast("decimal(30,4)")).as(s"s_${a}_$b")
+      })
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def corrOf(a: String, b: String) = {
+      val n = col("n").cast("double")
+      val cov = n * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = n * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = n * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b")
+      round(cov / sqrt(va * vb), 6)
+    }
+    val cells = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield struct(
+      lit(s"${names(i)._2}~${names(j)._2}").as("pair"),
+      corrOf(names(i)._2, names(j)._2).as("corr"))
+    one.select(explode(array(cells: _*)).as("pc"))
+      .select(col("pc.pair").as("pair"), col("pc.corr").as("corr"))
+      .orderBy("pair")
+  }
+
+  /** Navigation-function journey matrix: each user's first, second
+    * and last event type from `first/nth_value/last` over ONE
+    * whole-partition window frame (ROWS UNBOUNDED PRECEDING →
+    * UNBOUNDED FOLLOWING — the frame `last_value` needs to mean
+    * "partition last", not "running last"), plus the first→last span
+    * in floor-epoch seconds; journeys then grouped into a bounded
+    * (first, second, last) matrix with populations and mean span.
+    * second_et is coalesced to 'none' for single-event users (sort
+    * key, §2.12 NULL rule). Mean span is sum/count of exact BIGINTs
+    * — one shared IEEE division, not avg()'s engine-internal fold.
+    */
+  def q_window_nav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val per = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("first_et", first(col("event_type")).over(w))
+      .withColumn("second_et", nth_value(col("event_type"), 2).over(w))
+      .withColumn("last_et", last(col("event_type")).over(w))
+      .withColumn("span_s",
+        unix_timestamp(max(col("ts")).over(w)) -
+          unix_timestamp(min(col("ts")).over(w)))
+      .select(col("user_id"), col("first_et"),
+        coalesce(col("second_et"), lit("none")).as("second_et"),
+        col("last_et"), col("span_s"))
+      .distinct()
+    per.groupBy("first_et", "second_et", "last_et")
+      .agg(count(lit(1)).as("n_users"), sum(col("span_s")).as("sspan"))
+      .select(col("first_et"), col("second_et"), col("last_et"),
+        col("n_users"),
+        round(col("sspan").cast("double") /
+          col("n_users").cast("double"), 4).as("avg_span_s"))
+      .orderBy("first_et", "second_et", "last_et")
+  }
 }

