@@ -2436,6 +2436,110 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  round(CAST(sum(span_s) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 4) AS avg_span_s
-        |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // PII audit twin (TextOps.q_pii_scan) — SAME two patterns
+    // q_redact replaces, interpolated from the shared constants
+    "q_pii_scan" -> {
+      val em = operators.TextOps.piiEmailRe
+      val nm = operators.TextOps.piiNumRe
+      s"""WITH p AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(text, '$nm')) AS BIGINT)
+        |      AS n_num
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS docs_with_email,
+        |    CAST(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS docs_with_number,
+        |    CAST(sum(n_email) AS BIGINT) AS email_hits,
+        |    CAST(sum(n_num) AS BIGINT) AS number_hits
+        |  FROM p GROUP BY 1)
+        |SELECT source, n_docs, docs_with_email, docs_with_number,
+        |  email_hits, number_hits,
+        |  round(CAST(docs_with_email AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE) * 100, 4) AS pct_email,
+        |  round(CAST(docs_with_number AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE) * 100, 4) AS pct_number
+        |FROM g ORDER BY source""".stripMargin
+    },
+
+    // equi-depth decile bands (Relational.q_decile_bands)
+    "q_decile_bands" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |b AS (SELECT o_orderpriority, p,
+        |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY p, o_orderkey) AS BIGINT) AS band
+        |  FROM o)
+        |SELECT o_orderpriority, band, count(*) AS n,
+        |  round(CAST(min(p) AS DOUBLE), 2) AS lo,
+        |  round(CAST(max(p) AS DOUBLE), 2) AS hi,
+        |  round(CAST(sum(p) AS DOUBLE), 2) AS band_total
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // MMR diversified top-k (VectorOps.q_mmr): the greedy selection
+    // unrolled as generated pick_k CTEs — identical λ/β literals,
+    // identical float op order, identical (mmr DESC, vec_id) argmax
+    "q_mmr" -> {
+      import operators.VectorOps._
+      val lam = mmrLambda
+      val beta = mmrBeta
+      def selUnion(k: Int) = (1 until k)
+        .map(i => s"SELECT qid, vec_id FROM pick$i")
+        .mkString(" UNION ALL ")
+      val steps = (2 to mmrK).map { k =>
+        s"""mx$k AS (SELECT sm.qid, sm.b_id AS vec_id,
+          |    max(sm.sim) AS mxsim
+          |  FROM simmat sm JOIN (${selUnion(k)}) s
+          |    ON sm.qid = s.qid AND sm.a_id = s.vec_id
+          |  GROUP BY 1, 2),
+          |pick$k AS MATERIALIZED (SELECT qid, vec_id, rel, step, mmr FROM (
+          |  SELECT c.qid, c.vec_id, c.rel, CAST($k AS BIGINT) AS step,
+          |    $lam * c.rel - $beta * m.mxsim AS mmr,
+          |    row_number() OVER (PARTITION BY c.qid
+          |      ORDER BY $lam * c.rel - $beta * m.mxsim DESC, c.vec_id)
+          |      AS rn
+          |  FROM cand c JOIN mx$k m
+          |    ON c.qid = m.qid AND c.vec_id = m.vec_id
+          |  WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(k)}) s2
+          |    WHERE s2.qid = c.qid AND s2.vec_id = c.vec_id))
+          |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val allPicks = (1 to mmrK)
+        .map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id < $mmrQueries),
+        |cand AS MATERIALIZED (SELECT qid, vec_id, rel, embedding FROM (
+        |  SELECT t.qid, t.vec_id, t.embedding,
+        |    t.dp / (sqrt(t.na) * sqrt(t.nq)) AS rel,
+        |    row_number() OVER (PARTITION BY t.qid
+        |      ORDER BY t.dp / (sqrt(t.na) * sqrt(t.nq)) DESC, t.vec_id)
+        |      AS rn
+        |  FROM (SELECT q.qid, e.vec_id, e.embedding,
+        |      ${dot("e.embedding", "q.qe")} AS dp,
+        |      ${norm2("e.embedding")} AS na, ${norm2("q.qe")} AS nq
+        |    FROM embeddings e, qs q
+        |    WHERE e.vec_id >= $mmrQueries) t) WHERE rn <= $mmrCandidates),
+        |simmat AS MATERIALIZED (SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ${dot("a.embedding", "b.embedding")}
+        |      / (sqrt(${norm2("a.embedding")})
+        |        * sqrt(${norm2("b.embedding")})) AS sim
+        |  FROM cand a JOIN cand b
+        |    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+        |pick1 AS MATERIALIZED (SELECT qid, vec_id, rel, CAST(1 AS BIGINT) AS step,
+        |    rel AS mmr FROM (
+        |  SELECT qid, vec_id, rel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, vec_id) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |$steps
+        |SELECT qid, step, vec_id, round(rel, 6) AS rel,
+        |  round(mmr, 6) AS mmr
+        |FROM ($allPicks) ORDER BY qid, step""".stripMargin
+    }
   )
 }

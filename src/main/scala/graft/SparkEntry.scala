@@ -198,7 +198,10 @@ object SparkEntry {
     "q_paths" -> (Relational.q_paths _),
     "q_ewma" -> (Relational.q_ewma _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
-    "q_window_nav" -> (Relational.q_window_nav _)
+    "q_window_nav" -> (Relational.q_window_nav _),
+    "q_pii_scan" -> (TextOps.q_pii_scan _),
+    "q_decile_bands" -> (Relational.q_decile_bands _),
+    "q_mmr" -> (VectorOps.q_mmr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

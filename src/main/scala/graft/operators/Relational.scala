@@ -2012,6 +2012,32 @@ object Relational {
       .orderBy("pair")
   }
 
+  /** Equi-DEPTH histogram — the quantile-band complement of
+    * q_histogram's equi-width buckets: per order priority, order
+    * totals are cut into ten equal-population bands with `ntile(10)`
+    * (tie-broken by o_orderkey for an engine-identical total order),
+    * and each band reports population, value range and exact-decimal
+    * revenue share. The per-priority partitioning keeps the sort
+    * distributed (no global single-partition window); at 100 TB the
+    * same report comes from percentile boundaries instead of a full
+    * ntile when only the band EDGES are needed — materializing band
+    * membership (as here) genuinely requires the partitioned sort.
+    */
+  def q_decile_bands(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("p"), col("o_orderkey"))
+    o.withColumn("band", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "band")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("p")).cast("double"), 2).as("lo"),
+        round(max(col("p")).cast("double"), 2).as("hi"),
+        round(sum(col("p")).cast("double"), 2).as("band_total"))
+      .orderBy("o_orderpriority", "band")
+  }
+
   /** Navigation-function journey matrix: each user's first, second
     * and last event type from `first/nth_value/last` over ONE
     * whole-partition window frame (ROWS UNBOUNDED PRECEDING →

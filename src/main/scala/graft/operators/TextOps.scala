@@ -325,8 +325,8 @@ object TextOps {
     * operator is the real scrubbing pass a corpus pipeline runs.
     */
   def q_redact(s: SparkSession, dir: String): DataFrame = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val longnum = "[0-9]{7,}"
+    val email = piiEmailRe // shared with q_pii_scan (audit twin)
+    val longnum = piiNumRe
     // chars_redacted must count EXACTLY what clean_text replaced, so
     // the digit pass counts over the email-MARKED text — deleting
     // emails instead would merge flanking digit runs into a ≥7-digit
@@ -1823,4 +1823,42 @@ object TextOps {
           get(acc, size(acc) - 1) === lit(a) && t === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(t))))
+
+  /** PII audit report — the compliance-side twin of q_redact: per
+    * source, how many documents carry emails / long digit runs, and
+    * the total occurrence counts, using the SAME two patterns
+    * q_redact replaces (one definition of "PII" across the scrub and
+    * the audit, so the report provably describes what the scrubber
+    * would touch). A training-data pipeline runs this BEFORE
+    * deciding to redact-vs-drop, and again after, expecting zeros.
+    *
+    * Shape: map-only `regexp_extract_all` counts + one
+    * partial-combining aggregate over the handful of sources —
+    * linear scan, no shuffle beyond the k-row aggregate.
+    */
+  def q_pii_scan(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(piiEmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(piiNumRe), lit(0)))
+          .cast("long").as("n_num"))
+    counts.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_email") > 0).cast("long")).as("docs_with_email"),
+        sum((col("n_num") > 0).cast("long")).as("docs_with_number"),
+        sum(col("n_email")).as("email_hits"),
+        sum(col("n_num")).as("number_hits"))
+      .select(col("source"), col("n_docs"), col("docs_with_email"),
+        col("docs_with_number"), col("email_hits"), col("number_hits"),
+        round(col("docs_with_email").cast("double")
+          / col("n_docs").cast("double") * 100, 4).as("pct_email"),
+        round(col("docs_with_number").cast("double")
+          / col("n_docs").cast("double") * 100, 4).as("pct_number"))
+      .orderBy("source")
+  }
+
+  /** Shared verbatim with q_redact above and the q_pii_scan oracle. */
+  private[graft] val piiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val piiNumRe = "[0-9]{7,}"
 }

@@ -424,4 +424,81 @@ object VectorOps {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** MMR constants — shared verbatim with the oracle. λ and β=1−λ are
+    * SEPARATE literals: `1 - 0.7` in IEEE is 0.30000000000000004, so
+    * deriving β at runtime would diverge from an engine writing the
+    * literal 0.3.
+    */
+  private[graft] val mmrQueries = 3 // qids 0,1,2
+  private[graft] val mmrCandidates = 20
+  private[graft] val mmrK = 8
+  private[graft] val mmrLambda = 0.7
+  private[graft] val mmrBeta = 0.3
+
+  /** Maximal Marginal Relevance — diversified top-k selection, the
+    * standard redundancy-defusing re-ranker for retrieval and for
+    * diverse-sample curation: greedily pick
+    * argmax λ·rel(c,q) − (1−λ)·max_{s∈selected} sim(c,s).
+    *
+    * The greedy loop is inherently sequential in k, so it is unrolled
+    * as [[mmrK]] dataflow steps — but every step operates on the
+    * BOUNDED per-query candidate frame ([[mmrCandidates]] rows/query,
+    * taken by partitioned window rank over the broadcast query set)
+    * and the cached candidate×candidate sim matrix (≤ q·C² rows).
+    * Corpus size only affects the ONE distributed stage: the initial
+    * relevance scan + top-C rank. Selection state is
+    * lineage-truncated each step (Checkpoints.ckpt) so the unrolled
+    * plan stays linear in k, the q_dedup_cluster discipline.
+    */
+  def q_mmr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = broadcast(e.filter(col("vec_id") < mmrQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val wCand = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = graft.Caches.cached(
+      e.filter(col("vec_id") >= mmrQueries).crossJoin(qs)
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qe")).as("rel"), col("embedding"))
+        .withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") <= mmrCandidates).drop("rn"))
+    val simmat = graft.Caches.cached(
+      cand.select(col("qid"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"))
+        .join(cand.select(col("qid"), col("vec_id").as("b_id"),
+          col("embedding").as("eb")), Seq("qid"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("qid"), col("a_id"), col("b_id"),
+          cosine(col("ea"), col("eb")).as("sim")))
+    val candSlim = cand.drop("embedding")
+    var sel = Checkpoints.ckpt(
+      candSlim.withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel"),
+          lit(1L).as("step"), col("rel").as("mmr")))
+    for (k <- 2 to mmrK) {
+      val mx = simmat
+        .join(sel.select(col("qid"), col("vec_id").as("a_id")),
+          Seq("qid", "a_id"))
+        .groupBy("qid", "b_id").agg(max(col("sim")).as("mxsim"))
+        .withColumnRenamed("b_id", "vec_id")
+      val wPick = Window.partitionBy("qid")
+        .orderBy(col("mmr").desc, col("vec_id"))
+      val pick = candSlim
+        .join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"),
+          "left_anti")
+        .join(mx, Seq("qid", "vec_id"))
+        .withColumn("mmr",
+          lit(mmrLambda) * col("rel") - lit(mmrBeta) * col("mxsim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel"),
+          lit(k.toLong).as("step"), col("mmr"))
+      sel = Checkpoints.ckpt(sel.union(pick))
+    }
+    sel.select(col("qid"), col("step"), col("vec_id"),
+      round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("qid", "step")
+  }
 }

@@ -391,6 +391,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(qp - builtin) < 1e-3, s"$qp vs builtin $builtin")
   }
 
+  test("q_decile_bands: bands partition each priority's orders with " +
+    "near-equal population and monotone value ranges") {
+    val out = Relational.q_decile_bands(spark, dir).collect()
+    val byP = out.groupBy(_.getString(0))
+    val orders = Tables(spark, dir, "orders")
+    byP.foreach { case (p, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+      val ns = rows.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$p band sizes differ by >1")
+      assert(ns.sum == orders.filter(col("o_orderpriority") === p).count())
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.foreach(r => assert(r.getDouble(3) <= r.getDouble(4) + 1e-9))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) + 1e-9,
+          s"$p bands overlap in value space")
+      }
+    }
+  }
+
   test("q_window_nav: journey cells partition users; 'none' second " +
     "events are exactly the single-event users") {
     val out = Relational.q_window_nav(spark, dir).collect()

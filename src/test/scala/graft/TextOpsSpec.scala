@@ -416,4 +416,27 @@ class TextOpsSpec extends AnyFunSuite {
         s"bucket $b mass/count parity violated")
     }
   }
+
+  test("q_pii_scan: the audit agrees with the scrubber — a document " +
+    "counts as PII-bearing iff q_redact would touch it") {
+    val scan = TextOps.q_pii_scan(spark, dir).collect()
+    scan.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(2)) // hits >= docs_with
+      assert(r.getLong(5) >= r.getLong(3))
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 100.0)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 100.0)
+    }
+    val nDocs = scan.map(_.getLong(1)).sum
+    assert(nDocs == Tables(spark, dir, "documents").count())
+    // cross-check total PII-bearing docs against redact's touched set
+    val touched = TextOps.q_redact(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("chars_redacted") > 0)
+      .count()
+    val anyPii = TextOps.q_pii_scan(spark, dir).collect()
+    // docs_with_email + docs_with_number >= touched (a doc with both
+    // is counted twice on the left), and each alone is <= touched
+    assert(anyPii.map(r => r.getLong(2) + r.getLong(3)).sum >= touched)
+    assert(anyPii.map(_.getLong(2)).sum <= touched)
+    assert(anyPii.map(_.getLong(3)).sum <= touched)
+  }
 }

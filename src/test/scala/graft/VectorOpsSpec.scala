@@ -227,4 +227,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(b1 == b2)
     assert(b1.forall { case (_, b) => b >= 0 && b < 256 })
   }
+
+  test("q_mmr: 8 distinct picks per query, step 1 is the relevance " +
+    "argmax, every pick comes from the top-20 candidate set") {
+    import org.apache.spark.sql.expressions.Window
+    val out = VectorOps.q_mmr(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == VectorOps.mmrQueries)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == VectorOps.mmrK, s"qid $qid")
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length, s"qid $qid repeated a pick")
+      // step-1 pick maximizes rel; its mmr equals its rel
+      val s1 = rows.find(_.getLong(1) == 1L).get
+      assert(rows.forall(_.getDouble(3) <= s1.getDouble(3) + 1e-9))
+      assert(math.abs(s1.getDouble(3) - s1.getDouble(4)) < 1e-9)
+      // mmr = λ·rel − β·maxsim with maxsim ∈ [−1, 1] (cosines go
+      // negative: an anti-correlated nearest-selected RAISES the
+      // score), so the bound is two-sided: |mmr − λ·rel| ≤ β
+      rows.filter(_.getLong(1) > 1L).foreach { r =>
+        assert(math.abs(
+          r.getDouble(4) - VectorOps.mmrLambda * r.getDouble(3))
+          <= VectorOps.mmrBeta + 1e-9)
+      }
+    }
+  }
 }
