@@ -2481,6 +2481,56 @@ object Oracles {
         |  round(CAST(sum(p) AS DOUBLE), 2) AS band_total
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // dedup-quality eval (TextOps.q_dedup_eval): LSH candidates vs
+    // exact-Jaccard truth on the md5 panel; τ=1/2 as 3·inter ≥ na+nb
+    "q_dedup_eval" -> {
+      val hex = operators.TextOps.dedupEvalPanelHex
+      s"""$shinglesCte,
+        |ids AS (SELECT doc_id FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$hex'),
+        |shs AS (SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN ids USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+        |tr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    count(*) AS inter
+        |  FROM shs a JOIN shs b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT a_id, b_id FROM tr
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE 3 * inter >= sa.n + sb.n),
+        |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |      AND a.doc_id < b.doc_id
+        |  JOIN ids ia ON a.doc_id = ia.doc_id
+        |  JOIN ids ib ON b.doc_id = ib.doc_id),
+        |j AS (SELECT
+        |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM truth t FULL OUTER JOIN cand c
+        |    ON t.a_id = c.a_id AND t.b_id = c.b_id)
+        |SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_truth,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(sum(t * c), 0) AS BIGINT) AS tp,
+        |  CAST(coalesce(sum(c * (1 - t)), 0) AS BIGINT) AS fp,
+        |  CAST(coalesce(sum(t * (1 - c)), 0) AS BIGINT) AS fn,
+        |  CASE WHEN coalesce(sum(c), 0) = 0 THEN 0.0
+        |    ELSE round(CAST(sum(t * c) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE), 4) END AS precision_tau,
+        |  CASE WHEN coalesce(sum(t), 0) = 0 THEN 0.0
+        |    ELSE round(CAST(sum(t * c) AS DOUBLE)
+        |      / CAST(sum(t) AS DOUBLE), 4) END AS recall_tau
+        |FROM j""".stripMargin
+    },
+
     // MMR diversified top-k (VectorOps.q_mmr): the greedy selection
     // unrolled as generated pick_k CTEs — identical λ/β literals,
     // identical float op order, identical (mmr DESC, vec_id) argmax

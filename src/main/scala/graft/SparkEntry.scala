@@ -201,7 +201,8 @@ object SparkEntry {
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),
     "q_decile_bands" -> (Relational.q_decile_bands _),
-    "q_mmr" -> (VectorOps.q_mmr _)
+    "q_mmr" -> (VectorOps.q_mmr _),
+    "q_dedup_eval" -> (TextOps.q_dedup_eval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

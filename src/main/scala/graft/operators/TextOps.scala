@@ -1861,4 +1861,79 @@ object TextOps {
   /** Shared verbatim with q_redact above and the q_pii_scan oracle. */
   private[graft] val piiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private[graft] val piiNumRe = "[0-9]{7,}"
+
+  /** Dedup-quality evaluation — the measurement harness every
+    * production dedup pass needs: precision and recall of the
+    * MinHash-LSH candidate set against EXACT shingle-Jaccard ground
+    * truth at τ = 1/2, computed on a deterministic md5 panel (1/16 of
+    * docs — the q_sample_hash discipline, so the panel is stable
+    * across engines, re-runs and replicas).
+    *
+    * The threshold is INTEGER-EXACT: J ≥ 1/2 ⟺ 3·inter ≥ na + nb —
+    * no float comparison can straddle engines. Ground truth uses the
+    * UNCAPPED inverted index on the panel (any pair with J ≥ τ > 0
+    * shares a shingle, so the index finds every true pair; the panel
+    * keeps df bounded where the corpus-wide pass needs the df cap).
+    * Candidates are the SAME cached band rows q_dedup_minhash
+    * declares, both ends restricted to the panel. One full-outer
+    * join + one aggregate turns the two pair sets into
+    * tp/fp/fn/precision/recall — no collect, no driver-side sets.
+    *
+    * Scale shape: panel pair work is (corpus/16) shingles through
+    * one equi-join; the LSH side reuses the corpus band index. At
+    * 100 TB the panel fraction is the dial — evaluation cost scales
+    * with the panel, not the corpus.
+    */
+  def q_dedup_eval(s: SparkSession, dir: String): DataFrame = {
+    val panel = cached(t(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
+        < dedupEvalPanelHex)
+      .select("doc_id"))
+    val sh = docShingles(s, dir).join(panel, "doc_id")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = cached(
+      sh.select(col("doc_id").as("a_id"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+          Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+          Seq("b_id"))
+        .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+        .select("a_id", "b_id"))
+    val cand = minhashCandidatePairs(s, dir)
+      .join(panel.select(col("doc_id").as("a_id")), Seq("a_id"))
+      .join(panel.select(col("doc_id").as("b_id")), Seq("b_id"))
+    val j = truth.withColumn("t", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"),
+        "full_outer")
+      .select(coalesce(col("t"), lit(0)).as("t"),
+        coalesce(col("c"), lit(0)).as("c"))
+    // coalesce: over an EMPTY pair universe sum() is NULL — the
+    // report must read 0, not null (both engines share the rule)
+    j.agg(coalesce(sum(col("t")), lit(0)).cast("long").as("n_truth"),
+      coalesce(sum(col("c")), lit(0)).cast("long").as("n_cand"),
+      coalesce(sum(col("t") * col("c")), lit(0)).cast("long").as("tp"),
+      coalesce(sum(col("c") * (lit(1) - col("t"))), lit(0))
+        .cast("long").as("fp"),
+      coalesce(sum(col("t") * (lit(1) - col("c"))), lit(0))
+        .cast("long").as("fn"))
+      .select(col("n_truth"), col("n_cand"), col("tp"), col("fp"),
+        col("fn"),
+        when(col("n_cand") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double")
+            / col("n_cand").cast("double"), 4)).as("precision_tau"),
+        when(col("n_truth") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double")
+            / col("n_truth").cast("double"), 4)).as("recall_tau"))
+  }
+
+  /** Panel fraction: md5 2-hex-prefix < '40' = 1/4 of documents —
+    * wide enough that the panel contains near-dup PAIRS (both ends
+    * must land in it: a 1/16 panel keeps only 1/256 of pairs and was
+    * measured empty at sf0.01). Shared verbatim with the oracle.
+    */
+  private[graft] val dedupEvalPanelHex = "40"
 }

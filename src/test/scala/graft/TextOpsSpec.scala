@@ -439,4 +439,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(anyPii.map(_.getLong(2)).sum <= touched)
     assert(anyPii.map(_.getLong(3)).sum <= touched)
   }
+
+  test("q_dedup_eval: confusion-matrix identities hold and the " +
+    "ratios are consistent with the counts") {
+    val r = TextOps.q_dedup_eval(spark, dir).collect().head
+    val (nt, nc, tp, fp, fn) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tp + fp == nc, "fp must be the non-true candidates")
+    assert(tp + fn == nt, "fn must be the missed true pairs")
+    val (p, rec) = (r.getDouble(5), r.getDouble(6))
+    assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    if (nc == 0) assert(p == 0.0)
+    else assert(math.abs(p - tp.toDouble / nc) < 1e-4)
+    if (nt == 0) assert(rec == 0.0)
+    else assert(math.abs(rec - tp.toDouble / nt) < 1e-4)
+  }
 }
