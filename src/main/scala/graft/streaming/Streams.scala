@@ -212,6 +212,7 @@ object Streams {
     * q_markov input row; downstream counts these).
     */
   case class Transition(user_id: Long, src_type: String, dst_type: String)
+  case class Trigram(user_id: Long, path: String)
 
   /** Streaming twin of batch q_markov's transition extraction, under
     * the per-user in-order delivery contract (the keyed-log
@@ -261,6 +262,48 @@ object Streams {
             }
           }
           last.foreach(st.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming 3-step path mining — the stateful twin of batch
+    * q_paths: state = the last TWO events per user (constant-size, the
+    * markovTransitions discipline one step deeper), each arriving
+    * event newer than the stored tail emits one completed trigram.
+    * Downstream, `groupBy(path).count()` reproduces the batch
+    * trigram counts exactly under the same per-user in-order
+    * delivery contract; out-of-order stragglers are dropped, never
+    * double-counted.
+    */
+  def pathTrigrams(spark: SparkSession,
+    events: DataFrame): Dataset[Trigram] = {
+    import spark.implicits._
+    def key(e: EventRow): (Long, Int, Long) =
+      (e.ts.getTime, e.ts.getNanos, e.event_id)
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+          st: GroupState[Seq[(Long, Int, Long, String)]]) =>
+          val sorted = rows.toSeq.sortBy(key)
+          var tail = st.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Trigram]
+          for (e <- sorted) {
+            val k = key(e)
+            val newer = tail.isEmpty ||
+              Ordering[(Long, Int, Long)].gt(
+                k, (tail.last._1, tail.last._2, tail.last._3))
+            if (newer) {
+              if (tail.size == 2)
+                out += Trigram(uid,
+                  s"${tail.head._4}>${tail.last._4}>${e.event_type}")
+              tail = (tail :+ ((k._1, k._2, k._3, e.event_type)))
+                .takeRight(2)
+            } // older than the stored tail: contract violation, drop
+          }
+          st.update(tail)
           out.result().iterator
       }
   }

@@ -379,4 +379,39 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(streamed == batch)
   }
+
+  test("streaming path trigrams over two in-order batches reproduce " +
+    "batch q_paths' top-20 exactly") {
+    val d = Files.createTempDirectory("events_paths")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_pt").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_paths").toString
+    val q = Streams.pathTrigrams(spark, raw)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pt_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val streamedTop = spark.table("pt_out")
+      .groupBy("path").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, n) => (-n, p) }.take(20).toSeq
+    val batchTop = Relational.q_paths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamedTop == batchTop)
+  }
 }
