@@ -90,6 +90,33 @@ object Oracles {
   private val minhashLegs = (0 until 8)
     .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
 
+  /** Recursive connected-component assignment over the MinHash-LSH
+    * candidate graph, ending in an `assign(doc_id, cluster_id)` CTE —
+    * shared by q_dedup_cluster and q_cluster_stats.
+    */
+  private lazy val clusterAssignCte =
+    s"""${shinglesCte.replace("WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION ALL SELECT b_id, a_id FROM cand),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |assign AS (
+       |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN
+       |    (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) m
+       |    ON d.doc_id = m.id)""".stripMargin
+
   // JL projection twin: the SAME ±1 literals as the Spark plan
   // (graft.functions.RandomProjection.signs) — no per-row hashing in
   // either engine, so parity rests only on the sequential fold +
@@ -1432,27 +1459,19 @@ object Oracles {
     // components with a recursive CTE (min reachable id = cluster id);
     // docs in no pair cluster to themselves
     "q_dedup_cluster" ->
-      s"""${shinglesCte.replace("WITH ", "WITH RECURSIVE ")},
-         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
-         |  UNION ALL SELECT b_id, a_id FROM cand),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
-         |SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN
-         |  (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) m
-         |  ON d.doc_id = m.id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$clusterAssignCte
+         |SELECT doc_id, cluster_id FROM assign
+         |ORDER BY doc_id""".stripMargin,
+
+    // cluster size histogram (TextOps.q_cluster_stats): the same
+    // recursive component assignment, two aggregates deeper
+    "q_cluster_stats" ->
+      s"""$clusterAssignCte,
+         |sizes AS (SELECT cluster_id, count(*) AS csize
+         |  FROM assign GROUP BY 1)
+         |SELECT csize, count(*) AS n_clusters,
+         |  CAST(sum(csize) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1 ORDER BY csize""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT
@@ -2086,6 +2105,33 @@ object Oracles {
            |FROM r$prIters r JOIN deg d ON r.node = d.src
            |ORDER BY pagerank DESC, node
            |LIMIT 50""".stripMargin
+    },
+
+    // label propagation (GraphOps.q_label_prop): synchronous rounds,
+    // majority label with (count DESC, label) deterministic tie-break
+    "q_label_prop" -> {
+      val iters = graft.operators.GraphOps.lpIters
+      val base =
+        s"""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+           |edges AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM li
+           |  UNION ALL
+           |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM li)),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s""",
+           |g$i AS (SELECT e.dst, l.lbl, count(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON e.src = l.node
+           |  GROUP BY 1, 2),
+           |l$i AS (SELECT dst AS node, lbl FROM (
+           |  SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |    ORDER BY c DESC, lbl) AS rn FROM g$i) WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + rounds +
+        s"""
+           |SELECT lbl AS community, count(*) AS size
+           |FROM l$iters GROUP BY 1
+           |ORDER BY size DESC, community LIMIT 20""".stripMargin
     },
 
     // bounded-hop BFS (GraphOps.q_bfs): unrolled frontier expansion

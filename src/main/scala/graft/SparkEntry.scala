@@ -202,7 +202,9 @@ object SparkEntry {
     "q_pii_scan" -> (TextOps.q_pii_scan _),
     "q_decile_bands" -> (Relational.q_decile_bands _),
     "q_mmr" -> (VectorOps.q_mmr _),
-    "q_dedup_eval" -> (TextOps.q_dedup_eval _)
+    "q_dedup_eval" -> (TextOps.q_dedup_eval _),
+    "q_label_prop" -> (GraphOps.q_label_prop _),
+    "q_cluster_stats" -> (TextOps.q_cluster_stats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -196,4 +196,50 @@ object GraphOps {
       graft.operators.TextOps.minhashCandidatePairs(s, dir)))
       .orderBy(col("n_tri").desc, col("cc").desc, col("node"))
       .limit(50)
+
+  /** Label-propagation rounds — shared verbatim with the oracle. */
+  private[graft] val lpIters = 3
+
+  /** Community detection via synchronous label propagation (Raghavan
+    * et al. 2007) over the co-purchase graph: every node starts as
+    * its own community; each round adopts the MOST FREQUENT label
+    * among neighbors, ties broken by smallest label — a deterministic
+    * total order both engines walk identically (classic LPA breaks
+    * ties randomly; a data engine cannot). Three synchronous rounds,
+    * then the top-20 communities by population.
+    *
+    * Complements the component operators: connected components
+    * (q_dedup_cluster) answer "what is REACHABLE", LPA answers "what
+    * is DENSELY connected" — on the bipartite co-purchase graph the
+    * communities are supplier/part market neighborhoods. Scale shape
+    * = the PageRank step: per round one equi-join on the cached edge
+    * list + one (dst, label) hash aggregate + one partitioned
+    * window argmax; no driver state, unroll linear in rounds.
+    */
+  /** The synchronous LPA rounds on a symmetric (src, dst) edge list —
+    * factored for fixture specs. Returns (node, lbl) after `iters`
+    * rounds.
+    */
+  private[graft] def labelPropagate(e: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val counts = e.join(lbl.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("dst")
+        .orderBy(col("c").desc, col("lbl"))
+      lbl = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+    }
+    lbl
+  }
+
+  def q_label_prop(s: SparkSession, dir: String): DataFrame =
+    labelPropagate(coEdges(s, dir), lpIters)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
 }

@@ -1930,6 +1930,23 @@ object TextOps {
             / col("n_truth").cast("double"), 4)).as("recall_tau"))
   }
 
+  /** Dedup-cluster size report — the operational readout of
+    * q_dedup_cluster: how many clusters exist at each size, and how
+    * many documents sit in each size class (n_docs = size ×
+    * n_clusters, the self-checksum). The histogram a dedup pass
+    * publishes so a reviewer sees the dedup RATE at a glance
+    * (singletons = untouched docs; the tail row = the biggest
+    * near-dup family). Cost beyond the component loop itself: two
+    * k-row hash aggregates.
+    */
+  def q_cluster_stats(s: SparkSession, dir: String): DataFrame =
+    q_dedup_cluster(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("csize")).as("n_docs"))
+      .orderBy("csize")
+
   /** Panel fraction: md5 2-hex-prefix < '40' = 1/4 of documents —
     * wide enough that the panel contains near-dup PAIRS (both ends
     * must land in it: a 1/16 panel keeps only 1/256 of pairs and was

@@ -111,4 +111,37 @@ class GraphSpec extends AnyFunSuite {
     assert(full <= GraphOps.prScale, s"mass grew: $full")
     assert(full > (GraphOps.prScale * 999L) / 1000L, s"mass $full")
   }
+
+  test("label propagation: disjoint triangles settle into exactly " +
+    "their own communities; a bridged pair keeps total coverage") {
+    import spark.implicits._
+    def sym(pairs: Seq[(String, String)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val twoTri = sym(Seq(("a1","a2"),("a2","a3"),("a1","a3"),
+      ("b1","b2"),("b2","b3"),("b1","b3")))
+    val out = GraphOps.labelPropagate(twoTri, 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out.size == 6)
+    assert(Set("a1","a2","a3").map(out).size == 1,
+      "triangle A did not converge to one label")
+    assert(Set("b1","b2","b3").map(out).size == 1,
+      "triangle B did not converge to one label")
+    assert(out("a1") != out("b1"),
+      "disjoint triangles merged")
+    val bridged = sym(Seq(("a1","a2"),("a2","a3"),("a1","a3"),
+      ("b1","b2"),("b2","b3"),("b1","b3"),("a3","b1")))
+    val out2 = GraphOps.labelPropagate(bridged, 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out2.size == 6 && out2.values.toSet.subsetOf(out2.keySet))
+  }
+
+  test("q_label_prop: community sizes are positive and labels are " +
+    "graph nodes") {
+    val out = GraphOps.q_label_prop(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getString(0).matches("[sp][0-9]+"))
+    }
+  }
 }

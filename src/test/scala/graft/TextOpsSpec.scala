@@ -454,4 +454,16 @@ class TextOpsSpec extends AnyFunSuite {
     if (nt == 0) assert(rec == 0.0)
     else assert(math.abs(rec - tp.toDouble / nt) < 1e-4)
   }
+
+  test("q_cluster_stats: size classes partition the corpus and the " +
+    "checksum column is exact") {
+    val out = TextOps.q_cluster_stats(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1),
+        "n_docs must equal csize * n_clusters")
+    }
+    assert(out.map(_.getLong(2)).sum ==
+      Tables(spark, dir, "documents").count(),
+      "size classes must cover every document exactly once")
+  }
 }
