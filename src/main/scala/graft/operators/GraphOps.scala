@@ -221,17 +221,33 @@ object GraphOps {
     * rounds.
     */
   private[graft] def labelPropagate(e: DataFrame, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    var lbl = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
+    require(iters >= 1, "LPA needs at least one round")
+    // round 1 specialization: against the identity seed every
+    // neighbor label is distinct (the edge list is distinct), so all
+    // counts are 1 and majority-with-min-tie-break IS min(neighbor) —
+    // one hash aggregate, no join, no (dst, lbl) fan-out. This was
+    // the most expensive round of the general path (self labels make
+    // the count frame exactly |E| rows).
+    var lbl = e.groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("lbl"))
+    for (_ <- 2 to iters) {
+      // one exchange per round: hash(dst) satisfies BOTH downstream
+      // clusterings — (dst, lbl) for the count (subset rule) and
+      // (dst) for the argmax — so neither aggregate adds a shuffle
       val counts = e.join(lbl.withColumnRenamed("node", "src"), "src")
+        .repartition(col("dst"))
         .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("dst")
-        .orderBy(col("c").desc, col("lbl"))
-      lbl = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("lbl"))
+      // argmax-by-(c DESC, lbl ASC) as ONE struct-min hash aggregate:
+      // min((−c, lbl)) picks max count then min label. A window
+      // row_number here sorts every (dst, lbl) partition — measured
+      // 23.5 s vs q_pagerank's 4.0 s at sf1.0 on the same joins; the
+      // struct-min is partial-combining map-side like any agg. The
+      // oracle keeps the row_number formulation — an independent
+      // derivation of the same total order.
+      lbl = counts
+        .groupBy("dst")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("dst").as("node"), col("m.lbl").as("lbl"))
     }
     lbl
   }
