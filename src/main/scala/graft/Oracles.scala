@@ -2484,6 +2484,43 @@ object Oracles {
         |    / CAST(count(*) AS DOUBLE), 4) AS avg_span_s
         |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // exact sliding distinct users (Relational.q_sliding_uniques):
+    // activity exploded onto the W windows it covers
+    "q_sliding_uniques" -> {
+      val w = operators.Relational.slidingHours
+      s"""WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+        |      AS eh
+        |  FROM events),
+        |hours AS (SELECT DISTINCT eh FROM act),
+        |cov AS (SELECT DISTINCT c.w, c.user_id FROM (
+        |    SELECT user_id,
+        |      unnest(generate_series(eh, eh + ${w - 1})) AS w
+        |    FROM act) c JOIN hours h ON c.w = h.eh)
+        |SELECT w AS window_eh, count(*) AS n_users
+        |FROM cov GROUP BY 1 ORDER BY window_eh""".stripMargin
+    },
+
+    // funnel time-to-convert (Relational.q_funnel_time): at-or-after
+    // predicate inside the LEFT JOIN so never-converting viewers stay
+    "q_funnel_time" ->
+      """WITH v AS (SELECT user_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS v_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT v.user_id, v.v_ts, min(p.p_ts) AS first_p
+        |  FROM v LEFT JOIN p
+        |    ON v.user_id = p.user_id AND p.p_ts >= v.v_ts
+        |  GROUP BY 1, 2),
+        |delays AS (SELECT user_id, first_p - v_ts AS delay_s FROM d)
+        |SELECT count(*) AS n_viewers,
+        |  count(delay_s) AS n_converted,
+        |  round(CAST(sum(delay_s) AS DOUBLE)
+        |    / CAST(count(delay_s) AS DOUBLE), 4) AS mean_delay_s,
+        |  round(quantile_cont(delay_s, 0.5), 4) AS median_delay_s
+        |FROM delays""".stripMargin,
+
     // PII audit twin (TextOps.q_pii_scan) — SAME two patterns
     // q_redact replaces, interpolated from the shared constants
     "q_pii_scan" -> {

@@ -204,7 +204,9 @@ object SparkEntry {
     "q_mmr" -> (VectorOps.q_mmr _),
     "q_dedup_eval" -> (TextOps.q_dedup_eval _),
     "q_label_prop" -> (GraphOps.q_label_prop _),
-    "q_cluster_stats" -> (TextOps.q_cluster_stats _)
+    "q_cluster_stats" -> (TextOps.q_cluster_stats _),
+    "q_sliding_uniques" -> (Relational.q_sliding_uniques _),
+    "q_funnel_time" -> (Relational.q_funnel_time _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -2038,6 +2038,78 @@ object Relational {
       .orderBy("o_orderpriority", "band")
   }
 
+  /** Sliding-window span — shared verbatim with the oracle. */
+  private[graft] val slidingHours = 6
+
+  /** Exact sliding-window distinct users: for every hour, the count
+    * of distinct users active in the trailing [[slidingHours]]-hour
+    * window — the batch twin of streaming sliding counts, with EXACT
+    * cardinality. Set-valued window frames can't be expressed as a
+    * window aggregate, so each (user, hour) activity row is exploded
+    * onto the ≤ W windows it covers (the standard sliding-window
+    * surjection) and one (window, user)-distinct + one count
+    * aggregate finish it: cost W × activity rows, linear, shuffles
+    * keyed on the window hour. Only windows ending at an OBSERVED
+    * activity hour are emitted (dense in this corpus; a spine join
+    * adds empty windows when the calendar matters).
+    */
+  def q_sliding_uniques(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("eh"))
+      .distinct()
+    val hours = act.select(col("eh")).distinct()
+    val covered = act
+      .withColumn("w", explode(sequence(col("eh"),
+        col("eh") + lit(slidingHours.toLong - 1))))
+      .join(hours.withColumnRenamed("eh", "w"), Seq("w"))
+      .select(col("w"), col("user_id")).distinct()
+    covered.groupBy("w")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w").as("window_eh"), col("n_users"))
+      .orderBy("window_eh")
+  }
+
+  /** Funnel time-to-convert: per user, the delay from FIRST view to
+    * the first purchase at-or-after it, summarized as population,
+    * conversion count, mean and exact interpolated median delay —
+    * the latency half of q_funnel's conversion-rate story. Exact
+    * floor-epoch BIGINT deltas; mean = sum/count (one shared IEEE
+    * division), median via the (n−1)·q interpolation both engines
+    * share (§2.12 / q_agg_quantile). Shape: two filtered min
+    * aggregates + one equi-join + one global aggregate.
+    */
+  def q_funnel_time(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def firstAt(et: String, as: String) =
+      ev.filter(col("event_type") === et)
+        .groupBy("user_id")
+        .agg(min(unix_timestamp(col("ts"))).as(as))
+    val v = firstAt("view", "v_ts")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("p_ts"))
+    // the at-or-after predicate must be IN the join: a post-join
+    // filter would silently drop a viewer whose purchases all
+    // precede the first view, undercounting n_viewers
+    val delays = v.as("v")
+      .join(p.as("p"),
+        col("v.user_id") === col("p.user_id")
+          && col("p.p_ts") >= col("v.v_ts"), "left")
+      .groupBy(col("v.user_id").as("user_id"), col("v.v_ts").as("v_ts"))
+      .agg(min(col("p.p_ts")).as("first_p"))
+      .select(col("user_id"), (col("first_p") - col("v_ts")).as("delay_s"))
+    delays.agg(
+      count(lit(1)).as("n_viewers"),
+      count(col("delay_s")).as("n_converted"),
+      sum(col("delay_s")).as("sdelay"),
+      percentile(col("delay_s"), lit(0.5)).as("med"))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("sdelay").cast("double")
+          / col("n_converted").cast("double"), 4).as("mean_delay_s"),
+        round(col("med"), 4).as("median_delay_s"))
+  }
+
   /** Navigation-function journey matrix: each user's first, second
     * and last event type from `first/nth_value/last` over ONE
     * whole-partition window frame (ROWS UNBOUNDED PRECEDING →

@@ -423,4 +423,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(noneUsers == singleEvent)
     out.foreach(r => assert(r.getDouble(4) >= 0.0))
   }
+
+  test("q_sliding_uniques: each window count equals a brute-force " +
+    "recount of the trailing 6 hours") {
+    val out = Relational.q_sliding_uniques(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    val act = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("eh"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byHour = act.groupBy(_._2)
+    // recount three sample windows
+    out.keys.toSeq.sorted.take(3).foreach { w =>
+      val expect = act.filter { case (_, eh) =>
+        eh <= w && eh > w - Relational.slidingHours
+      }.map(_._1).distinct.length
+      assert(out(w) == expect.toLong, s"window $w")
+    }
+    assert(byHour.keySet == out.keySet,
+      "every observed activity hour must end a window")
+  }
+
+  test("q_funnel_time: conversions bounded by viewers, delays " +
+    "non-negative, viewer count matches the view population") {
+    val r = Relational.q_funnel_time(spark, dir).collect().head
+    val (nv, nc) = (r.getLong(0), r.getLong(1))
+    assert(nc <= nv)
+    val viewers = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(nv == viewers)
+    if (nc > 0) {
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
 }
