@@ -2519,7 +2519,7 @@ object Oracles {
         |  round(CAST(sum(delay_s) AS DOUBLE)
         |    / CAST(count(delay_s) AS DOUBLE), 4) AS mean_delay_s,
         |  round(quantile_cont(delay_s, 0.5), 4) AS median_delay_s
-        |FROM delays""".stripMargin,
+        |FROM delays ORDER BY n_viewers""".stripMargin,
 
     // PII audit twin (TextOps.q_pii_scan) — SAME two patterns
     // q_redact replaces, interpolated from the shared constants
@@ -2611,7 +2611,7 @@ object Oracles {
         |  CASE WHEN coalesce(sum(t), 0) = 0 THEN 0.0
         |    ELSE round(CAST(sum(t * c) AS DOUBLE)
         |      / CAST(sum(t) AS DOUBLE), 4) END AS recall_tau
-        |FROM j""".stripMargin
+        |FROM j ORDER BY n_truth""".stripMargin
     },
 
     // MMR diversified top-k (VectorOps.q_mmr): the greedy selection

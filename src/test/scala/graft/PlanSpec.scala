@@ -179,4 +179,24 @@ class PlanSpec extends AnyFunSuite {
     val z = spark.sql("SELECT morton_code(3, 5) AS z").collect().head.getLong(0)
     assert(z == graft.functions.MortonCode.interleave(3, 5))
   }
+
+  test("q_corr_matrix derives all six correlations from ONE scan and " +
+    "one aggregate") {
+    val plan = planOf(graft.operators.Relational.q_corr_matrix(spark, dir))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, // partial+final
+      "the moment matrix must be one partial-combining aggregate pair")
+  }
+
+  test("q_pii_scan is one scan with no joins") {
+    val plan = planOf(graft.operators.TextOps.q_pii_scan(spark, dir))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
+  test("q_label_prop plans no window sort: the per-round argmax is a " +
+    "hash aggregate") {
+    val plan = planOf(graft.operators.GraphOps.q_label_prop(spark, dir))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
 }
