@@ -90,6 +90,27 @@ object Oracles {
   private val minhashLegs = (0 until 8)
     .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
 
+  /** Deletion-neighborhood fuzzy candidates ending in a
+    * `cand(term, tok)` CTE — shared by q_fuzzy_join and
+    * q_entity_resolve.
+    */
+  private lazy val fuzzyCandCte =
+    s"""WITH tk AS (SELECT DISTINCT unnest($tokL) AS tok FROM documents),
+       |dict AS (SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS term
+       |  FROM tk WHERE length(tok) >= 4
+       |    AND substr(md5('dict:' || tok), 1, 2) < '80'),
+       |dv AS (SELECT DISTINCT term, v FROM (
+       |  SELECT term, unnest(list_prepend(term,
+       |    list_transform(range(1, length(term) + 1),
+       |      i -> substr(term, 1, i - 1) || substr(term, i + 1)))) AS v
+       |  FROM dict)),
+       |vv AS (SELECT DISTINCT tok, v FROM (
+       |  SELECT tok, unnest(list_prepend(tok,
+       |    list_transform(range(1, length(tok) + 1),
+       |      i -> substr(tok, 1, i - 1) || substr(tok, i + 1)))) AS v
+       |  FROM tk)),
+       |cand AS (SELECT DISTINCT term, tok FROM dv JOIN vv USING (v))""".stripMargin
+
   /** Recursive connected-component assignment over the MinHash-LSH
     * candidate graph, ending in an `assign(doc_id, cluster_id)` CTE —
     * shared by q_dedup_cluster and q_cluster_stats.
@@ -1667,24 +1688,28 @@ object Oracles {
     // SymSpell fuzzy join (TextOps.q_fuzzy_join): 1-deletion
     // neighborhoods block the candidates, exact levenshtein verifies
     "q_fuzzy_join" ->
-      s"""WITH tk AS (SELECT DISTINCT unnest($tokL) AS tok FROM documents),
-         |dict AS (SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS term
-         |  FROM tk WHERE length(tok) >= 4
-         |    AND substr(md5('dict:' || tok), 1, 2) < '80'),
-         |dv AS (SELECT DISTINCT term, v FROM (
-         |  SELECT term, unnest(list_prepend(term,
-         |    list_transform(range(1, length(term) + 1),
-         |      i -> substr(term, 1, i - 1) || substr(term, i + 1)))) AS v
-         |  FROM dict)),
-         |vv AS (SELECT DISTINCT tok, v FROM (
-         |  SELECT tok, unnest(list_prepend(tok,
-         |    list_transform(range(1, length(tok) + 1),
-         |      i -> substr(tok, 1, i - 1) || substr(tok, i + 1)))) AS v
-         |  FROM tk)),
-         |cand AS (SELECT DISTINCT term, tok FROM dv JOIN vv USING (v))
+      s"""$fuzzyCandCte
          |SELECT term, tok, CAST(levenshtein(term, tok) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(term, tok) <= 1
          |ORDER BY term, tok""".stripMargin,
+
+    // entity resolution (TextOps.q_entity_resolve): the fuzzy match
+    // edges closed into components (recursive reach, min canonical)
+    "q_entity_resolve" ->
+      s"""${fuzzyCandCte.replace("WITH ", "WITH RECURSIVE ")},
+         |m AS (SELECT DISTINCT term, tok FROM cand
+         |  WHERE levenshtein(term, tok) <= 1 AND term <> tok),
+         |edges AS (SELECT term AS src, tok AS dst FROM m
+         |  UNION ALL SELECT tok, term FROM m),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |sizes AS (SELECT label, count(*) AS n_members FROM lab GROUP BY 1)
+         |SELECT lab.label AS entity_id, lab.id AS member, sizes.n_members
+         |FROM lab JOIN sizes USING (label)
+         |ORDER BY entity_id, member""".stripMargin,
 
     // bigram LM with add-one smoothing (TextOps.q_lm_bigram):
     // per-position contributions rounded to 6dp and summed as

@@ -206,7 +206,8 @@ object SparkEntry {
     "q_label_prop" -> (GraphOps.q_label_prop _),
     "q_cluster_stats" -> (TextOps.q_cluster_stats _),
     "q_sliding_uniques" -> (Relational.q_sliding_uniques _),
-    "q_funnel_time" -> (Relational.q_funnel_time _)
+    "q_funnel_time" -> (Relational.q_funnel_time _),
+    "q_entity_resolve" -> (TextOps.q_entity_resolve _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -768,11 +768,19 @@ object TextOps {
     *    hops collapse within the cap; non-convergence raises instead
     *    of spinning forever on a pathological input.
     */
-  def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+  /** Min-label connected components with pointer jumping over a
+    * directed-symmetrized pair list — the convergent loop behind
+    * q_dedup_cluster, factored so entity resolution (and any future
+    * graph consumer) shares ONE proven implementation. Type-generic:
+    * labels are min() over whatever ordered type the pair columns
+    * carry (doc ids for dedup, surface strings for entities).
+    * Returns (id, label) for every node appearing in `pairs`.
+    */
+  private[graft] def connectedComponents(pairs0: DataFrame): DataFrame = {
     import Checkpoints.ckpt
-    // one materialization of the band join; the union below then reads
-    // the checkpointed rows twice instead of recomputing the join twice
-    val pairs = ckpt(minhashCandidatePairs(s, dir))
+    // one materialization of the pair source; the union below then
+    // reads the checkpointed rows twice instead of recomputing twice
+    val pairs = ckpt(pairs0.toDF("a_id", "b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
@@ -804,6 +812,11 @@ object TextOps {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters doubling rounds")
+    labels
+  }
+
+  def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashCandidatePairs(s, dir))
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -1928,6 +1941,38 @@ object TextOps {
         when(col("n_truth") === 0, lit(0.0))
           .otherwise(round(col("tp").cast("double")
             / col("n_truth").cast("double"), 4)).as("recall_tau"))
+  }
+
+  /** End-to-end entity resolution — the composition every record-
+    * linkage pipeline runs: blocked fuzzy matching (the SymSpell
+    * deletion-neighborhood join, q_fuzzy_join's engine) closed into
+    * connected components (the SHARED pointer-jumping loop behind
+    * q_dedup_cluster), each surface form canonicalized to its
+    * component's lexicographic min with the member count alongside.
+    * Self-matches (distance 0, term = tok) are dropped — an entity
+    * needs at least one genuine variant pair.
+    *
+    * Scale shape: match fan-out is (len+1) per vocabulary term
+    * (never all-pairs); the component loop runs on the MATCH graph —
+    * vocabulary-bounded, not corpus-bounded.
+    */
+  def q_entity_resolve(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docTokens(s, dir).select("tok").distinct()
+    val dict = vocab
+      .filter(length(col("tok")) >= 4 &&
+        substring(md5(concat(lit("dict:"), col("tok"))), 1, 2) < "80")
+      .select(concat(substring(col("tok"), 1, 1), expr("substr(tok, 3)"))
+        .as("term"))
+      .distinct()
+    val matches = fuzzyJoin(dict, vocab)
+      .filter(col("term") =!= col("tok"))
+      .select(col("term"), col("tok"))
+    val labels = connectedComponents(matches)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("label"))
+      .select(col("label").as("entity_id"), col("id").as("member"),
+        col("n_members"))
+      .orderBy("entity_id", "member")
   }
 
   /** Dedup-cluster size report — the operational readout of

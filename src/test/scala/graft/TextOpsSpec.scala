@@ -466,4 +466,21 @@ class TextOpsSpec extends AnyFunSuite {
       Tables(spark, dir, "documents").count(),
       "size classes must cover every document exactly once")
   }
+
+  test("q_entity_resolve: canonical is the lexicographic min member " +
+    "and counts match group sizes") {
+    val out = TextOps.q_entity_resolve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).distinct.length == out.length,
+      "a surface form resolved to two entities")
+    out.groupBy(_._1).foreach { case (ent, members) =>
+      assert(members.map(_._2).min == ent,
+        s"entity $ent is not its own min member")
+      assert(members.forall(_._3 == members.length),
+        s"entity $ent count mismatch")
+      assert(members.length >= 2,
+        s"entity $ent has no variant pair")
+    }
+  }
 }
