@@ -505,6 +505,51 @@ object Oracles {
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
+    // dow × hour seasonality (Relational.q_seasonality): Spark
+    // weekday ≡ DuckDB isodow − 1 (Monday = 0); identical double
+    // expression shape for share and the χ² term, rounded once
+    "q_seasonality" ->
+      """WITH cell AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cell)
+        |SELECT dow, hr, n_events,
+        |  round(CAST(n_events AS DOUBLE) / total, 6) AS share,
+        |  round((n_events - CAST(total AS DOUBLE) / 168)
+        |      * (n_events - CAST(total AS DOUBLE) / 168)
+        |      / (CAST(total AS DOUBLE) / 168), 4) AS chi2_term
+        |FROM cell CROSS JOIN tot
+        |ORDER BY dow, hr""".stripMargin,
+
+    // weekly cohort LTV (Relational.q_cohort_ltv): retention's revenue
+    // twin — exact DECIMAL(18,2) weekly sums, decimal cumulative
+    // window, doubles only in the final one-shot casts
+    "q_cohort_ltv" ->
+      """WITH cohort AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, count(*) AS n_users
+        |  FROM cohort GROUP BY cohort_week),
+        |rev AS (SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week,
+        |      CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT)
+        |      AS week_offset,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS wk_rev
+        |  FROM events JOIN cohort USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, week_offset, wk_rev,
+        |    sum(wk_rev) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM rev)
+        |SELECT cohort_week, week_offset, n_users,
+        |  CAST(wk_rev AS DOUBLE) AS week_rev,
+        |  CAST(c AS DOUBLE) AS cum_rev,
+        |  round(CAST(c AS DOUBLE) / n_users, 4) AS ltv
+        |FROM cum JOIN sizes USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "q_sessionize" ->
       """SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
@@ -1142,6 +1187,56 @@ object Oracles {
          |SELECT tf.doc_id, tf.tok, round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
          |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
          |ORDER BY tfidf DESC, tf.doc_id, tf.tok LIMIT 500""".stripMargin,
+
+    // distinct-n diversity (TextOps.q_distinct_ngrams): per n, gram
+    // counts first, then the 1-row rollup — integer totals, one
+    // double division at the end
+    "q_distinct_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $tokL AS l FROM documents),
+         |g1 AS (SELECT unnest(l) AS g FROM toks),
+         |g2 AS (SELECT unnest(list_transform(range(greatest(len(l)-1, 0)),
+         |  i -> concat_ws(' ', l[i+1], l[i+2]))) AS g FROM toks),
+         |g3 AS (SELECT unnest(list_transform(range(greatest(len(l)-2, 0)),
+         |  i -> concat_ws(' ', l[i+1], l[i+2], l[i+3]))) AS g FROM toks),
+         |r1 AS (SELECT g, count(*) AS c FROM g1 GROUP BY g),
+         |r2 AS (SELECT g, count(*) AS c FROM g2 GROUP BY g),
+         |r3 AS (SELECT g, count(*) AS c FROM g3 GROUP BY g)
+         |SELECT n, total_grams, distinct_grams,
+         |  round(CAST(distinct_grams AS DOUBLE) / total_grams, 6)
+         |    AS distinct_ratio
+         |FROM (
+         |  SELECT 1 AS n, CAST(sum(c) AS BIGINT) AS total_grams,
+         |    count(*) AS distinct_grams FROM r1
+         |  UNION ALL
+         |  SELECT 2, CAST(sum(c) AS BIGINT), count(*) FROM r2
+         |  UNION ALL
+         |  SELECT 3, CAST(sum(c) AS BIGINT), count(*) FROM r3)
+         |ORDER BY n""".stripMargin,
+
+    // per-source KL divergence to the corpus mixture
+    // (TextOps.q_kl_mixture): identical double expression shape in
+    // both engines — p = c/ts, q = ct/tt, term = p*ln(p/q) — rounded
+    // to DECIMAL(18,6) per term before the exact per-source sum
+    "q_kl_mixture" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |st AS (SELECT d.source, tf.tok, CAST(sum(tf.c) AS BIGINT) AS c
+         |  FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+         |  FROM st GROUP BY source),
+         |ctok AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+         |  FROM st GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM ctok),
+         |contrib AS (SELECT st.source,
+         |    CAST(round((CAST(st.c AS DOUBLE) / srct.ts)
+         |      * ln((CAST(st.c AS DOUBLE) / srct.ts)
+         |          / (CAST(ctok.ct AS DOUBLE) / tot.tt)), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM st JOIN ctok USING (tok) JOIN srct USING (source)
+         |  CROSS JOIN tot)
+         |SELECT source, count(*) AS n_terms,
+         |  round(CAST(sum(term) AS DOUBLE), 4) AS kl
+         |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
 
     // parameters interpolated from TextOps so the twins cannot drift;
     // per-doc summation over DECIMAL(18,6)-rounded contributions is
@@ -1964,6 +2059,27 @@ object Oracles {
     // (float → DOUBLE exact, DOUBLE → DECIMAL(20,8) rounds identically
     // in both engines — q_vec_norm precedent), centroid rebuilt as an
     // ordered list, cosine via the same sequential fold as q_sim_topk
+    // class-centroid cosine matrix (VectorOps.q_centroid_sim):
+    // shares q_dedup_semantic's DECIMAL-exact centroid CTE; the pair
+    // stage is k×k on centroids only
+    "q_centroid_sim" ->
+      s"""WITH comp AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)))
+         |      / count(*) AS DOUBLE) AS m
+         |  FROM (SELECT label, unnest(embedding) AS x,
+         |          unnest(range(1, len(embedding)+1)) AS i
+         |        FROM embeddings)
+         |  GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS c
+         |  FROM comp GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  round(${dot("a.c", "b.c")} /
+         |    (sqrt(${norm2("a.c")}) * sqrt(${norm2("b.c")})), 4) + 0.0
+         |    AS cos_c
+         |FROM cent a JOIN cent b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
+
     "q_dedup_semantic" -> {
       val tau = graft.operators.VectorOps.semDedupTau
       s"""WITH comp AS (

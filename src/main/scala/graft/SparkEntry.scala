@@ -81,6 +81,8 @@ object SparkEntry {
     "q_sessionize" -> (Relational.q_sessionize _),
     "q_funnel" -> (Relational.q_funnel _),
     "q_retention" -> (Relational.q_retention _),
+    "q_cohort_ltv" -> (Relational.q_cohort_ltv _),
+    "q_seasonality" -> (Relational.q_seasonality _),
     "q_rolling_time" -> (Relational.q_rolling_time _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
     "q_sample_stratified" -> (Relational.q_sample_stratified _),
@@ -182,6 +184,7 @@ object SparkEntry {
     "q_dedup_embed" -> (VectorOps.q_dedup_embed _),
     "q_dedup_embed_star" -> (VectorOps.q_dedup_embed_star _),
     "q_dedup_semantic" -> (VectorOps.q_dedup_semantic _),
+    "q_centroid_sim" -> (VectorOps.q_centroid_sim _),
     "q_vec_quantize" -> (VectorOps.q_vec_quantize _),
     "q_ann_lsh" -> (VectorOps.q_ann_lsh _),
     "q_ann_ivf" -> (VectorOps.q_ann_ivf _),
@@ -207,7 +210,9 @@ object SparkEntry {
     "q_cluster_stats" -> (TextOps.q_cluster_stats _),
     "q_sliding_uniques" -> (Relational.q_sliding_uniques _),
     "q_funnel_time" -> (Relational.q_funnel_time _),
-    "q_entity_resolve" -> (TextOps.q_entity_resolve _)
+    "q_entity_resolve" -> (TextOps.q_entity_resolve _),
+    "q_distinct_ngrams" -> (TextOps.q_distinct_ngrams _),
+    "q_kl_mixture" -> (TextOps.q_kl_mixture _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -778,6 +778,75 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Weekly cohort LTV curve — [[q_retention]]'s revenue twin: per
+    * (cohort week, week offset), purchase revenue that week, the
+    * running cumulative, and cumulative revenue per cohort MEMBER
+    * (n_users counts the whole cohort, purchasers or not — LTV is
+    * revenue over everyone you acquired, not over spenders).
+    * Exactness: per-row revenue is cast to DECIMAL(18,2) before any
+    * sum, the cumulative window runs over the exact decimal, and
+    * doubles appear only in the final one-shot casts (the q_ab_test
+    * discipline). Scale shape: two user-level aggregates + one
+    * (cohort, offset) aggregate — everything partial-combines
+    * map-side; the cumulative window runs on the post-aggregate
+    * frame, bounded by cohorts × offsets, never on raw events.
+    */
+  def q_cohort_ltv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")) / 7).cast("long").as("week_offset"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum(col("v")).as("wk_rev"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("wk_rev"), sum(col("wk_rev")).over(w).as("cum"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("wk_rev").cast("double").as("week_rev"),
+        col("cum").cast("double").as("cum_rev"),
+        round(col("cum").cast("double") / col("n_users"), 4).as("ltv"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Day-of-week × hour seasonality profile with per-cell χ²
+    * contributions against the uniform-rate null — the load-shape
+    * readout behind batch scheduling and anomaly baselines ("is
+    * Tuesday 3am genuinely quiet or just unsampled"). dow is
+    * Monday-based 0–6 in both engines (Spark `weekday` ≡ DuckDB
+    * `isodow − 1` — the built-ins' Sunday conventions differ, so the
+    * twins pin the ISO form). Exactness: cell counts are integers;
+    * the two derived doubles (share, χ² term) are computed with the
+    * identical expression shape in both engines and rounded once.
+    * Scale shape: one hash aggregate collapses the corpus to ≤ 168
+    * cells; the total re-aggregates that frame (no second scan) and
+    * joins back as a broadcast 1-row.
+    */
+  def q_seasonality(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "events")
+      .select(weekday(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
+    val tot = cell.agg(sum(col("n_events")).as("total"))
+    val e = col("total").cast("double") / lit(168)
+    cell.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6)
+          .as("share"),
+        round((col("n_events") - e) * (col("n_events") - e) / e, 4)
+          .as("chi2_term"))
+      .orderBy("dow", "hr")
+  }
+
   /** Sample size for [[q_sample_weighted]]. */
   val weightedSampleK = 150
 

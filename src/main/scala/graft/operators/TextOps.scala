@@ -1998,4 +1998,79 @@ object TextOps {
     * measured empty at sf0.01). Shared verbatim with the oracle.
     */
   private[graft] val dedupEvalPanelHex = "40"
+
+  // ── corpus diversity: distinct-n (L33) ─────────────────────────────
+
+  /** Distinct-n corpus diversity report: for n ∈ {1,2,3}, total
+    * n-gram occurrences, distinct n-grams, and the distinct/total
+    * ratio — the "distinct-n" metric used to audit generated or
+    * synthetic corpora for mode collapse (a distilled corpus whose
+    * distinct-2 ratio collapses is repeating itself, whatever its
+    * per-doc quality scores say). Shape per n: gram counts first
+    * (one hash aggregate, partial-combining map-side), then a 1-row
+    * rollup of that frame — the two-step form deliberately avoids
+    * `agg(count, countDistinct)`, whose Expand would double the
+    * token stream (the q_feature_hash lesson). n = 1 reuses the
+    * shared cached token frame; the corpus is scanned once per
+    * remaining n with the codegen'd [[graft.functions.WordShingles]]
+    * expression, and nothing but (gram, count) pairs ever shuffles.
+    */
+  def q_distinct_ngrams(s: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): DataFrame = {
+      val g =
+        if (n == 1) docTokens(s, dir).select(col("tok").as("g"))
+        else t(s, dir, "documents")
+          .select(explode(TextFns.shingles(col("text"), n)).as("g"))
+      g.groupBy("g").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("total_grams"),
+          count(lit(1)).as("distinct_grams"))
+        .select(lit(n).cast("long").as("n"), col("total_grams"),
+          col("distinct_grams"),
+          round(col("distinct_grams").cast("double") /
+            col("total_grams"), 6).as("distinct_ratio"))
+    }
+    grams(1).union(grams(2)).union(grams(3)).orderBy("n")
+  }
+
+  // ── data-mixture audit: per-source KL divergence (L34) ─────────────
+
+  /** Per-source unigram KL divergence to the corpus mixture:
+    * KL(P_source ‖ P_corpus) = Σ_t p·ln(p/q) with p = c_st/T_s and
+    * q = c_t/T — the standard "how far does this source's token
+    * distribution sit from the blend" readout used to weight or flag
+    * sources when composing a training mixture (a source with high
+    * KL dominates its own niche; KL → 0 means it looks like the
+    * blend). No smoothing is needed: every term in a source has
+    * c_t ≥ c_st > 0, so q > 0 wherever p > 0. Cross-engine
+    * exactness: each term's double contribution is rounded to
+    * DECIMAL(18,6) before the per-source sum (the q_bm25
+    * discipline), so summation order cannot drift the result.
+    * Scale shape: the token stream collapses to per-(doc, tok)
+    * counts BEFORE joining document metadata (the join carries the
+    * compact tf frame, not raw tokens), the (source, tok) frame is
+    * cached and re-aggregated for both marginals (no second corpus
+    * scan), and the per-source totals / corpus total are
+    * broadcast-joined k-row/1-row frames.
+    */
+  def q_kl_mixture(s: SparkSession, dir: String): DataFrame = {
+    val tf = docTokens(s, dir).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val meta = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val st = cached(tf.join(meta, "doc_id")
+      .groupBy("source", "tok").agg(sum(col("c")).as("c")))
+    val srcTot = st.groupBy("source").agg(sum(col("c")).as("ts"))
+    val ctok = st.groupBy("tok").agg(sum(col("c")).as("ct"))
+    val tot = ctok.agg(sum(col("ct")).as("tt"))
+    val p = col("c").cast("double") / col("ts")
+    val q = col("ct").cast("double") / col("tt")
+    st.join(ctok, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        round(p * log(p / q), 6).cast("decimal(18,6)").as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("term")).cast("double"), 4).as("kl"))
+      .orderBy("source")
+  }
 }

@@ -460,4 +460,68 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.0)
     }
   }
+
+  test("q_cohort_ltv: cohort sizes match q_retention's offset-0 rows, " +
+    "cumulatives are nondecreasing, and total revenue reconciles") {
+    val out = Relational.q_cohort_ltv(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // a user is active in their own first-event week, so retention's
+    // offset-0 n_users IS the cohort size
+    val cohortSizes = Relational.q_retention(spark, dir).collect()
+      .filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    out.foreach { case (cw, _, n, _, _, _) =>
+      assert(cohortSizes(cw) == n, s"cohort $cw size mismatch")
+    }
+    out.groupBy(_._1).foreach { case (cw, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 >= a._5, s"cohort $cw cum_rev decreased")
+        case _ =>
+      }
+      sorted.foreach { r =>
+        assert(math.abs(r._6 - BigDecimal(r._5 / r._3)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"cohort $cw ltv != round(cum/n)")
+      }
+      // the last cumulative is the sum of the weekly revenues
+      assert(math.abs(sorted.last._5 - sorted.map(_._4).sum) < 1e-6)
+    }
+    // grand total equals the corpus purchase revenue (2-decimal exact)
+    val total = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")))
+      .collect().head.getDecimal(0).doubleValue()
+    assert(math.abs(out.map(_._4).sum - total) < 1e-6)
+  }
+
+  test("q_seasonality: cells cover every event exactly once, shares " +
+    "sum to 1, dow is Monday-based and agrees with date_format") {
+    val out = Relational.q_seasonality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty && out.length <= 168)
+    assert(out.forall(c => c._1 >= 0 && c._1 <= 6))
+    assert(out.forall(c => c._2 >= 0 && c._2 <= 23))
+    assert(out.forall(_._5 >= 0.0), "a chi-square term is negative")
+    val nEvents = Tables(spark, dir, "events").count()
+    assert(out.map(_._3).sum == nEvents, "cells do not partition events")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-3, "shares don't sum to 1")
+    // Monday-based dow: weekday() must agree with the locale-free
+    // E-pattern day name for every event
+    val mismatch = Tables(spark, dir, "events")
+      .select(weekday(col("ts")).as("w"), date_format(col("ts"), "E").as("d"))
+      .filter(!(col("w") === 0 && col("d") === "Mon") &&
+        !(col("w") === 1 && col("d") === "Tue") &&
+        !(col("w") === 2 && col("d") === "Wed") &&
+        !(col("w") === 3 && col("d") === "Thu") &&
+        !(col("w") === 4 && col("d") === "Fri") &&
+        !(col("w") === 5 && col("d") === "Sat") &&
+        !(col("w") === 6 && col("d") === "Sun"))
+      .count()
+    assert(mismatch == 0, "weekday() disagrees with date_format E")
+  }
 }

@@ -483,4 +483,41 @@ class TextOpsSpec extends AnyFunSuite {
         s"entity $ent has no variant pair")
     }
   }
+
+  test("q_distinct_ngrams: one row per n with consistent integer " +
+    "totals and an exact brute-force recount for n=2") {
+    val out = TextOps.q_distinct_ngrams(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    out.foreach { case (n, total, dist, ratio) =>
+      assert(dist > 0 && dist <= total, s"n=$n distinct/total inconsistent")
+      assert(math.abs(ratio - dist.toDouble / total) < 1e-6)
+    }
+    // each doc with k >= n tokens contributes exactly k-n+1 n-grams,
+    // so totals strictly decrease with n on any non-degenerate corpus
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    // brute-force recount of the n=2 row via a direct shingle explode
+    val docs = Tables(spark, dir, "documents")
+    val g2 = docs.select(explode(
+      graft.functions.TextFns.shingles(col("text"), 2)).as("g"))
+    assert(out(1)._2 == g2.count(), "total 2-grams recount mismatch")
+    assert(out(1)._3 == g2.distinct().count(), "distinct 2-grams mismatch")
+  }
+
+  test("q_kl_mixture: every source appears once; KL is nonnegative " +
+    "up to per-term rounding slack") {
+    val out = TextOps.q_kl_mixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val nSources = Tables(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(out.length == nSources, "a source is missing from the report")
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (src, nTerms, kl) =>
+      assert(nTerms > 0, s"$src has no terms")
+      // Gibbs: true KL >= 0; each term is rounded to 1e-6 before the
+      // sum, so the floor is -5e-7 * n_terms
+      assert(kl >= -5e-7 * nTerms, s"$src KL=$kl below rounding floor")
+    }
+    assert(out.exists(_._3 > 0.0), "no source diverges from the blend")
+  }
 }
