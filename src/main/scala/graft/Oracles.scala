@@ -1525,6 +1525,24 @@ object Oracles {
          |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
          |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin,
 
+    // asymmetric containment (TextOps.q_dedup_containment): shares
+    // q_dedup_ngram's index CTEs; the >= 1/2 gate is integer (2*inter
+    // vs least), the division happens once on survivors
+    "q_dedup_containment" ->
+      s"""$shinglesCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+         |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb,
+         |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment,
+         |  CASE WHEN sa.n <= sb.n THEN a_id ELSE b_id END AS contained_id
+         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE 2 * inter >= least(sa.n, sb.n)
+         |ORDER BY containment DESC, a_id, b_id LIMIT 100""".stripMargin,
+
     "q_minhash_sig" ->
       s"""$shinglesCte
          |SELECT doc_id, min(md5(concat('0:', shingle))) AS h0,

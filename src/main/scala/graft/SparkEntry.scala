@@ -142,6 +142,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (TextOps.q_fuzzy_join _),
     "q_name_match" -> (TextOps.q_name_match _),
     "q_dedup_ngram" -> (TextOps.q_dedup_ngram _),
+    "q_dedup_containment" -> (TextOps.q_dedup_containment _),
     "q_minhash_sig" -> (TextOps.q_minhash_sig _),
     "q_dedup_minhash" -> (TextOps.q_dedup_minhash _),
     "q_minhash_est" -> (TextOps.q_minhash_est _),

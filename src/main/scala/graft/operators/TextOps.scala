@@ -620,6 +620,42 @@ object TextOps {
       .limit(100)
   }
 
+  /** Asymmetric near-dup: shingle CONTAINMENT inter/min(na, nb) —
+    * the signal symmetric Jaccard structurally misses. A short doc
+    * quoted whole inside a much longer one has Jaccard ≈ na/nb ≈ 0
+    * but containment ≈ 1; quote-inflation and boilerplate-wrapping
+    * dups in web corpora are exactly this shape. Pairs clear the
+    * gate when 2·inter ≥ min(na, nb) (containment ≥ ½, decided in
+    * INTEGER arithmetic — the q_dedup_eval τ discipline), and the
+    * contained side is named so a curation pass knows which doc is
+    * the subset. Cost: reuses q_dedup_ngram's cached df-capped
+    * inverted index and candidate machinery verbatim — same
+    * non-quadratic bound, one extra projection; when both run in a
+    * session the index materializes once.
+    */
+  def q_dedup_containment(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = docShingles(s, dir)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("shingle")
+    val sh = cached(sh0.join(rare, "shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(col("inter") * 2 >= least(col("na"), col("nb")))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4)
+          .as("containment"),
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id"))
+          .as("contained_id"))
+      .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
   /** String-metric near-dup: Levenshtein distance between each doc's
     * head and the next doc's head (adjacent-id blocking keeps the
     * comparison linear; the metric itself is the integer DP both

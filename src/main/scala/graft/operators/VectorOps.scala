@@ -174,15 +174,25 @@ object VectorOps {
     * broadcast join (k centroid rows); the keep-set is a second k-row
     * broadcast. Vectors never shuffle.
     */
-  def q_dedup_semantic(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+  /** Per-label DECIMAL-exact mean vectors (the §2.12 bit-identical
+    * centroid shape from [[q_dedup_semantic]]'s Scaladoc), cached so
+    * the dedup pass and the centroid-similarity matrix share one
+    * materialization of the k tiny rows.
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val comp = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg((sum(col("x").cast("double").cast("decimal(20,8)")) / count(lit(1)))
         .cast("double").as("m"))
-    val cent = comp.groupBy("label")
+    graft.Caches.cached(comp.groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        sm => sm.getField("m")).as("c"))
+        sm => sm.getField("m")).as("c")))
+  }
+
+  def q_dedup_semantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cent = labelCentroids(s, dir)
     val scored = e.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
         // + 0.0 canonicalizes IEEE −0.0: a cosine of −1e-9 rounds to
@@ -196,6 +206,28 @@ object VectorOps {
         coalesce(col("cos_c") >= semDedupTau && col("vec_id") =!= col("keep_id"),
           lit(false)).as("is_dup"))
       .orderBy("vec_id")
+  }
+
+  /** Class-centroid similarity matrix: cosine between every pair of
+    * per-label centroids (label_a < label_b) — the semantic-overlap
+    * readout for mixture planning: two classes whose centroids sit at
+    * cosine ≈ 1 cover the same region of embedding space, so their
+    * sampling weights are redundant (the corpus-level complement of
+    * [[q_dedup_semantic]]'s within-class pruning). Scale shape: the
+    * corpus collapses to k centroid rows first (shared cached frame),
+    * then a k×k broadcast cross join — corpus size never touches the
+    * pair stage, and the pair count is bounded by C(k,2), not rows.
+    */
+  def q_centroid_sim(s: SparkSession, dir: String): DataFrame = {
+    val cent = labelCentroids(s, dir)
+    val b = broadcast(cent
+      .select(col("label").as("label_b"), col("c").as("cb")))
+    cent.select(col("label").as("label_a"), col("c").as("ca"))
+      .crossJoin(b)
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (round(cosine(col("ca"), col("cb")), 4) + lit(0.0)).as("cos_c"))
+      .orderBy("label_a", "label_b")
   }
 
   /** Scalar-quantization bin count (8-bit codes). */

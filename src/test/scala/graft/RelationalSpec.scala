@@ -13,6 +13,7 @@ class RelationalSpec extends AnyFunSuite {
   test("every declared query runs and is non-degenerate at sf0.001") {
     // pair-dedup queries may legitimately be empty on tiny random data
     val mayBeEmpty = Set("q_join_anti", "q_set_except", "q_dedup_minhash",
+      "q_dedup_containment",
       "q_dedup_simhash", "q_dedup_embed", "q_dedup_ngram")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()

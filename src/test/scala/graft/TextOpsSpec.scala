@@ -504,6 +504,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1)._3 == g2.distinct().count(), "distinct 2-grams mismatch")
   }
 
+  test("q_dedup_containment: the integer gate, the ratio, and the " +
+    "contained side are internally consistent on every emitted pair") {
+    val out = TextOps.q_dedup_containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    out.foreach { case (a, b, inter, na, nb, c, contained) =>
+      assert(a < b, "pair not ordered")
+      assert(inter >= 2 && inter <= math.min(na, nb),
+        s"($a,$b) inter $inter outside [2, min($na,$nb)]")
+      assert(2 * inter >= math.min(na, nb), s"($a,$b) fails the 1/2 gate")
+      assert(c >= 0.5 && c <= 1.0, s"($a,$b) containment $c out of range")
+      assert(math.abs(c - BigDecimal(inter.toDouble / math.min(na, nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(contained == (if (na <= nb) a else b),
+        s"($a,$b) contained side mislabeled")
+      // containment always dominates Jaccard on the same pair
+      val jac = inter.toDouble / (na + nb - inter)
+      assert(c >= jac - 1e-9, s"($a,$b) containment below Jaccard")
+    }
+  }
+
   test("q_kl_mixture: every source appears once; KL is nonnegative " +
     "up to per-term rounding slack") {
     val out = TextOps.q_kl_mixture(spark, dir).collect()

@@ -167,6 +167,23 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_centroid_sim: exactly C(k,2) ordered pairs, cosines in " +
+    "[-1,1], every label participates") {
+    val labels = Tables(spark, dir, "embeddings")
+      .select("label").distinct().collect().map(_.getInt(0)).sorted
+    val k = labels.length
+    val out = VectorOps.q_centroid_sim(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length == k * (k - 1) / 2, "pair count != C(k,2)")
+    assert(out.forall(p => p._1 < p._2), "unordered pair emitted")
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
+    assert(out.forall(p => p._3 >= -1.0001 && p._3 <= 1.0001))
+    if (k >= 2) {
+      val seen = out.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      assert(seen.sameElements(labels), "a label is missing from the matrix")
+    }
+  }
+
   test("q_vec_quantize: codes are 8-bit, reconstruction MSE is within " +
     "the uniform-quantizer bound") {
     val rows = VectorOps.q_vec_quantize(spark, dir).collect()
