@@ -2086,19 +2086,22 @@ object Relational {
     * totals are cut into ten equal-population bands with `ntile(10)`
     * (tie-broken by o_orderkey for an engine-identical total order),
     * and each band reports population, value range and exact-decimal
-    * revenue share. The per-priority partitioning keeps the sort
-    * distributed (no global single-partition window); at 100 TB the
-    * same report comes from percentile boundaries instead of a full
-    * ntile when only the band EDGES are needed — materializing band
-    * membership (as here) genuinely requires the partitioned sort.
+    * revenue share. Band membership needs a total order per group,
+    * but a `ntile` window partitioned by the 5-value priority bounds
+    * the sort's parallelism at 5 tasks — the super-linear watch item
+    * BENCH_SCALE flagged (13× for 10× data). [[ScalableRank]] keeps
+    * the exact ntile semantics (same oracle) while sorting on the
+    * full range-partitioned width: one range shuffle, a tiny
+    * per-(partition, group) offset aggregate, broadcast back.
     */
   def q_decile_bands(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("p"), col("o_orderkey"))
-    o.withColumn("band", ntile(10).over(w).cast("long"))
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    ScalableRank.withNtile(o, np, "o_orderpriority",
+        Seq("p", "o_orderkey"), 10, "band")
+      .withColumn("band", col("band").cast("long"))
       .groupBy("o_orderpriority", "band")
       .agg(count(lit(1)).as("n"),
         round(min(col("p")).cast("double"), 2).as("lo"),
