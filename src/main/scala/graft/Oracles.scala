@@ -115,19 +115,26 @@ object Oracles {
     * candidate graph, ending in an `assign(doc_id, cluster_id)` CTE —
     * shared by q_dedup_cluster and q_cluster_stats.
     */
-  private lazy val clusterAssignCte =
-    s"""${shinglesCte.replace("WITH ", "WITH RECURSIVE ")},
-       |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+  /** LSH candidate pairs + symmetric edge list — the shared prefix of
+    * every oracle that walks the near-dup graph (cluster assignment,
+    * k-core peel, per-source duplication share).
+    */
+  private lazy val candEdgesCtes =
+    s"""sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
        |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
        |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
        |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
-       |  UNION ALL SELECT b_id, a_id FROM cand),
+       |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION ALL SELECT b_id, a_id FROM cand)""".stripMargin
+
+  private lazy val clusterAssignCte =
+    s"""${shinglesCte.replace("WITH ", "WITH RECURSIVE ")},
+       |$candEdgesCtes,
        |reach(id, r) AS (
        |  SELECT src, src FROM edges
        |  UNION
@@ -1606,6 +1613,99 @@ object Oracles {
          |SELECT csize, count(*) AS n_clusters,
          |  CAST(sum(csize) AS BIGINT) AS n_docs
          |FROM sizes GROUP BY 1 ORDER BY csize""".stripMargin,
+
+    // per-source duplication share (TextOps.q_dup_share): the same
+    // recursive component assignment; a doc is "removed" iff its
+    // cluster label is not its own id (labels are min-member ids)
+    "q_dup_share" ->
+      s"""$clusterAssignCte
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN a.cluster_id <> a.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(count(*) - sum(CASE WHEN a.cluster_id <> a.doc_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(CAST(sum(CASE WHEN a.cluster_id <> a.doc_id THEN 1
+         |    ELSE 0 END) AS DOUBLE) / count(*), 4) AS removed_share
+         |FROM assign a JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // 3-core of the candidate graph (GraphOps.q_kcore): the peel is
+    // unrolled to exactly kcoreMaxPeels rounds — peeling is monotone,
+    // so rounds past the fixed point are idempotent, and the Spark
+    // side THROWS unless it converges within the same bound, so a
+    // green run proves both engines sit at the identical fixed point
+    "q_kcore" -> {
+      val k = graft.operators.GraphOps.kcoreK
+      val n = graft.operators.GraphOps.kcoreMaxPeels
+      // MATERIALIZED is load-bearing: every round references the
+      // previous alive set TWICE, so default CTE inlining expands
+      // 2^rounds plan copies (observed as an fd-exhaustion blowup)
+      val rounds = (1 to n).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT e.src AS id, count(*) AS deg FROM edges e
+           |  JOIN a${i - 1} x ON e.src = x.id
+           |  JOIN a${i - 1} y ON e.dst = y.id GROUP BY e.src),
+           |a$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""$shinglesCte,
+         |$candEdgesCtes,
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |$rounds
+         |SELECT id AS doc_id, deg AS core_deg FROM d$n
+         |WHERE deg >= $k ORDER BY doc_id""".stripMargin
+    },
+
+    // source-pair shingle Jaccard (TextOps.q_source_overlap): the
+    // self-join is inverted by shingle, distinct at the source grain
+    "q_source_overlap" ->
+      s"""$shinglesCte,
+         |ssrc AS (SELECT DISTINCT d.source, s.shingle
+         |  FROM sh s JOIN documents d USING (doc_id)),
+         |sizes AS (SELECT source, count(*) AS n FROM ssrc GROUP BY source),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS inter
+         |  FROM ssrc a JOIN ssrc b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter, sa.n AS na, sb.n AS nb,
+         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4)
+         |    AS jaccard
+         |FROM inter JOIN sizes sa ON src_a = sa.source
+         |JOIN sizes sb ON src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // Zipf fit (TextOps.q_zipf): per-point ln() rounded to
+    // DECIMAL(18,6) before the exact moment sums (q_kl_mixture
+    // discipline); slope/intercept are single IEEE divisions with the
+    // operation order mirrored from the Spark expressions
+    "q_zipf" -> {
+      val topN = graft.operators.TextOps.zipfTopN
+      s"""WITH tc AS (SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest($tokL) AS tok FROM documents)
+         |  GROUP BY tok),
+         |top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT $topN),
+         |pts AS (SELECT
+         |  CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+         |    AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |  CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |  FROM top),
+         |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         |  sum(CAST(x * x AS DECIMAL(30,12))) AS sxx FROM pts)
+         |SELECT n AS n_terms,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE)
+         |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+         |    AS intercept
+         |FROM m""".stripMargin
+    },
 
     "q_grouping_sets" ->
       """SELECT

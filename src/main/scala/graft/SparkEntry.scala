@@ -213,7 +213,11 @@ object SparkEntry {
     "q_funnel_time" -> (Relational.q_funnel_time _),
     "q_entity_resolve" -> (TextOps.q_entity_resolve _),
     "q_distinct_ngrams" -> (TextOps.q_distinct_ngrams _),
-    "q_kl_mixture" -> (TextOps.q_kl_mixture _)
+    "q_kl_mixture" -> (TextOps.q_kl_mixture _),
+    "q_source_overlap" -> (TextOps.q_source_overlap _),
+    "q_dup_share" -> (TextOps.q_dup_share _),
+    "q_zipf" -> (TextOps.q_zipf _),
+    "q_kcore" -> (GraphOps.q_kcore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

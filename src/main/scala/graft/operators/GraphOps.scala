@@ -258,4 +258,73 @@ object GraphOps {
       .agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
       .limit(20)
+
+  /** k-core parameters — shared verbatim with the oracle (the SQL
+    * twin unrolls exactly [[kcoreMaxPeels]] peel rounds; the Spark
+    * side ASSERTS convergence within that many, so both engines are
+    * provably at the same fixed point whenever the query succeeds —
+    * the connectedComponents maxIters discipline).
+    */
+  private[graft] val kcoreK = 2
+  private[graft] val kcoreMaxPeels = 16
+
+  /** Iterative k-core peel on a symmetric edge list built from
+    * undirected (a_id, b_id) pairs: repeatedly drop nodes with fewer
+    * than k neighbors among the survivors until nothing changes.
+    * Returns (id, deg) for core members, deg = degree WITHIN the
+    * core. Each round is two semi-shaped equi-joins (edges against
+    * the shrinking alive set) + one hash-aggregate degree count —
+    * shuffles keyed on node id, partial-combining, no driver state
+    * beyond the two convergence counters; lineage is truncated per
+    * round ([[Checkpoints.ckpt]]: reliable when a checkpoint dir is
+    * set, local otherwise). Peeling shrinks monotonically, so rounds
+    * past the fixed point are idempotent — which is what lets the
+    * oracle unroll a FIXED count instead of detecting convergence.
+    */
+  private[graft] def kcore(pairs: DataFrame, k: Int,
+                           maxPeels: Int): DataFrame = {
+    import Checkpoints.ckpt
+    val p = ckpt(pairs.toDF("a_id", "b_id"))
+    val edges = ckpt(p.union(p.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst"))
+    var alive = edges.select(col("src").as("id")).distinct()
+    var nAlive = alive.count()
+    var deg = alive.select(col("id").as("src"), lit(0L).as("deg"))
+    var converged = nAlive == 0
+    var round = 0
+    while (!converged && round < maxPeels) {
+      round += 1
+      deg = ckpt(edges
+        .join(alive.withColumnRenamed("id", "src"), "src")
+        .join(alive.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg")))
+      val next = deg.filter(col("deg") >= k).select(col("src").as("id"))
+      val nNext = next.count()
+      converged = nNext == nAlive
+      alive = next
+      nAlive = nNext
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"$k-core peel did not converge in $maxPeels rounds")
+    // converged ⇒ the last deg frame was computed over exactly the
+    // core's node set, so its ≥ k rows are the in-core degrees
+    deg.filter(col("deg") >= k)
+  }
+
+  /** [[kcoreK]]-core of the near-dup candidate graph: the cyclic
+    * backbone of the dedup pair list. Complements q_triangles (local
+    * density) and q_dedup_cluster (reachability): the 2-core peels
+    * away every TREE-shaped appendage, which is exactly the shape an
+    * LSH chaining artifact takes (one bridge doc linking unrelated
+    * docs through shared boilerplate dangles as a path and peels),
+    * while genuine mirrored-content groups close cycles and survive —
+    * the high-confidence dup set reachability clustering absorbs
+    * uncritically. Output: (doc_id, core_deg) per core member.
+    */
+  def q_kcore(s: SparkSession, dir: String): DataFrame =
+    kcore(graft.operators.TextOps.minhashCandidatePairs(s, dir),
+        kcoreK, kcoreMaxPeels)
+      .select(col("src").as("doc_id"), col("deg").as("core_deg"))
+      .orderBy("doc_id")
 }

@@ -2109,4 +2109,115 @@ object TextOps {
         round(sum(col("term")).cast("double"), 4).as("kl"))
       .orderBy("source")
   }
+
+  // ── source-pair overlap (L35) ──────────────────────────────────────
+
+  /** Pairwise SOURCE-level shingle Jaccard — the corpus-overlap audit
+    * for mixture planning: how much raw n-gram material two ingest
+    * sources share (a high-overlap pair means their mixture weights
+    * double-count the same text; q_kl_mixture answers the
+    * distribution-distance version of the same question).
+    *
+    * Shape: distinct (source, shingle) — one linear shuffle — then a
+    * self-join INVERTED BY SHINGLE, so per-shingle fan-out is bounded
+    * by C(k,2) with k = #sources (a handful), never by corpus size;
+    * per-source set sizes broadcast back onto the C(k,2)-row result.
+    * At 100 TB the only growing cost is the distinct; a df-cap like
+    * q_dedup_ngram's is unnecessary because k is small.
+    */
+  def q_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = cached(t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextFns.shingles(col("text"), 3)).as("shingle"))
+      .distinct())
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ss.select(col("source").as("src_a"), col("shingle"))
+      .join(ss.select(col("source").as("src_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("na"),
+        col("nb"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // ── per-source duplication audit (L36) ─────────────────────────────
+
+  /** Per-source duplication share: how much of each ingest source a
+    * keep-min near-dup dedup would REMOVE — the per-source readout of
+    * q_dedup_cluster (which labels docs) and q_cluster_stats (which
+    * histograms cluster sizes). A source with a high removed share is
+    * mostly re-crawled/mirrored material and its mixture weight
+    * overstates its real contribution.
+    *
+    * A doc is removed iff its cluster label differs from its own id
+    * (labels are min-member ids, so the representative keeps itself
+    * and singletons never appear in the pair graph) — no cluster-size
+    * join needed. Cost beyond the shared component labels: one
+    * broadcast-scale join + one 5-row aggregate.
+    */
+  def q_dup_share(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .select(col("source"),
+        when(coalesce(col("label"), col("doc_id")) =!= col("doc_id"), 1L)
+          .otherwise(0L).as("removed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("removed")).as("n_removed"),
+        (count(lit(1)) - sum(col("removed"))).as("n_keep"),
+        round(sum(col("removed")).cast("double") / count(lit(1)), 4)
+          .as("removed_share"))
+      .orderBy("source")
+  }
+
+  // ── Zipf fit (L37) ─────────────────────────────────────────────────
+
+  /** Terms entering the Zipf fit (shared with the oracle). */
+  private[graft] val zipfTopN = 200
+
+  /** Zipf's-law fit over the top-[[zipfTopN]] token frequencies: OLS
+    * slope of ln(count) on ln(rank) — the corpus-health scalar that
+    * flags template/synthetic corpora (natural text sits near −1;
+    * machine-generated boilerplate flattens, token soup steepens).
+    *
+    * Exactness discipline (q_kl_mixture / q_linreg): each point's
+    * ln() doubles are rounded to DECIMAL(18,6) BEFORE the sums, so
+    * the OLS moments accumulate exactly and order-free in both
+    * engines; the final slope/intercept divisions are single IEEE
+    * ops rounded to 6. Shape: one token count (map-side partial),
+    * top-N via TakeOrdered, then a [[zipfTopN]]-row bounded window +
+    * one-row aggregate — the corpus is touched once.
+    */
+  def q_zipf(s: SparkSession, dir: String): DataFrame = {
+    val top = docTokens(s, dir).groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(zipfTopN)
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val pts = top.withColumn("rk", row_number().over(w))
+      .select(
+        round(log(col("rk").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("c").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(30,12)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        round(cov / vx, 6).as("slope"),
+        round((d("sy") - cov / vx * d("sx")) / n, 6).as("intercept"))
+  }
 }

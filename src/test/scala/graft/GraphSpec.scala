@@ -144,4 +144,45 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getString(0).matches("[sp][0-9]+"))
     }
   }
+
+  test("kcore: K4-with-tail fixture peels to exactly the clique; a " +
+    "pure chain peels to nothing") {
+    import spark.implicits._
+    // K4 on 1..4, a tail 4-5-6, and an isolated edge 7-8: the 3-core
+    // is exactly the clique (tail and edge peel away, which also
+    // drops node 4's degree from 4 to 3)
+    val pairs = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(7L,8L)).toDF("a_id", "b_id")
+    val core = GraphOps.kcore(pairs, 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val chain = (1L to 9L).sliding(2)
+      .map(w => (w.head, w.last)).toSeq.toDF("a_id", "b_id")
+    assert(GraphOps.kcore(chain, 3, 16).isEmpty)
+  }
+
+  test("q_kcore: every member has >= k neighbors inside the core " +
+    "(brute-force recheck) and core degree matches") {
+    val pairs = graft.operators.TextOps
+      .minhashCandidatePairs(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = GraphOps.q_kcore(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side reference peel
+    var alive = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    var changed = true
+    while (changed) {
+      val deg = pairs.filter(p => alive(p._1) && alive(p._2))
+        .flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, xs) => (n, xs.length) }
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= GraphOps.kcoreK)
+      changed = next != alive
+      alive = next
+    }
+    val refDeg = pairs.filter(p => alive(p._1) && alive(p._2))
+      .flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => (n, xs.length.toLong) }
+    assert(out == refDeg, "engine 3-core differs from reference peel")
+    Caches.releaseAll()
+  }
 }

@@ -541,4 +541,81 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(out.exists(_._3 > 0.0), "no source diverges from the blend")
   }
+
+  test("q_source_overlap: one row per source pair; inter and jaccard " +
+    "match a brute-force set recompute") {
+    val out = TextOps.q_source_overlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val sets = Tables(spark, dir, "documents")
+      .select(col("source"), explode(
+        graft.functions.TextFns.shingles(col("text"), 3)).as("sh"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).toSet) }
+    val srcs = sets.keys.toSeq.sorted
+    assert(out.size == srcs.combinations(2).size,
+      "missing or extra source pairs")
+    for (Seq(a, b) <- srcs.combinations(2)) {
+      val (inter, na, nb, jac) = out((a, b))
+      val trueInter = (sets(a) intersect sets(b)).size.toLong
+      assert(inter == trueInter, s"($a,$b) inter $inter != $trueInter")
+      assert(na == sets(a).size && nb == sets(b).size)
+      assert(math.abs(jac - BigDecimal(
+        trueInter.toDouble / (na + nb - trueInter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    Caches.releaseAll()
+  }
+
+  test("q_dup_share: per-source counts reconcile with the corpus and " +
+    "with q_dedup_cluster's non-representative members") {
+    val out = TextOps.q_dup_share(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = Tables(spark, dir, "documents")
+    assert(out.map(_._2).sum == docs.count(), "n_docs does not cover corpus")
+    out.foreach { case (src, n, rem, keep, share) =>
+      assert(rem + keep == n, s"$src: removed+keep != n_docs")
+      assert(share >= 0.0 && share < 1.0, s"$src share $share")
+    }
+    val clusterRemoved = TextOps.q_dedup_cluster(spark, dir).collect()
+      .count(r => r.getLong(0) != r.getLong(1)).toLong
+    assert(out.map(_._3).sum == clusterRemoved,
+      "total removed diverges from the cluster assignment")
+    Caches.releaseAll()
+  }
+
+  test("q_zipf: slope is negative on natural-ish text and matches a " +
+    "driver-side OLS recompute to rounding") {
+    val Array(row) = TextOps.q_zipf(spark, dir).collect()
+    val (n, slope, icept) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(n == math.min(TextOps.zipfTopN.toLong, vocab),
+      s"n_terms $n vs min(topN, vocab $vocab)")
+    assert(slope < 0.0, s"Zipf slope $slope not negative")
+    // driver-side reference on the same top-N counts
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(TextOps.zipfTopN)
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (r6(math.log(i + 1.0)), r6(math.log(c.toDouble))) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val nn = pts.length.toDouble
+    val cov = nn * sxy - sx * sy
+    val vx = nn * sxx - sx * sx
+    assert(math.abs(slope - cov / vx) < 1e-4,
+      s"slope $slope vs reference ${cov / vx}")
+    assert(math.abs(icept - (sy - cov / vx * sx) / nn) < 1e-4)
+    Caches.releaseAll()
+  }
 }
