@@ -1674,6 +1674,36 @@ object Oracles {
          |JOIN sizes sb ON src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
 
+    // distinctive terms per source (TextOps.q_topic_terms): smoothed
+    // log-odds of drawing the term inside vs outside the source; the
+    // odds factors are exact integer counts cast to double, so both
+    // engines feed ln() identical doubles; ranking here is a window
+    // row_number — an independent derivation of the ScoredTopKAgg
+    // total order (score DESC, tok)
+    "q_topic_terms" -> {
+      val k = graft.operators.TextOps.topicTermsK
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($tokL) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |st AS (SELECT d.source, tf.tok, sum(tf.c) AS c
+         |  FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |ts AS (SELECT source, sum(c) AS ts FROM st GROUP BY source),
+         |ct AS (SELECT tok, sum(c) AS ct FROM st GROUP BY tok),
+         |tt AS (SELECT sum(ct) AS tt FROM ct),
+         |scored AS (SELECT st.source, st.tok,
+         |  round(ln((CAST(st.c + 1 AS DOUBLE)
+         |      * CAST(tt.tt - ts.ts - (ct.ct - st.c) + 1 AS DOUBLE))
+         |    / (CAST(ts.ts - st.c + 1 AS DOUBLE)
+         |      * CAST(ct.ct - st.c + 1 AS DOUBLE))), 6) AS score
+         |  FROM st JOIN ct USING (tok) JOIN ts USING (source)
+         |  CROSS JOIN tt),
+         |ranked AS (SELECT source, tok, score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, tok) AS BIGINT) AS rk FROM scored)
+         |SELECT source, rk, tok, score FROM ranked WHERE rk <= $k
+         |ORDER BY source, rk""".stripMargin
+    },
+
     // Zipf fit (TextOps.q_zipf): per-point ln() rounded to
     // DECIMAL(18,6) before the exact moment sums (q_kl_mixture
     // discipline); slope/intercept are single IEEE divisions with the

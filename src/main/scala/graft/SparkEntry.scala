@@ -217,6 +217,7 @@ object SparkEntry {
     "q_source_overlap" -> (TextOps.q_source_overlap _),
     "q_dup_share" -> (TextOps.q_dup_share _),
     "q_zipf" -> (TextOps.q_zipf _),
+    "q_topic_terms" -> (TextOps.q_topic_terms _),
     "q_kcore" -> (GraphOps.q_kcore _)
   )
 

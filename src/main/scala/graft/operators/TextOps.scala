@@ -2088,12 +2088,22 @@ object TextOps {
     * scan), and the per-source totals / corpus total are
     * broadcast-joined k-row/1-row frames.
     */
-  def q_kl_mixture(s: SparkSession, dir: String): DataFrame = {
+  /** (source, tok, c) token counts at the source grain — the shared
+    * substrate of q_kl_mixture (distribution distance) and
+    * q_topic_terms (distinctive vocabulary): the token stream
+    * collapses to per-(doc, tok) counts BEFORE the metadata join, and
+    * the cached frame gives both consumers one materialization.
+    */
+  private def sourceTermCounts(s: SparkSession, dir: String): DataFrame = {
     val tf = docTokens(s, dir).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("c"))
     val meta = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val st = cached(tf.join(meta, "doc_id")
+    cached(tf.join(meta, "doc_id")
       .groupBy("source", "tok").agg(sum(col("c")).as("c")))
+  }
+
+  def q_kl_mixture(s: SparkSession, dir: String): DataFrame = {
+    val st = sourceTermCounts(s, dir)
     val srcTot = st.groupBy("source").agg(sum(col("c")).as("ts"))
     val ctok = st.groupBy("tok").agg(sum(col("c")).as("ct"))
     val tot = ctok.agg(sum(col("ct")).as("tt"))
@@ -2108,6 +2118,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("term")).cast("double"), 4).as("kl"))
       .orderBy("source")
+  }
+
+  // ── distinctive terms per source (L39) ─────────────────────────────
+
+  /** Terms kept per source — shared verbatim with the oracle. */
+  private[graft] val topicTermsK = 10
+
+  /** Top-[[topicTermsK]] DISTINCTIVE terms per source by smoothed
+    * log-odds ratio — the domain-signature readout (q_kl_mixture says
+    * HOW FAR a source sits from the blend; this names the terms that
+    * put it there): score = ln of the (+1-smoothed) odds of drawing
+    * the term inside the source vs outside it.
+    *
+    * Exactness: the four odds factors are exact BIGINT counts cast to
+    * double (exact below 2^53), so both engines feed ln() the
+    * IDENTICAL double and the rounded score can only diverge if two
+    * DIFFERENT count tuples land within an ulp of the same 6-dp
+    * rounding boundary; ties (equal counts ⇒ equal scores) break by
+    * term. Ranking is [[graft.functions.ScoredTopKAgg]] — bounded
+    * k-pair state with map-side pruning, not a #sources-parallel
+    * window sort; the oracle's row_number formulation independently
+    * derives the same total order.
+    */
+  def q_topic_terms(s: SparkSession, dir: String): DataFrame = {
+    val st = sourceTermCounts(s, dir)
+    val srcTot = st.groupBy("source").agg(sum(col("c")).as("ts"))
+    val ctok = st.groupBy("tok").agg(sum(col("c")).as("ct"))
+    val tot = ctok.agg(sum(col("ct")).as("tt"))
+    val cs = col("c")
+    val co = col("ct") - cs
+    val num = (cs + 1).cast("double") *
+      ((col("tt") - col("ts")) - co + 1).cast("double")
+    val topk = udaf(new graft.functions.ScoredTopKAgg(topicTermsK),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.STRING))
+    st.join(ctok, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tok"),
+        round(log(num /
+          ((col("ts") - cs + 1).cast("double") * (co + 1).cast("double"))),
+          6).as("score"))
+      .groupBy("source")
+      .agg(topk(col("score"), col("tok")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rk0", "p")))
+      .select(col("source"), (col("rk0") + 1).cast("long").as("rk"),
+        col("p._2").as("tok"), col("p._1").as("score"))
+      .orderBy("source", "rk")
   }
 
   // ── source-pair overlap (L35) ──────────────────────────────────────

@@ -542,6 +542,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0.0), "no source diverges from the blend")
   }
 
+  test("q_topic_terms: ranks are contiguous, scores non-increasing, " +
+    "and the top terms match a brute-force log-odds recompute") {
+    val out = TextOps.q_topic_terms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 >= b._4, s"$src scores increase at rank ${b._2}")
+      }
+    }
+    // brute-force reference on the raw token stream
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val st = toks.groupBy(identity).map { case ((s0, t0), xs) =>
+      ((s0, t0), xs.length.toLong) }
+    val ts = st.groupBy(_._1._1).map { case (s0, m) => (s0, m.values.sum) }
+    val ct = st.groupBy(_._1._2).map { case (t0, m) => (t0, m.values.sum) }
+    val tt = ct.values.sum
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = st.keys.groupBy(_._1).map { case (s0, keys) =>
+      val scored = keys.map { case (_, t0) =>
+        val c = st((s0, t0)); val co = ct(t0) - c
+        val num = (c + 1).toDouble * (tt - ts(s0) - co + 1).toDouble
+        val den = (ts(s0) - c + 1).toDouble * (co + 1).toDouble
+        (t0, r6(math.log(num / den)))
+      }.toSeq.sortBy { case (t0, sc) => (-sc, t0) }
+        .take(TextOps.topicTermsK)
+      (s0, scored)
+    }
+    bySrc.foreach { case (src, rows) =>
+      val got = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == want(src), s"$src top terms diverge from reference")
+    }
+    Caches.releaseAll()
+  }
+
   test("q_source_overlap: one row per source pair; inter and jaccard " +
     "match a brute-force set recompute") {
     val out = TextOps.q_source_overlap(spark, dir).collect()
