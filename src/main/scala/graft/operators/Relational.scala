@@ -708,13 +708,17 @@ object Relational {
     * boundaries — the frame logic is unchanged.
     */
   def q_rolling_time(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("ts").cast("long"))
-      .rangeBetween(-3600, Window.currentRow)
-    t(s, dir, "events")
+    val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("ts"),
+        col("value"), col("ts").cast("long").as("tsl"))
+    val (fanned, w) = RangeHalo.trailing(ev, "event_type", "tsl", 3600L)
+    fanned
+      .select(col("event_id"), col("event_type"), col("ts"),
+        col("__home"),
         count(lit(1)).over(w).as("n_1h"),
         round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .filter(col("__home"))
+      .drop("__home")
       .orderBy("event_id")
   }
 
