@@ -115,6 +115,26 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding DISTINCT-user counts (6-hour window every hour) — the
+    * streaming twin of batch q_sliding_uniques, with the honest
+    * streaming trade stated in the operator: exact distinct needs a
+    * per-window user SET (what the batch twin materializes via its
+    * window surjection; `countDistinct` is unsupported on streams
+    * for exactly that unbounded-state reason), so the streaming form
+    * carries an HLL sketch instead — constant state per window
+    * regardless of user cardinality, mergeable across partitions and
+    * micro-batches. The sketch hash is deterministic, so the
+    * complete-mode result is BIT-equal to the same aggregation in
+    * batch (spec'd), and within HLL error of the exact batch twin
+    * (spec'd against q_sliding_uniques).
+    */
+  def slidingUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(col("window.end").as("win_end"), col("n_users_approx"))
+
   /** Event-time SESSION windows (30-minute gap) + watermark — the
     * native streaming form of gap sessionization. Batch twin:
     * q_sessionize (lag/cumsum formulation, oracle-checkable); the

@@ -55,6 +55,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.getLong(2)).sum == evCount * 4)
   }
 
+  test("sliding distinct-user sketch: complete-mode output equals the " +
+    "batch run and tracks exact q_sliding_uniques within HLL error") {
+    val q = Streams.slidingUniques(Streams.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("uniq_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("uniq_out")
+      .orderBy("win_end").collect().toSeq
+    val batch = Streams.slidingUniques(Tables(spark, dir, "events"))
+      .orderBy("win_end").collect().toSeq
+    assert(streamed.nonEmpty)
+    // deterministic sketch hash ⇒ streaming == batch exactly
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+    // accuracy vs the EXACT batch twin: q_sliding_uniques keys by
+    // trailing-window end hour; window.end/3600 - 1 is that hour
+    val exact = Relational.q_sliding_uniques(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val approx = streamed.map(r =>
+      (r.getTimestamp(0).getTime / 1000 / 3600 - 1, r.getLong(1))).toMap
+    val hits = exact.keySet intersect approx.keySet
+    assert(hits.size == exact.size,
+      "observed-hour windows missing from the streaming sketch")
+    hits.foreach { w =>
+      val (e, a) = (exact(w).toDouble, approx(w).toDouble)
+      assert(math.abs(a - e) / e <= 0.15,
+        s"window $w: approx $a vs exact $e beyond HLL tolerance")
+    }
+  }
+
   test("streaming session_window sessions equal batch q_sessionize") {
     val q = Streams.sessionCounts(Streams.eventsStream(spark, eventsDir))
       .writeStream.outputMode("complete")
