@@ -2152,6 +2152,42 @@ object Oracles {
          |    + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // threshold-tuning histogram (TextOps.q_hamming_hist): the same
+    // candidate pairs under the WIDER audit ceiling (the gate pushes
+    // below the distinct, like the dedup's verify threshold),
+    // distance-bucketed with a bounded cumulative window
+    "q_hamming_hist" ->
+      s"""$simhashCte,
+         |bands AS ($simhashBandSelects),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+         |    + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+         |    + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT)
+         |  <= ${graft.operators.TextOps.hammingAuditMax}),
+         |hist AS (SELECT hamming, count(*) AS n_pairs FROM pairs
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM hist)
+         |SELECT hamming, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY hamming) AS BIGINT)
+         |    AS cum_pairs,
+         |  round(CAST(sum(n_pairs) OVER (ORDER BY hamming) AS DOUBLE)
+         |    / t, 4) AS cum_share
+         |FROM hist CROSS JOIN tot ORDER BY hamming""".stripMargin,
+
+    // LSH banding-health readout (TextOps.q_degree_dist): degree
+    // histogram of the symmetric candidate edge list
+    "q_degree_dist" ->
+      s"""$shinglesCte,
+         |$candEdgesCtes,
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges
+         |  GROUP BY src)
+         |SELECT deg, count(*) AS n_nodes FROM deg
+         |GROUP BY deg ORDER BY deg""".stripMargin,
+
     // ── vectors (SURVEY §2.11) ─────────────────────────────────────
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -218,6 +218,8 @@ object SparkEntry {
     "q_dup_share" -> (TextOps.q_dup_share _),
     "q_zipf" -> (TextOps.q_zipf _),
     "q_topic_terms" -> (TextOps.q_topic_terms _),
+    "q_hamming_hist" -> (TextOps.q_hamming_hist _),
+    "q_degree_dist" -> (TextOps.q_degree_dist _),
     "q_kcore" -> (GraphOps.q_kcore _)
   )
 

@@ -953,6 +953,73 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Audit ceiling for [[q_hamming_hist]] — shared verbatim with the
+    * oracle. Distances past 16 of 64 bits are not near-dups under ANY
+    * plausible verify threshold, so the histogram gates there: the
+    * predicate pushes below the pair distinct exactly like
+    * q_dedup_simhash's ≤ [[simhashHammingMax]] gate, which is what
+    * keeps both queries Ω(close pairs) instead of Ω(bucket
+    * collisions) — the ungated first cut measured 50 s at sf10 vs
+    * 1.9 s at sf1.0 because banding hubs pay full distinct cost when
+    * nothing prunes them.
+    */
+  private[graft] val hammingAuditMax = 16
+
+  /** SimHash Hamming-distance histogram over the banded candidate
+    * pairs — the threshold-TUNING readout for q_dedup_simhash: where
+    * that query applies the ≤ [[simhashHammingMax]] verify gate, this
+    * reports the distance distribution up to the wider
+    * [[hammingAuditMax]] audit ceiling (with cumulative share) so an
+    * operator can see what any other plausible threshold would admit
+    * before re-running the dedup. Same candidate generation, one
+    * bounded histogram + a bounded cumulative window — the corpus
+    * never flows past the banded join.
+    */
+  def q_hamming_hist(s: SparkSession, dir: String): DataFrame = {
+    val bands = simhashBandRows(simhashSignatures(s, dir))
+    val a = bands.select(col("doc_id").as("a_id"), col("sim_hi").as("hi_a"),
+      col("sim_lo").as("lo_a"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("sim_hi").as("hi_b"),
+      col("sim_lo").as("lo_b"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
+          + bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= hammingAuditMax)
+      .distinct()
+    // cached: the ≤ 17-row histogram feeds both the cumulative branch
+    // and its own total — without this the banded join runs twice
+    val hist = cached(
+      pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs")))
+    val w = Window.orderBy("hamming")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("t"))))
+      .select(col("hamming"), col("n_pairs"), col("cum_pairs"),
+        round(col("cum_pairs").cast("double") / col("t"), 4)
+          .as("cum_share"))
+      .orderBy("hamming")
+  }
+
+  /** Degree distribution of the near-dup candidate graph — the
+    * shape diagnostic for LSH banding health: a long high-degree tail
+    * means hub buckets are chaining unrelated docs (the q_kcore /
+    * q_triangles failure mode), a mass at degree 1–2 means clean
+    * pairwise duplication. Two hash aggregates over the symmetric
+    * edge list; output bounded by the max degree.
+    */
+  def q_degree_dist(s: SparkSession, dir: String): DataFrame = {
+    val p = minhashCandidatePairs(s, dir)
+    val deg = p.select(col("a_id").as("id"))
+      .union(p.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
   /** Repetition quality signals, the Gopher/RefinedWeb-style filters
     * real curation stacks gate on: within-document duplicate 2-gram
     * fraction (boilerplate/template detector) and top-token share

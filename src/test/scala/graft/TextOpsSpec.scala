@@ -542,6 +542,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0.0), "no source diverges from the blend")
   }
 
+  test("q_hamming_hist: bounded distances, monotone cumulative, and " +
+    "the below-threshold mass equals q_dedup_simhash's pair count") {
+    val out = TextOps.q_hamming_hist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (h, n, _, share) =>
+      assert(h >= 0 && h <= TextOps.hammingAuditMax,
+        s"hamming $h past the audit ceiling")
+      assert(n > 0)
+      assert(share > 0.0 && share <= 1.0 + 1e-9)
+    }
+    val sorted = out.sortBy(_._1)
+    assert(sorted.map(_._2).sum == sorted.last._3,
+      "cumulative tail is not the total")
+    assert(math.abs(sorted.last._4 - 1.0) < 1e-9)
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a._3 < b._3, "cumulative counts not strictly increasing")
+    }
+    val gated = TextOps.q_dedup_simhash(spark, dir).count()
+    assert(sorted.filter(_._1 <= TextOps.simhashHammingMax)
+      .map(_._2).sum == gated,
+      "histogram mass below the verify threshold diverges from the dedup")
+    Caches.releaseAll()
+  }
+
+  test("q_degree_dist: degree mass is twice the pair count and nodes " +
+    "cover the pair universe") {
+    val out = TextOps.q_degree_dist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = TextOps.minhashCandidatePairs(spark, dir).collect()
+    assert(out.map { case (d, n) => d * n }.sum == 2L * pairs.length,
+      "sum of degrees != 2|E|")
+    assert(out.map(_._2).sum ==
+      pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length)
+    out.foreach { case (d, n) => assert(d >= 1 && n >= 1) }
+    Caches.releaseAll()
+  }
+
   test("q_topic_terms: ranks are contiguous, scores non-increasing, " +
     "and the top terms match a brute-force log-odds recompute") {
     val out = TextOps.q_topic_terms(spark, dir).collect()
