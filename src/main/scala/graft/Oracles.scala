@@ -2178,6 +2178,33 @@ object Oracles {
          |    / t, 4) AS cum_share
          |FROM hist CROSS JOIN tot ORDER BY hamming""".stripMargin,
 
+    // per-source quality dashboard (TextOps.q_source_profile): the
+    // same predLang/score snippets every gate oracle shares; score
+    // mean via the exact 2·half-integer BIGINT trick (q_corpus_stats)
+    "q_source_profile" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len($tokL)) AS BIGINT) AS total_tok,
+         |  CAST(sum(CASE WHEN $predLangSql = 'en' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_en,
+         |  round(CAST(sum(CAST($scoreSql * 2 AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 2), 4) AS avg_score,
+         |  round(CAST(sum(len($tokL)) AS DOUBLE) / count(*), 2)
+         |    AS avg_tok
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // cross-source near-dup provenance (TextOps.q_dup_matrix): each
+    // candidate pair mapped to its unordered source pair
+    "q_dup_matrix" ->
+      s"""$shinglesCte,
+         |$candEdgesCtes,
+         |m AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM cand
+         |  JOIN documents da ON cand.a_id = da.doc_id
+         |  JOIN documents db ON cand.b_id = db.doc_id)
+         |SELECT src_a, src_b, count(*) AS n_pairs FROM m
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // LSH banding-health readout (TextOps.q_degree_dist): degree
     // histogram of the symmetric candidate edge list
     "q_degree_dist" ->

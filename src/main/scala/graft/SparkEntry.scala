@@ -220,6 +220,8 @@ object SparkEntry {
     "q_topic_terms" -> (TextOps.q_topic_terms _),
     "q_hamming_hist" -> (TextOps.q_hamming_hist _),
     "q_degree_dist" -> (TextOps.q_degree_dist _),
+    "q_source_profile" -> (TextOps.q_source_profile _),
+    "q_dup_matrix" -> (TextOps.q_dup_matrix _),
     "q_kcore" -> (GraphOps.q_kcore _)
   )
 

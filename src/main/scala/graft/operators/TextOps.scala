@@ -1083,6 +1083,53 @@ object TextOps {
       .orderBy("pred_lang")
   }
 
+  /** Per-SOURCE data-quality dashboard — the governance readout every
+    * ingest pipeline publishes per feed: volume (docs, tokens,
+    * mean length), language yield (docs passing the en heuristic),
+    * and mean quality score. One scan, one hash aggregate on the
+    * source key; the score mean uses q_corpus_stats' exact
+    * 2·half-integer BIGINT trick, so nothing can float-drift.
+    * Complements q_corpus_stats (per predicted language) and
+    * q_dup_share (per-source duplication) on the same axis.
+    */
+  def q_source_profile(s: SparkSession, dir: String): DataFrame =
+    withToks(t(s, dir, "documents"),
+      col("source"), nospaceC.as("__nospace"))
+      .select(col("source"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        predLangOf(col("__toks")).as("pl"),
+        scoreOf(col("__toks"), col("__nospace")).as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        sum(when(col("pl") === "en", 1L).otherwise(0L)).as("n_en"),
+        round(sum((col("score") * 2).cast("long")).cast("double")
+          / (count(lit(1)) * 2), 4).as("avg_score"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 2)
+          .as("avg_tok"))
+      .orderBy("source")
+
+  /** Cross-source near-dup pair matrix — WHERE duplication comes
+    * from: each LSH candidate pair mapped to its (unordered) source
+    * pair and counted. The diagonal is within-feed re-crawl; heavy
+    * off-diagonal cells are mirror relationships between feeds — the
+    * provenance view that q_source_overlap (raw shingle overlap) and
+    * q_dup_share (per-source rate) don't resolve. Cost: two id-keyed
+    * joins of the bounded pair list against the doc→source map.
+    */
+  def q_dup_matrix(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    minhashCandidatePairs(s, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sx")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sy")),
+        Seq("b_id"))
+      .select(least(col("sx"), col("sy")).as("src_a"),
+        greatest(col("sx"), col("sy")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Width of the duplicated-span shingle window (tokens). */
   val dedupSpanW = 5
 

@@ -542,6 +542,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0.0), "no source diverges from the blend")
   }
 
+  test("q_source_profile: volumes cover the corpus and the language " +
+    "yield reconciles with q_lang_id") {
+    val out = TextOps.q_source_profile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val docs = Tables(spark, dir, "documents")
+    assert(out.map(_._2).sum == docs.count())
+    val enTotal = TextOps.q_lang_id(spark, dir).collect()
+      .count(_.getString(3) == "en").toLong
+    assert(out.map(_._4).sum == enTotal,
+      "per-source en yield diverges from q_lang_id")
+    out.foreach { case (src, n, tok, en, score, avgTok) =>
+      assert(en <= n, s"$src: n_en exceeds n_docs")
+      assert(score >= 0.0 && score <= 1.0, s"$src avg_score $score")
+      assert(math.abs(avgTok - tok.toDouble / n) < 0.005 + 1e-9,
+        s"$src avg_tok inconsistent with totals")
+    }
+    Caches.releaseAll()
+  }
+
+  test("q_dup_matrix: pair mass partitions the candidate list and " +
+    "cells are unordered source pairs") {
+    val out = TextOps.q_dup_matrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nPairs = TextOps.minhashCandidatePairs(spark, dir).count()
+    assert(out.map(_._3).sum == nPairs,
+      "matrix mass != candidate pair count")
+    out.foreach { case (a, b, n) =>
+      assert(a <= b, s"cell ($a,$b) not canonically ordered")
+      assert(n >= 1)
+    }
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
+    Caches.releaseAll()
+  }
+
   test("q_hamming_hist: bounded distances, monotone cumulative, and " +
     "the below-threshold mass equals q_dedup_simhash's pair count") {
     val out = TextOps.q_hamming_hist(spark, dir).collect()
