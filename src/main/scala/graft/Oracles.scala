@@ -260,6 +260,15 @@ object Oracles {
         |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // VERBATIM q_agg_quantile's oracle: same contract, independent
+    // rank-selection plan on the Spark side (Relational.scala)
+    "q_quantile_scalable" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_time_parts" ->
       """SELECT event_id, CAST(year(ts) AS BIGINT) AS y,
         |  CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d,

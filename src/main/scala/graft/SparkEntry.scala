@@ -53,6 +53,7 @@ object SparkEntry {
     "q_agg_argminmax" -> (Relational.q_agg_argminmax _),
     "q_agg_corr" -> (Relational.q_agg_corr _),
     "q_agg_quantile" -> (Relational.q_agg_quantile _),
+    "q_quantile_scalable" -> (Relational.q_quantile_scalable _),
     "q_time_parts" -> (Relational.q_time_parts _),
     "q_pivot" -> (Relational.q_pivot _),
     "q_profile" -> (operators.Profiler.q_profile _),

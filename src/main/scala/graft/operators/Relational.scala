@@ -256,6 +256,74 @@ object Relational {
         round(element_at(col("ps"), 3), 2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** EXACT grouped quantiles at scale — q_agg_quantile's results from
+    * a rank-selection plan instead of Spark's `percentile` aggregate.
+    * `percentile` buffers every (value, count) per group in the
+    * aggregation buffer: memory ∝ distinct values per group, which on
+    * a 100 TB fact table with 3 groups is an executor OOM, and the
+    * documented dodge (approx_percentile) surrenders exactness. Rank
+    * selection keeps it exact with bounded memory: [[ScalableRank]]
+    * ranks the values (one range shuffle, group-count-independent
+    * parallelism), a 3-row total frame turns each requested quantile
+    * into its two bracketing ranks ((n−1)·q is exact in IEEE for
+    * dyadic q), a broadcast semi-join plucks those ~18 rows, and the
+    * weighted (1−d)·lo + d·hi interpolation — the exact arithmetic
+    * `percentile`/`quantile_cont` define, so the DuckDB twin is
+    * VERBATIM q_agg_quantile's oracle: two independent plans, one
+    * contract, both hash-gated.
+    *
+    * Measured trade (BENCH_SCALE r5b): at sf10 the aggregate wins
+    * wall-clock (5.7 s vs 15.3 s) because per-group distinct values
+    * still fit its buffer and it shuffles only partial maps, while
+    * this plan range-shuffles every row. The rank plan is the
+    * exactness-preserving path once the value-distinct count per
+    * group exceeds executor memory — pick by data shape, the
+    * contract is identical either way.
+    */
+  def q_quantile_scalable(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"))
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // ties in v are harmless: order statistics are tie-order invariant
+    val ranked = ScalableRank.withRank(li, np, "g",
+      Seq("v", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "rk")
+    val totals = ranked.groupBy("g").agg(count(lit(1)).as("n"))
+    val idx = (col("n") - 1).cast("double") * col("q") // exact: dyadic q
+    val targets = totals
+      .select(col("g"), col("n"),
+        posexplode(array(lit(0.25), lit(0.5), lit(0.75)))
+          .as(Seq("qi", "q")))
+      .select(col("g"), col("qi"),
+        floor(idx).cast("long").as("lo0"),
+        (idx - floor(idx)).as("frac"), col("n"))
+    val want = targets.select(col("g"), col("qi"), col("frac"),
+        (col("lo0") + 1).as("rk"), lit(true).as("isLo"))
+      .union(targets.select(col("g"), col("qi"), col("frac"),
+        least(col("lo0") + 2, col("n")).as("rk"), lit(false).as("isLo")))
+    val picked = ranked.join(broadcast(want), Seq("g", "rk"))
+      .groupBy("g", "qi")
+      .agg(max(when(col("isLo"), col("v"))).as("vlo"),
+        max(when(!col("isLo"), col("v"))).as("vhi"),
+        first(col("frac")).as("frac"))
+      .select(col("g"), col("qi"),
+        // vhi is NULL when both bracketing ranks coincide (frac = 0,
+        // single-row group): coalesce to vlo. Interpolation is the
+        // WEIGHTED form (1−d)·lo + d·hi — Spark's Percentile and
+        // DuckDB's quantile_cont both compute this shape, and it
+        // differs from lo + d·(hi−lo) by an ulp (observed as a
+        // last-cent mismatch on the R group)
+        round((lit(1.0) - col("frac")) * col("vlo") + col("frac")
+          * coalesce(col("vhi"), col("vlo")), 2).as("p"))
+    picked.groupBy(col("g").as("l_returnflag"))
+      .agg(max(when(col("qi") === 0, col("p"))).as("p25"),
+        max(when(col("qi") === 1, col("p"))).as("p50"),
+        max(when(col("qi") === 2, col("p"))).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** A5 completion: explicit GROUPING SETS — exactly the two
     * single-key subtotal sets, which neither rollup (adds the grand
     * total + hierarchy) nor cube (adds the full cross) expresses.

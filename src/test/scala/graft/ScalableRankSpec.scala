@@ -50,6 +50,17 @@ class ScalableRankSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_quantile_scalable: rank-selection quantiles equal the " +
+    "percentile-aggregate formulation bit for bit") {
+    val got = graft.operators.Relational
+      .q_quantile_scalable(spark, dir).collect()
+    val want = graft.operators.Relational
+      .q_agg_quantile(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    Caches.releaseAll()
+  }
+
   test("the sort spreads wider than one task per group: max partition " +
     "size stays under the biggest group's row count") {
     val np = 16
