@@ -56,7 +56,7 @@ object Oracles {
   // simhash: 64-bit token hash from md5's first 16 hex chars, kept as
   // two 32-bit halves (hh = chars 1-8, hl = chars 9-16) — mirrors
   // TextFns.tokenHashHalf / TextOps.simhashSignatures geometry
-  // (simhashBits=64, simhashBandBits=16)
+  // (simhashBits=64; banding geometry interpolated below)
   private def hexDigit(i: Int) =
     s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
   private def hexWord(start: Int) = (0 until 8)
@@ -79,13 +79,27 @@ object Oracles {
        |sig AS (SELECT doc_id,
        |  CAST(${simhashAssemble(32 until 64, 32)} AS BIGINT) AS sim_hi,
        |  CAST(${simhashAssemble(0 until 32, 0)} AS BIGINT) AS sim_lo FROM votes)""".stripMargin
-  // one SELECT per 16-bit band; bands never straddle the halves
-  private val simhashBandSelects = (0 until 4).map { j =>
-    val bucket =
-      if ((j + 1) * 16 <= 32) s"(sim_lo >> ${j * 16}) & 65535"
-      else s"(sim_hi >> ${j * 16 - 32}) & 65535"
-    s"SELECT doc_id, sim_hi, sim_lo, $j AS band, $bucket AS bucket FROM sig"
-  }.mkString("\nUNION ALL ")
+  // Manku block-combination banding — the block layout and the
+  // 3-of-6 combination list are interpolated from TextOps'
+  // simhashBlocks/simhashCombos, so the two engines' candidate
+  // geometries cannot desynchronize (the q_dedup_span discipline)
+  private val simhashBlockCols =
+    graft.operators.TextOps.simhashBlocks.zipWithIndex
+      .map { case ((hi, start, w), i) =>
+        val word = if (hi) "sim_hi" else "sim_lo"
+        s"(($word >> $start) & ${(1L << w) - 1}) AS b$i"
+      }.mkString(", ")
+  private val simhashBlkCte =
+    s"blk AS (SELECT doc_id, sim_hi, sim_lo, $simhashBlockCols FROM sig)"
+  private val simhashBandSelects = {
+    val lane = graft.operators.TextOps.simhashLaneBits
+    graft.operators.TextOps.simhashCombos.zipWithIndex.map { case (c, j) =>
+      val key = c.zipWithIndex
+        .map { case (bi, pos) => s"b$bi * ${1L << (lane * (c.size - 1 - pos))}" }
+        .mkString(" + ")
+      s"SELECT doc_id, sim_hi, sim_lo, $j AS band, $key AS bucket FROM blk"
+    }.mkString("\nUNION ALL ")
+  }
 
   private val minhashLegs = (0 until 8)
     .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
@@ -2151,6 +2165,7 @@ object Oracles {
 
     "q_dedup_simhash" ->
       s"""$simhashCte,
+         |$simhashBlkCte,
          |bands AS ($simhashBandSelects)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.sim_hi, b.sim_hi))
@@ -2167,6 +2182,7 @@ object Oracles {
     // distance-bucketed with a bounded cumulative window
     "q_hamming_hist" ->
       s"""$simhashCte,
+         |$simhashBlkCte,
          |bands AS ($simhashBandSelects),
          |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.sim_hi, b.sim_hi))
@@ -2790,6 +2806,171 @@ object Oracles {
         |  round(CAST(wnum AS DOUBLE) / ${(1L << taps) - 1}.0, 4) AS smooth
         |FROM l WHERE wnum IS NOT NULL
         |ORDER BY event_type, h""".stripMargin
+    },
+
+    // hourly-count autocorrelation (Relational.q_acf): the estimator
+    // multiplied through by n² so every factor is an exact integer
+    // (HUGEINT here ≡ Spark's DECIMAL(38,0)); lags unrolled from the
+    // shared acfMaxLag
+    "q_acf" -> {
+      val maxLag = operators.Relational.acfMaxLag
+      val leads = (1 to maxLag)
+        .map(k => s"lead(cnt, $k) OVER w AS l$k").mkString(", ")
+      val moments = (1 to maxLag).map(k =>
+        s"CAST(sum(cnt * l$k) AS BIGINT) AS q$k, " +
+          s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN cnt END) AS BIGINT) AS a$k, " +
+          s"CAST(sum(l$k) AS BIGINT) AS b$k").mkString(", ")
+      val lagSelects = (1 to maxLag).map { k =>
+        val num = s"CAST(n AS HUGEINT)*n*q$k - CAST(n AS HUGEINT)*s*(a$k+b$k)" +
+          s" + (CAST(n AS HUGEINT) - $k)*s*s"
+        val den = "CAST(n AS HUGEINT)*(CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)"
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, " +
+          s"CAST(n - $k AS BIGINT) AS n_pairs, " +
+          s"round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS acf FROM m"
+      }.mkString("\nUNION ALL ")
+      s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS mn, max(h) AS mx
+        |    FROM hourly GROUP BY 1)),
+        |dense AS (SELECT s.event_type, s.h,
+        |    coalesce(hourly.cnt, 0) AS cnt
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h),
+        |l AS (SELECT event_type, cnt, $leads
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS q, $moments
+        |  FROM l GROUP BY 1)
+        |$lagSelects
+        |ORDER BY event_type, lag""".stripMargin
+    },
+
+    // PSI drift report (Relational.q_psi_drift): midpoint split via
+    // the integer-exact 2e <= mn+mx compare, equi-width bins, +1
+    // Laplace smoothing, per-bin contributions rounded DECIMAL(18,6)
+    // before the exact sum (the q_kl_mixture discipline)
+    "q_psi_drift" -> {
+      val bw = operators.Relational.psiBinWidth
+      val bound = operators.Relational.psiDriftBound
+      s"""WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+        |    CAST(floor(value / $bw) AS BIGINT) AS bin FROM events),
+        |bd AS (SELECT min(e) AS mn, max(e) AS mx FROM e),
+        |binned AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN e * 2 <= mn + mx THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN e * 2 <= mn + mx THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS c_cur
+        |  FROM e CROSS JOIN bd GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, c_ref, c_cur,
+        |    CAST(sum(c_ref) OVER t AS BIGINT) AS n_ref,
+        |    CAST(sum(c_cur) OVER t AS BIGINT) AS n_cur,
+        |    CAST(count(*) OVER t AS BIGINT) AS k
+        |  FROM binned WINDOW t AS (PARTITION BY event_type)),
+        |con AS (SELECT event_type, n_ref, n_cur,
+        |    CAST(round((CAST(c_ref + 1 AS DOUBLE) / (n_ref + k)
+        |        - CAST(c_cur + 1 AS DOUBLE) / (n_cur + k))
+        |      * ln(CAST((c_ref + 1) * (n_cur + k) AS DOUBLE)
+        |        / CAST((c_cur + 1) * (n_ref + k) AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM c)
+        |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(contrib) AS DOUBLE) AS psi,
+        |  CAST(CASE WHEN sum(contrib) > $bound THEN 1 ELSE 0 END AS BIGINT)
+        |    AS drifted
+        |FROM con GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // leave-one-out + smoothed mean target encoding
+    // (Relational.q_target_encode): exact DECIMAL(18,2) sums; the
+    // 4-dp half-up round is INTEGER arithmetic (⌊(2a+d)/(2d)⌋) in
+    // both engines — rounding the float quotient flips the 4th
+    // decimal on exact half boundaries
+    "q_target_encode" -> {
+      val m = operators.Relational.encodePrior
+      s"""WITH ev AS (SELECT event_id, user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |pu AS (SELECT user_id, sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1),
+        |g AS (SELECT sum(v) AS gs, CAST(count(*) AS BIGINT) AS gn FROM ev)
+        |SELECT event_id, user_id,
+        |  CASE WHEN n > 1 THEN
+        |    CAST((2 * CAST((s - v) * 10000 AS BIGINT) + (n - 1))
+        |      // (2 * (n - 1)) AS DOUBLE) / 10000 END AS loo_enc,
+        |  CAST((2 * CAST((s * gn + $m * gs) * 10000 AS BIGINT)
+        |      + gn * (n + $m))
+        |    // (2 * gn * (n + $m)) AS DOUBLE) / 10000 AS smooth_enc
+        |FROM ev JOIN pu USING (user_id) CROSS JOIN g
+        |ORDER BY event_id""".stripMargin
+    },
+
+    // interval-overlap join (Relational.q_join_interval): sessions ×
+    // hot hours; the oracle keeps the RANGE predicate implicit the
+    // same way — each session explodes to exactly the hour buckets
+    // its interval intersects
+    "q_join_interval" -> {
+      val f = operators.Relational.hotHourFactor
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+        |se AS (SELECT user_id, ts, event_id, e,
+        |    CASE WHEN lag(e, 1) OVER w IS NULL
+        |      OR e - lag(e, 1) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, e,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM se),
+        |sess AS (SELECT user_id, session_id, min(e) AS s_start,
+        |    max(e) AS s_end, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sid GROUP BY 1, 2),
+        |hh AS (SELECT e - e % 3600 AS h, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_hours FROM hh),
+        |hot AS (SELECT h AS hot_h FROM hh CROSS JOIN tt
+        |  WHERE cnt * n_hours > $f * total),
+        |ex AS (SELECT user_id, session_id, s_start, s_end, n_events,
+        |    unnest(generate_series(s_start // 3600, s_end // 3600)) AS hb
+        |  FROM sess)
+        |SELECT user_id, session_id, s_start, s_end, n_events,
+        |  CAST(count(hot_h) AS BIGINT) AS n_hot_hours,
+        |  min(hot_h) AS first_hot_h
+        |FROM ex LEFT JOIN hot ON hb * 3600 = hot_h
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY user_id, session_id""".stripMargin
+    },
+
+    // snapshot reconciliation diff (Relational.q_snapshot_diff): both
+    // snapshots from one conditional aggregate; exact-decimal compare
+    // decides `changed`
+    "q_snapshot_diff" -> {
+      val (c1, c2) =
+        (operators.Relational.snapCut1, operators.Relational.snapCut2)
+      s"""WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$c1'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$c2'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '$c1'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS s1,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '$c2'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS s2
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey,
+        |  CASE WHEN n1 = 0 THEN 'added'
+        |    WHEN n1 <> n2 OR s1 <> s2 THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  n1, n2,
+        |  round(CAST(s1 AS DOUBLE), 2) AS spend1,
+        |  round(CAST(s2 AS DOUBLE), 2) AS spend2
+        |FROM s WHERE n2 > 0 ORDER BY o_custkey""".stripMargin
     },
 
     // one-pass 4-column Pearson matrix (Relational.q_corr_matrix):

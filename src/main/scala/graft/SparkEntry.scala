@@ -202,6 +202,13 @@ object SparkEntry {
     "q_growth" -> (Relational.q_growth _),
     "q_paths" -> (Relational.q_paths _),
     "q_ewma" -> (Relational.q_ewma _),
+    // analytics / ML-feature batch (round 5, session 2)
+    "q_acf" -> (Relational.q_acf _),
+    "q_psi_drift" -> (Relational.q_psi_drift _),
+    "q_target_encode" -> (Relational.q_target_encode _),
+    "q_join_interval" -> (Relational.q_join_interval _),
+    "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
+    "q_vec_pq" -> (VectorOps.q_vec_pq _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),

@@ -2113,6 +2113,276 @@ object Relational {
       .orderBy("event_type", "h")
   }
 
+  /** Max ACF lag in hours — 24 so a daily cycle shows as a ridge at
+    * the last lag. Shared verbatim with the oracle.
+    */
+  private[graft] val acfMaxLag = 24
+
+  /** Autocorrelation function of the hourly event-count series per
+    * event type, lags 1..[[acfMaxLag]] — the periodicity detector
+    * complementing q_seasonality's χ² cells (a daily cycle is a ridge
+    * at lag 24, weekly at 168). The series is densified onto each
+    * type's min→max hour spine first (the q_ewma lesson: row lags on
+    * a sparse series silently span gaps), then ONE pass computes
+    * every lag's aligned products via [[acfMaxLag]] lead columns and
+    * a single hash aggregate. The standard estimator
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² is assembled from
+    * integer moments only — multiplied through by n² it becomes
+    * (n²·Q_k − n·S·(A_k+B_k) + (n−k)·S²) / (n·(n·Q − S²)) with every
+    * factor an exact DECIMAL(38,0) — so both engines compute the
+    * identical rational and the single float op is the final
+    * division.
+    *
+    * Scale shape: corpus → bounded hourly frame in one partial-
+    * combining aggregate; the lead chain, moment aggregate and lag
+    * explode all run on calendar-sized data (hours × types),
+    * constant in SF.
+    */
+  def q_acf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val withLeads = (1 to acfMaxLag).foldLeft(dense)((d, k) =>
+      d.withColumn(s"l$k", lead(col("cnt"), k).over(w)))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("q")) ++
+      (1 to acfMaxLag).flatMap(k => Seq(
+        sum(col("cnt") * col(s"l$k")).as(s"q$k"),
+        sum(when(col(s"l$k").isNotNull, col("cnt"))).as(s"a$k"),
+        sum(col(s"l$k")).as(s"b$k")))
+    val m = withLeads.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = (1 to acfMaxLag).map { k =>
+      val num = dec(col("n")) * dec(col("n")) * dec(col(s"q$k")) -
+        dec(col("n")) * dec(col("s")) *
+          (dec(col(s"a$k")) + dec(col(s"b$k"))) +
+        (dec(col("n")) - lit(k)) * dec(col("s")) * dec(col("s"))
+      val den = dec(col("n")) *
+        (dec(col("n")) * dec(col("q")) - dec(col("s")) * dec(col("s")))
+      struct(lit(k.toLong).as("lag"),
+        (col("n") - lit(k)).cast("long").as("n_pairs"),
+        round(num.cast("double") / den.cast("double"), 6).as("acf"))
+    }
+    m.select(col("event_type"), explode(array(rows: _*)).as("r"))
+      .select(col("event_type"), col("r.lag").as("lag"),
+        col("r.n_pairs").as("n_pairs"), col("r.acf").as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** PSI drift threshold (the industry-standard 0.2 = "significant
+    * shift" rule) and the equi-width value bin size — shared verbatim
+    * with the oracle.
+    */
+  private[graft] val psiBinWidth = 50
+  private[graft] val psiDriftBound = "0.2"
+
+  /** Population-stability-index drift report per event type: the
+    * event stream splits at its epoch midpoint into a reference and a
+    * current window (the compare `2·e ≤ mn+mx` keeps the boundary
+    * integer-exact — no division), values bin equi-width (the
+    * q_histogram discipline), and PSI = Σ (p−q)·ln(p/q) over the
+    * type's observed bins with +1 Laplace smoothing so one-sided bins
+    * stay finite: p = (c_ref+1)/(n_ref+K), q = (c_cur+1)/(n_cur+K).
+    * The ln argument is formed as one exact integer ratio
+    * ((c_ref+1)·(n_cur+K)) / ((c_cur+1)·(n_ref+K)) before the float
+    * divide, and each bin's contribution rounds to DECIMAL(18,6)
+    * BEFORE the exact decimal sum (the q_kl_mixture discipline —
+    * order-independent, engine-identical).
+    *
+    * Scale shape: one scan → one partial-combining hash aggregate on
+    * (type, window, bin); everything after runs on the bounded
+    * (types × bins) frame. The drift flag compares the exact decimal
+    * sum against [[psiDriftBound]].
+    */
+  def q_psi_drift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("ts").cast("long").as("e"),
+      floor(col("value") / psiBinWidth).cast("long").as("bin"))
+    val bounds = broadcast(e.agg(min(col("e")).as("mn"), max(col("e")).as("mx")))
+    val binned = e.crossJoin(bounds)
+      .withColumn("is_ref", (col("e") * 2 <= col("mn") + col("mx")).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("is_ref")).as("c_ref"),
+        sum(lit(1L) - col("is_ref")).as("c_cur"))
+    val typ = Window.partitionBy("event_type")
+    val contrib = binned
+      .withColumn("n_ref", sum(col("c_ref")).over(typ))
+      .withColumn("n_cur", sum(col("c_cur")).over(typ))
+      .withColumn("k", count(lit(1)).over(typ))
+      .withColumn("p",
+        (col("c_ref") + 1).cast("double") / (col("n_ref") + col("k")))
+      .withColumn("q",
+        (col("c_cur") + 1).cast("double") / (col("n_cur") + col("k")))
+      .withColumn("lr",
+        log(((col("c_ref") + 1) * (col("n_cur") + col("k"))).cast("double") /
+          ((col("c_cur") + 1) * (col("n_ref") + col("k"))).cast("double")))
+      .withColumn("contrib",
+        round((col("p") - col("q")) * col("lr"), 6).cast("decimal(18,6)"))
+    contrib.groupBy("event_type")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        count(lit(1)).as("n_bins"),
+        sum(col("contrib")).as("psi_d"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("n_bins"),
+        col("psi_d").cast("double").as("psi"),
+        (col("psi_d") > expr(psiDriftBound)).cast("long").as("drifted"))
+      .orderBy("event_type")
+  }
+
+  /** Smoothing prior strength for the mean target encoder (in
+    * pseudo-observation count units) — shared verbatim with the
+    * oracle.
+    */
+  private[graft] val encodePrior = 10
+
+  /** Leave-one-out mean target encoding of the high-cardinality
+    * user_id key against the event value — the standard ML feature
+    * transform (LOO so a row never leaks its own target into its
+    * feature; a smoothed variant shrinks rare users toward the global
+    * mean). Per-user sums are exact DECIMAL(18,2) (§2.12 rule 2), so
+    * LOO = (S − x)/(n−1) subtracts exactly and the smoothed encoding
+    * (S + m·ḡ)/(n + m) is formed as the exact rational
+    * (S·G_n + m·G_s)/(G_n·(n + m)). The 4-dp half-up rounding is then
+    * done in INTEGER arithmetic — ⌊(2a + d)/(2d)⌋ for a/d·10⁴ —
+    * because rounding the float quotient disagrees across engines
+    * exactly when the rational lands on a half boundary (4 of 10k
+    * rows in the first cut flipped the 4th decimal).
+    *
+    * Scale shape: one partial-combining aggregate on user_id, the
+    * 1-row global frame broadcast, and one equi-join back on user_id
+    * — two shuffles on the same key (AQE coalesces), output linear in
+    * the events scanned. No window, no sort except the declared
+    * output order.
+    */
+  def q_target_encode(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val perUser = ev.groupBy("user_id")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val g = broadcast(ev.agg(
+      sum(col("v")).as("gs"), count(lit(1)).as("gn")))
+    val m = encodePrior
+    ev.join(perUser, "user_id").crossJoin(g)
+      .withColumn("loo_num", ((col("s") - col("v")) * 10000).cast("long"))
+      .withColumn("loo_den", col("n") - 1)
+      .withColumn("sm_num",
+        ((col("s") * col("gn") + lit(m) * col("gs")) * 10000).cast("long"))
+      .withColumn("sm_den", col("gn") * (col("n") + lit(m)))
+      .select(col("event_id"), col("user_id"),
+        when(col("n") > 1,
+          expr("CAST((2 * loo_num + loo_den) div (2 * loo_den) AS DOUBLE)")
+            / 10000).as("loo_enc"),
+        (expr("CAST((2 * sm_num + sm_den) div (2 * sm_den) AS DOUBLE)")
+          / 10000).as("smooth_enc"))
+      .orderBy("event_id")
+  }
+
+  /** Hot-hour factor: an hour is "hot" when its event count exceeds
+    * this multiple of the mean hourly count (compared integer-exactly
+    * as cnt·n_hours > factor·total). Shared verbatim with the oracle.
+    */
+  private[graft] val hotHourFactor = 2
+
+  /** Interval-overlap join — sessions × hot hours: each user session
+    * (the q_sessionize gap rule) is joined against the calendar hours
+    * whose global event count ran above [[hotHourFactor]]× the mean,
+    * reporting how much of each session overlapped a load spike. The
+    * inequality join (s_start ≤ h+3599 AND s_end ≥ h) is re-expressed
+    * as an EQUI-join: each session explodes to its covered hour
+    * buckets (`sequence(s_start/3600, s_end/3600)` — exactly the
+    * hours its interval intersects), the hot-hour frame is
+    * calendar-bounded and broadcast, and the matches aggregate back
+    * per session. The RangeHalo discipline applied to joins: no
+    * BroadcastNestedLoop, no range condition at scale — fan-out is
+    * session-hours (linear: sessions are gap-bounded), the join is
+    * hash-on-hour.
+    */
+  def q_join_interval(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = t(s, dir, "events")
+      .withColumn("e", col("ts").cast("long"))
+      .withColumn("prev_e", lag(col("e"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_e").isNull || col("e") - col("prev_e") >= 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("e")).as("s_start"), max(col("e")).as("s_end"),
+        count(lit(1)).as("n_events"))
+    val hourly = t(s, dir, "events")
+      .groupBy((col("ts").cast("long") -
+        pmod(col("ts").cast("long"), lit(3600))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(hourly.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("n_hours")))
+    val hot = broadcast(hourly.crossJoin(tot)
+      .filter(col("cnt") * col("n_hours") > lit(hotHourFactor) * col("total"))
+      .select(col("h").as("hot_h"), col("cnt").as("hot_cnt")))
+    sessions
+      .select(col("user_id"), col("session_id"), col("s_start"), col("s_end"),
+        col("n_events"),
+        explode(sequence(floor(col("s_start") / 3600).cast("long"),
+          floor(col("s_end") / 3600).cast("long"))).as("hb"))
+      .join(hot, col("hb") * 3600 === col("hot_h"), "left")
+      .groupBy("user_id", "session_id")
+      .agg(min(col("s_start")).as("s_start"), min(col("s_end")).as("s_end"),
+        min(col("n_events")).as("n_events"),
+        count(col("hot_h")).as("n_hot_hours"),
+        min(col("hot_h")).as("first_hot_h"))
+      .select(col("user_id"), col("session_id"), col("s_start"),
+        col("s_end"), col("n_events"), col("n_hot_hours"),
+        col("first_hot_h"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Snapshot cutoffs for the reconciliation diff — shared verbatim
+    * with the oracle.
+    */
+  private[graft] val snapCut1 = "1998-01-01"
+  private[graft] val snapCut2 = "2001-01-01"
+
+  /** Snapshot reconciliation diff — the dataset-compare primitive
+    * behind every migration/backfill audit: per-customer order count
+    * and exact-decimal spend are materialized as-of two order-date
+    * cutoffs and classified `added` (absent from the earlier
+    * snapshot), `changed` (present in both, any measure differs) or
+    * `unchanged`. Both snapshots come from ONE scan and ONE
+    * partial-combining aggregate (conditional sums on the cutoff
+    * predicates) — no self-join, no second pass; the status column is
+    * a map-side compare of exact decimals. Output is linear in the
+    * customers observed; spend emits via the dsum2 rounded-DOUBLE
+    * display discipline.
+    */
+  def q_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val in1 = col("o_orderdate") < lit(snapCut1).cast("timestamp")
+    val in2 = col("o_orderdate") < lit(snapCut2).cast("timestamp")
+    val v = col("o_totalprice").cast("decimal(18,2)")
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(in1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(in2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(in1, v).otherwise(lit(0).cast("decimal(18,2)"))).as("s1"),
+        sum(when(in2, v).otherwise(lit(0).cast("decimal(18,2)"))).as("s2"))
+      .filter(col("n2") > 0)
+      .select(col("o_custkey"),
+        when(col("n1") === 0, lit("added"))
+          .when(col("n1") =!= col("n2") || col("s1") =!= col("s2"),
+            lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("n1"), col("n2"),
+        round(col("s1").cast("double"), 2).as("spend1"),
+        round(col("s2").cast("double"), 2).as("spend2"))
+      .orderBy("o_custkey")
+  }
+
   /** Pairwise Pearson correlation matrix of four lineitem measures
     * (quantity, extendedprice, discount, tax) from ONE pass: a single
     * global hash aggregate collects every exact-decimal moment (4

@@ -862,26 +862,56 @@ object TextOps {
 
   // ── SimHash ────────────────────────────────────────────────────────
 
-  /** Signature geometry. 64 signature bits, banded into
-    * 64/simhashBandBits bands — the tunable the round-2 design
-    * lacked: its 16-bit signature gave a CONSTANT 2×256 buckets, so
-    * per-bucket pair fan-out grew O(n²/512) with corpus size (the
-    * same defect class as the round-1 embed blocking). At 100×
-    * corpus, raise `simhashBandBits` (bucket count per band is
-    * 2^bandBits, bucket size shrinks) or add signature words.
-    * Constraint: simhashBandBits must divide 32 (bands never straddle
-    * the two 32-bit signature halves).
-    */
-  val simhashBits = 64
-  val simhashBandBits = 16
-  val simhashBands: Int = simhashBits / simhashBandBits
-
-  /** Hamming verify threshold. With `bands > threshold`, banding is
-    * LOSSLESS for the verify: ≤ threshold flipped bits can touch at
-    * most `threshold` bands, so at least one band matches exactly
-    * (pigeonhole) and every true pair survives candidate generation.
+  /** Hamming verify threshold. With `nBlocks - threshold` blocks per
+    * combination (below), candidate generation is LOSSLESS for the
+    * verify: ≤ threshold flipped bits can dirty at most `threshold`
+    * of the 6 blocks, so at least 3 blocks are clean and the
+    * combination of exactly those 3 matches (pigeonhole) — every true
+    * pair survives candidate generation.
     */
   val simhashHammingMax = 3
+
+  /** Signature geometry — block COMBINATIONS (the Manku/Jain/Sarma
+    * WWW'07 near-duplicate scheme), replacing the round-2…4
+    * contiguous-band layout. The 64-bit signature splits into 6
+    * blocks (widths 11/11/10 per 32-bit half; blocks never straddle
+    * the halves), and each doc fans to one row per C(6,3) = 20
+    * combination of 3 blocks, keyed by the 30–33-bit packing of
+    * those block values.
+    *
+    * Why: the prior 4 × 16-bit geometry had a FIXED 2^16-bucket
+    * space per band, and the round-5 sf100 spot measured the
+    * consequence — 74× time for 10× data at the fifth decade,
+    * because past ~10M docs every bucket holds O(n/2^16) docs and
+    * pair fan-out turns quadratic. Combination keys carry ≥ 30 bits,
+    * pushing the saturation point past 10^9 docs for 5× the
+    * replication (20 vs 4 rows/doc) — the right trade everywhere:
+    * band rows are a linear map-side explode, bucket collisions are
+    * the quadratic term.
+    */
+  val simhashBits = 64
+
+  /** (inHighWord, startBit, width) per block; widths 11/11/10 tile
+    * each 32-bit half exactly.
+    */
+  val simhashBlocks: Seq[(Boolean, Int, Int)] = Seq(
+    (false, 0, 11), (false, 11, 11), (false, 22, 10),
+    (true, 0, 11), (true, 11, 11), (true, 22, 10))
+  val simhashNBlocks: Int = simhashBlocks.length
+
+  /** All (nBlocks − hammingMax)-of-nBlocks block combinations; the
+    * combination index is the band id. Shared verbatim with the
+    * DuckDB oracle (Oracles.simhashBandSelects interpolates THIS
+    * list), so the two engines' geometries cannot desynchronize.
+    */
+  val simhashCombos: Seq[Seq[Int]] =
+    (0 until simhashNBlocks).combinations(simhashNBlocks - simhashHammingMax)
+      .map(_.toSeq).toSeq
+
+  /** Bit width of one packing lane in the bucket key: every block
+    * value is < 2^11, so lane-11 packing is collision-free.
+    */
+  val simhashLaneBits = 11
 
   /** 64-bit SimHash per doc as two 32-bit halves (sim_hi, sim_lo):
     * per-bit ±1 votes from 64-bit token hashes (with multiplicity),
@@ -914,28 +944,32 @@ object TextOps {
     simhashSignatures(s, dir).orderBy("doc_id")
 
   /** Signature → (doc_id, sim_hi, sim_lo, band, bucket) rows, one per
-    * band. Exposed for the TextOpsSpec bucket-growth assertion.
+    * block combination: band = combination index, bucket = lane-11
+    * packing of the combination's block values. A map-side explode —
+    * 20 rows per doc, no shuffle. Exposed for the TextOpsSpec
+    * geometry assertions.
     */
   def simhashBandRows(sig: DataFrame): DataFrame = {
-    val mask = (1L << simhashBandBits) - 1
-    def bucket(j: Int): Column = {
-      val lo = j * simhashBandBits
-      if (lo + simhashBandBits <= 32)
-        shiftright(col("sim_lo"), lo).bitwiseAND(lit(mask))
-      else
-        shiftright(col("sim_hi"), lo - 32).bitwiseAND(lit(mask))
+    def block(i: Int): Column = {
+      val (hiWord, start, width) = simhashBlocks(i)
+      val word = if (hiWord) col("sim_hi") else col("sim_lo")
+      shiftright(word, start).bitwiseAND(lit((1L << width) - 1))
     }
     sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
-      explode(array((0 until simhashBands).map(j =>
-        struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("bb"))
+      explode(array(simhashCombos.zipWithIndex.map { case (c, j) =>
+        struct(lit(j).as("band"),
+          c.zipWithIndex.map { case (bi, pos) =>
+            block(bi) * lit(1L << (simhashLaneBits * (c.size - 1 - pos)))
+          }.reduce(_ + _).as("bucket"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one full
-    * 16-bit band (lossless for the ≤ simhashHammingMax verify — see
-    * the geometry comment), verified by exact Hamming distance over
-    * both halves.
+    * 3-block combination key (lossless for the ≤ simhashHammingMax
+    * verify — see the geometry comment), verified by exact Hamming
+    * distance over both halves.
     */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     val bands = simhashBandRows(simhashSignatures(s, dir))

@@ -310,6 +310,103 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  // ── Product quantization ──────────────────────────────────────────
+
+  /** PQ geometry: m subspaces × k centroids each. With 64-dim
+    * embeddings this is 4 × 16-dim subvectors and 4-bit codes — a
+    * 64× compression (256 B float32 → 2 B codes), the layout under
+    * every billion-scale IVF-PQ index. k and the Lloyd depth are the
+    * accuracy dials; the spec pins MSE monotone in k.
+    */
+  val pqSubspaces = 4
+  val pqK = 16
+  val pqLloydIters = 2
+
+  /** Squared L2 between a float subvector and a double codeword. */
+  private def l2sq(a: org.apache.spark.sql.Column,
+    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, sub, sv) subvector rows: a map-side explode, one row
+    * per (vector, subspace); slice() never copies the full corpus
+    * anywhere.
+    */
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame = {
+    val subDim = 64 / pqSubspaces
+    e.select(col("vec_id"),
+      explode(array((0 until pqSubspaces).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("sv"))): _*))
+        .as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
+  /** One map-only PQ assignment pass — the [[assignToCells]]
+    * discipline per subspace: each subspace's k codewords fold into
+    * one array row, the 4-row codebook frame broadcast-joins on
+    * `sub`, and every subvector picks its nearest codeword (min L2,
+    * ties to the higher cell id) as a pure projection. Subvectors
+    * never shuffle.
+    */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.groupBy("sub")
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+    subs.join(broadcast(cbArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        array_max(transform(col("cents"), c =>
+          struct((-l2sq(col("sv"), c.getField("centroid"))).as("nd"),
+            c.getField("cell").as("cell"))))
+          .getField("cell").as("cell"))
+  }
+
+  /** Per-subspace k-means codebooks: deterministic `vec_id mod k`
+    * seeding, `iters` Lloyd rounds (map-only assign + one partial-
+    * combining CentroidAgg per (sub, cell) — the shuffle carries
+    * m·k constant-size buffers per partition, never subvectors),
+    * checkpointed so both consumers (codes, reconstruction) share
+    * one build.
+    */
+  def pqCodebooks(subs: DataFrame, iters: Int): DataFrame = {
+    val centroidOf = udaf(graft.functions.CentroidAgg)
+    var cb = subs
+      .groupBy(col("sub"), pmod(col("vec_id"), lit(pqK.toLong)).as("cell"))
+      .agg(centroidOf(col("sv")).as("centroid"))
+    for (_ <- 1 to iters)
+      cb = pqAssign(subs, cb).groupBy("sub", "cell")
+        .agg(centroidOf(col("sv")).as("centroid"))
+    Checkpoints.ckpt(cb)
+  }
+
+  /** L6: product quantization of the embedding column — codes +
+    * per-vector reconstruction MSE, completing the compression
+    * ladder q_vec_quantize (scalar int8, 4×) → PQ (codeword ids,
+    * 64×) that feeds billion-scale IVF-PQ serving. Not
+    * oracle-declared (k-means has no DuckDB twin — SURVEY §2.12);
+    * VectorOpsSpec pins determinism, MSE monotone in k, ADC recall
+    * vs the exact scan, and the no-shuffle assign plan.
+    *
+    * Scale shape: subvector explode is map-side; each Lloyd round
+    * shuffles only m·k centroid buffers; coding is one broadcast
+    * join + projection; the final per-vector regroup is ONE shuffle
+    * of (vec_id, sub, cell, err) quads — constant width, no
+    * embedding payload.
+    */
+  def q_vec_pq(s: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubvectors(t(s, dir, "embeddings"))
+    val cb = pqCodebooks(subs, pqLloydIters)
+    val coded = pqAssign(subs, cb)
+      .join(broadcast(cb), Seq("sub", "cell"))
+      .select(col("vec_id"), col("sub"), col("cell"),
+        l2sq(col("sv"), col("centroid")).as("err"))
+    coded.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        p => p.getField("cell")).as("codes"),
+        round(sum(col("err")) / lit(64.0), 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** Bits in the sign-random-projection LSH bucket id. */
   val lshBits = 6
 

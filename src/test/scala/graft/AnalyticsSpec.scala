@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Property / brute-force re-derivation specs for the round-5
+  * analytics + ML-feature batch (q_acf, q_psi_drift, q_target_encode,
+  * q_join_interval, q_snapshot_diff). Each query also carries a full
+  * rows+schema+hash DuckDB oracle; these specs pin the SEMANTICS from
+  * an independent (driver-side, brute-force) derivation so an
+  * oracle-twin bug can't hide a shared misunderstanding.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  test("q_acf: brute-force recompute of one series matches; " +
+    "estimator invariants hold for all") {
+    val out = Relational.q_acf(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.length > 0)
+    // invariants: |r_k| <= 1 (Cauchy-Schwarz on the full-mean
+    // estimator can exceed 1 marginally on short series — allow 1+2/n)
+    out.foreach { case (_, k, np, r) =>
+      assert(k >= 1 && k <= Relational.acfMaxLag)
+      assert(math.abs(r) <= 1.5, s"acf $r out of plausible range")
+      assert(np >= 1)
+    }
+    // brute force one series end-to-end
+    val typ = out.head._1
+    val hourly = Tables(spark, dir, "events")
+      .filter($"event_type" === typ)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("h")
+      .as[(java.sql.Timestamp, Long)].collect()
+    val t0 = hourly.head._1.getTime
+    val tn = hourly.last._1.getTime
+    val n = ((tn - t0) / 3600000L).toInt + 1
+    val xs = Array.fill(n)(0L)
+    hourly.foreach { case (h, c) => xs(((h.getTime - t0) / 3600000L).toInt) = c }
+    val s = xs.sum.toDouble
+    val mean = s / n
+    val den = xs.map(x => (x - mean) * (x - mean)).sum
+    (1 to Relational.acfMaxLag).foreach { k =>
+      val num = (0 until n - k).map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum
+      val expected = num / den
+      val got = out.find(r => r._1 == typ && r._2 == k).get._4
+      assert(math.abs(got - expected) < 1e-5,
+        s"lag $k: got $got expected $expected")
+      assert(out.find(r => r._1 == typ && r._2 == k).get._3 == n - k)
+    }
+  }
+
+  test("q_psi_drift: contributions are non-negative by construction, " +
+    "counts reconcile with the corpus, flag matches the bound") {
+    val out = Relational.q_psi_drift(spark, dir)
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // each PSI term (p-q)·ln(p/q) >= 0 (same sign), so the sum is too
+    out.foreach { case (_, nr, nc, nb, psi, drifted) =>
+      assert(psi >= -1e-9, s"psi $psi negative")
+      assert(nb >= 1)
+      assert(drifted == (if (psi > 0.2) 1L else 0L))
+      assert(nr + nc > 0)
+    }
+    // per-type counts reconcile: n_ref + n_cur = corpus rows of type
+    val totals = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (typ, nr, nc, _, _, _) =>
+      assert(nr + nc == totals(typ), s"$typ: $nr+$nc != ${totals(typ)}")
+    }
+  }
+
+  test("q_target_encode: per-user mean of LOO encodings recovers the " +
+    "user mean; smoothing shrinks toward the global mean") {
+    val enc = Relational.q_target_encode(spark, dir)
+      .as[(Long, Long, Option[Double], Double)].collect()
+    val ev = Tables(spark, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+      .as[(Long, Long, Double)].collect()
+    val byUser = ev.groupBy(_._2)
+    val gMean = ev.map(_._3).sum / ev.length
+    val encByEvent = enc.map(e => e._1 -> e).toMap
+    byUser.foreach { case (u, rows) =>
+      val uMean = rows.map(_._3).sum / rows.length
+      if (rows.length > 1) {
+        // mean of LOO values equals the user mean (algebraic identity:
+        // Σ(S−x_i)/(n−1) = (nS−S)/(n−1) = S), up to 4-dp rounding
+        val looMean = rows.map(r => encByEvent(r._1)._3.get).sum / rows.length
+        assert(math.abs(looMean - uMean) < 1e-3,
+          s"user $u: LOO mean $looMean vs $uMean")
+      } else {
+        assert(encByEvent(rows.head._1)._3.isEmpty, "n=1 must yield NULL LOO")
+      }
+      // smoothed encoding lies strictly between user and global mean
+      val sm = encByEvent(rows.head._1)._4
+      val (lo, hi) = (math.min(uMean, gMean), math.max(uMean, gMean))
+      assert(sm >= lo - 1e-3 && sm <= hi + 1e-3,
+        s"user $u: smooth $sm outside [$lo, $hi]")
+    }
+  }
+
+  test("q_join_interval: session set matches q_sessionize; hot-hour " +
+    "overlap counts match a brute-force interval intersection") {
+    val out = Relational.q_join_interval(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect()
+    // session frame must agree with the declared sessionizer
+    val sess = Relational.q_sessionize(spark, dir)
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect()
+    assert(out.length == sess.length, "one output row per session")
+    val sessKey = sess.map(s =>
+      (s._1, s._2) -> (s._3.getTime / 1000, s._4.getTime / 1000, s._5)).toMap
+    out.foreach { case (u, sid, st, en, ne, _, _) =>
+      val (es, ee, eN) = sessKey((u, sid))
+      assert(st == es && en == ee && ne == eN, s"session ($u,$sid) frame")
+    }
+    // brute-force hot hours
+    val evs = Tables(spark, dir, "events")
+      .select($"ts".cast("long")).as[Long].collect()
+    val hourCounts = evs.groupBy(e => e - e % 3600).view.mapValues(_.size).toMap
+    val totalCnt = hourCounts.values.sum.toLong
+    val nHours = hourCounts.size.toLong
+    val hot = hourCounts.filter { case (_, c) =>
+      c.toLong * nHours > Relational.hotHourFactor * totalCnt
+    }.keySet
+    out.foreach { case (u, sid, st, en, _, nHot, firstHot) =>
+      val hours = (st / 3600 to en / 3600).map(_ * 3600)
+      val overlap = hours.filter(hot.contains)
+      assert(nHot == overlap.size.toLong, s"($u,$sid) hot count")
+      assert(firstHot == overlap.sorted.headOption, s"($u,$sid) first hot")
+    }
+  }
+
+  test("q_snapshot_diff: classifications are sound and totals " +
+    "reconcile with the raw order stream") {
+    val out = Relational.q_snapshot_diff(spark, dir)
+      .as[(Long, String, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val orders = Tables(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("long"), $"o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    def epoch(s: String) =
+      java.sql.Timestamp.valueOf(s + " 00:00:00").getTime / 1000
+    val (c1, c2) = (epoch(Relational.snapCut1), epoch(Relational.snapCut2))
+    out.foreach { case (ck, status, n1, n2, s1, s2) =>
+      assert(n1 <= n2 && s1 <= s2 + 1e-6, s"$ck monotone growth")
+      status match {
+        case "added" => assert(n1 == 0)
+        case "changed" => assert(n1 > 0 && (n1 != n2 || math.abs(s1 - s2) > 1e-9))
+        case "unchanged" => assert(n1 == n2 && math.abs(s1 - s2) < 1e-9)
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // every customer with an order before cut2 appears exactly once
+    val expected = orders.filter(_._2 < c2).map(_._1).distinct.sorted
+    assert(out.map(_._1).sorted.toSeq == expected.toSeq)
+    // n2 total reconciles
+    assert(out.map(_._4).sum == orders.count(_._2 < c2).toLong)
+  }
+}

@@ -11,7 +11,10 @@ class ContractSpec extends AnyFunSuite {
   private val rowsOnly = Set("q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
     "q_profile_approx", "q_agg_quantile_approx",
     // deflate has no DuckDB twin; properties pinned in CompressSpec
-    "q_compress_ratio")
+    "q_compress_ratio",
+    // k-means codebooks have no DuckDB twin; VectorOpsSpec pins
+    // determinism, MSE monotonicity in k, and ADC recall
+    "q_vec_pq")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -82,8 +82,8 @@ class TextOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(2) <= TextOps.simhashHammingMax))
   }
 
-  test("simhash: 64-bit signature as two 32-bit halves; band-bucket " +
-    "space is a knob that grew past the old 512-bucket constant") {
+  test("simhash: 64-bit signature as two 32-bit halves; block-combination " +
+    "banding is lossless for the verify and keys ≥30 bits per bucket") {
     val sig = TextOps.simhashSignatures(spark, dir)
     val sigs = sig.as[(Long, Long, Long)].collect()
     assert(sigs.nonEmpty)
@@ -91,17 +91,26 @@ class TextOpsSpec extends AnyFunSuite {
       assert(hi >= 0L && hi < (1L << 32))
       assert(lo >= 0L && lo < (1L << 32))
     }
-    // geometry: bands × 2^bandBits possible buckets — tunable via
-    // simhashBandBits, vs the round-2 CONSTANT 2 bands × 256
-    val space = TextOps.simhashBands.toLong * (1L << TextOps.simhashBandBits)
-    assert(space == 4L * 65536L && space > 512L)
-    // observed bucket values actually use the widened range: at least
-    // one bucket id beyond what an 8-bit band could ever produce
+    // geometry: 6 blocks tile the 64 bits exactly, C(6,3) = 20
+    // combinations, every combination keys ≥ 30 bits — vs the
+    // round-2…4 layouts' CONSTANT 2^9 / 2^16 bucket spaces (the
+    // sf100 spot measured the 2^16 space saturating at 10M docs)
+    assert(TextOps.simhashBlocks.map(_._3).sum == TextOps.simhashBits)
+    assert(TextOps.simhashCombos.size == 20)
+    val minKeyBits = TextOps.simhashCombos
+      .map(c => c.map(TextOps.simhashBlocks(_)._3).sum).min
+    assert(minKeyBits >= 30)
+    // pigeonhole losslessness: hammingMax flips dirty ≤ hammingMax
+    // blocks, and each combination takes nBlocks − hammingMax clean
+    // blocks, so the all-clean combination always exists
+    assert(TextOps.simhashCombos.head.size ==
+      TextOps.simhashNBlocks - TextOps.simhashHammingMax)
+    // observed bucket ids actually use the widened range: beyond
+    // anything the old 16-bit band space could produce
     val bands = TextOps.simhashBandRows(sig)
-    assert(bands.agg(max($"bucket")).as[Long].head() >= 256L)
-    // banding is lossless for the verify threshold (pigeonhole:
-    // hammingMax flipped bits cannot touch all bands)
-    assert(TextOps.simhashBands > TextOps.simhashHammingMax)
+    assert(bands.agg(max($"bucket")).as[Long].head() >= (1L << 16))
+    // each doc fans to exactly one row per combination
+    assert(bands.count() == sigs.length.toLong * TextOps.simhashCombos.size)
   }
 
   test("q_decontaminate: eval docs never flagged; hits bounded by " +

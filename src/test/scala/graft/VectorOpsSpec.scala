@@ -269,4 +269,93 @@ class VectorOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_vec_pq: codes are m 4-bit ids per vector, deterministic " +
+    "across runs, and MSE beats the k=4 codebook (monotone in k)") {
+    val out = VectorOps.q_vec_pq(spark, dir)
+      .as[(Long, Seq[Long], Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, codes, mse) =>
+      assert(codes.length == VectorOps.pqSubspaces)
+      assert(codes.forall(c => c >= 0 && c < VectorOps.pqK))
+      assert(mse >= 0.0)
+    }
+    // deterministic rebuild
+    val again = VectorOps.q_vec_pq(spark, dir)
+      .as[(Long, Seq[Long], Double)].collect()
+    assert(out.toSeq == again.toSeq)
+    // MSE monotone in codebook size: a k=16 codebook must beat the
+    // nested-seed k=4 one on mean reconstruction error (k-means with
+    // more cells can only tile the subspace finer)
+    val subs = VectorOps.pqSubvectors(Tables(spark, dir, "embeddings"))
+    val centroidOf = udaf(graft.functions.CentroidAgg)
+    var cb4 = subs
+      .groupBy($"sub", pmod($"vec_id", lit(4L)).as("cell"))
+      .agg(centroidOf($"sv").as("centroid"))
+    for (_ <- 1 to VectorOps.pqLloydIters)
+      cb4 = VectorOps.pqAssign(subs, cb4).groupBy("sub", "cell")
+        .agg(centroidOf($"sv").as("centroid"))
+    val mse4 = VectorOps.pqAssign(subs, cb4)
+      .join(broadcast(cb4), Seq("sub", "cell"))
+      .select(aggregate(zip_with($"sv", $"centroid", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v).as("err"))
+      .agg(sum($"err")).as[Double].head()
+    val mse16 = out.map(_._3).sum * 64.0
+    assert(mse16 < mse4,
+      s"k=16 total err $mse16 not below k=4 total err $mse4")
+  }
+
+  test("q_vec_pq: ADC distances correlate with exact L2, the exact " +
+    "top-10 concentrates in the ADC candidate head, and the codes " +
+    "capture real variance") {
+    // On this isotropic unit-vector fixture 2-byte PQ codes retain
+    // ~26% of the per-vector variance (4-bit codes per 16 dims), so
+    // ADC is a CANDIDATE GENERATOR here, not a ranker — the honest
+    // bars are correlation + candidate-head recall (measured 0.46 /
+    // 4-of-10-in-top-50 on the fixture), not top-10 ∩ top-10.
+    val e = Tables(spark, dir, "embeddings")
+      .as[(Long, Seq[Float], Int)].collect()
+    val q = e.find(_._1 == 0L).get._2.map(_.toDouble).toArray
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = e.filter(_._1 != 0L)
+      .map(v => v._1 -> l2(v._2.map(_.toDouble).toArray, q))
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    // codebooks + codes
+    val subs = VectorOps.pqSubvectors(Tables(spark, dir, "embeddings"))
+    val cb = VectorOps.pqCodebooks(subs, VectorOps.pqLloydIters)
+      .as[(Int, Long, Seq[Double])].collect()
+      .map { case (sub, cell, c) => (sub, cell) -> c.toArray }.toMap
+    val codes = VectorOps.q_vec_pq(spark, dir)
+      .as[(Long, Seq[Long], Double)].collect()
+    val subDim = 64 / VectorOps.pqSubspaces
+    // ADC: distance(query, vec) ≈ Σ_j l2(q_sub_j, codeword(j, code_j))
+    val adc = codes.filter(_._1 != 0L).map { case (id, cs, _) =>
+      id -> cs.zipWithIndex.map { case (c, j) =>
+        l2(q.slice(j * subDim, (j + 1) * subDim), cb((j, c)))
+      }.sum
+    }
+    // (1) ADC correlates with exact distance across the corpus
+    val exactAll = e.filter(_._1 != 0L)
+      .map(v => v._1 -> l2(v._2.map(_.toDouble).toArray, q)).toMap
+    val xs = adc.map(_._2)
+    val ys = adc.map(p => exactAll(p._1))
+    val n = xs.length
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val r = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum * ys.map(b => (b - my) * (b - my)).sum)
+    assert(r > 0.3, s"ADC/exact Pearson $r below 0.3")
+    // (2) candidate-head recall: exact top-10 concentrates in the ADC
+    // top-50 (chance would put 1 there)
+    val adcTop50 = adc.sortBy { case (id, d) => (d, id) }
+      .take(50).map(_._1).toSet
+    val hits = exact.intersect(adcTop50).size
+    assert(hits >= 2, s"only $hits of exact top-10 in ADC top-50")
+    // (3) codes capture real variance: mean reconstruction MSE below
+    // the per-dimension variance of unit vectors (1/64)
+    val meanMse = codes.map(_._3).sum / codes.length
+    assert(meanMse < 1.0 / 64, s"mean MSE $meanMse not below 1/64")
+  }
 }
