@@ -2945,6 +2945,44 @@ object Oracles {
         |GROUP BY 1, 2, 3, 4, 5 ORDER BY user_id, session_id""".stripMargin
     },
 
+    // multi-grain time rollup (Relational.q_time_rollup): the same
+    // ROLLUP hierarchy in one pass; date_trunc('week') is
+    // Monday-based in both engines
+    "q_time_rollup" ->
+      """SELECT
+        |  CASE WHEN grouping(h) = 0 THEN 'hour'
+        |       WHEN grouping(d) = 0 THEN 'day'
+        |       WHEN grouping(w) = 0 THEN 'week'
+        |       ELSE 'total' END AS grain,
+        |  coalesce(h, d, w) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM (SELECT value, date_trunc('week', ts) AS w,
+        |        date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h
+        |      FROM events)
+        |GROUP BY ROLLUP (w, d, h)
+        |ORDER BY grain, bucket""".stripMargin,
+
+    // per-user lag features (Relational.q_lag_features): one window
+    // pass; the trailing-3 mean's 4-dp round provably never hits a
+    // half boundary (see the Spark-side proof)
+    "q_lag_features" ->
+      """SELECT event_id, user_id,
+        |  round(CAST(lag(v, 1) OVER w AS DOUBLE), 2) AS prev_value,
+        |  CAST(count(v) OVER t3 AS BIGINT) AS trail3_n,
+        |  CASE WHEN count(v) OVER t3 > 0 THEN
+        |    round(CAST(sum(v) OVER t3 AS DOUBLE) / (count(v) OVER t3), 4)
+        |  END AS trail3_mean,
+        |  e - lag(e, 1) OVER w AS secs_since_prev
+        |FROM (SELECT event_id, user_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS e,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  t3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
     // snapshot reconciliation diff (Relational.q_snapshot_diff): both
     // snapshots from one conditional aggregate; exact-decimal compare
     // decides `changed`

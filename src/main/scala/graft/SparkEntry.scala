@@ -209,6 +209,9 @@ object SparkEntry {
     "q_join_interval" -> (Relational.q_join_interval _),
     "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
     "q_vec_pq" -> (VectorOps.q_vec_pq _),
+    "q_time_rollup" -> (Relational.q_time_rollup _),
+    "q_lag_features" -> (Relational.q_lag_features _),
+    "q_ann_ivfpq" -> (VectorOps.q_ann_ivfpq _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),

@@ -2383,6 +2383,62 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Multi-grain time rollup — the hour→day→week→total hierarchy
+    * materialized in ONE pass with `ROLLUP` over derived time
+    * columns: one scan, one Expand(4), one partial-combining hash
+    * aggregate on calendar-bounded keys, where the naive form is four
+    * scans of the corpus. `date_trunc('week')` is Monday-based in
+    * both engines (the q_seasonality convention note); exact decimal
+    * value sums emit via the dsum2 rounded-DOUBLE discipline.
+    */
+  def q_time_rollup(s: SparkSession, dir: String): DataFrame = {
+    val view = s"events_tr_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "events").createOrReplaceTempView(view)
+    s.sql(s"""SELECT
+      |  CASE WHEN grouping(h) = 0 THEN 'hour'
+      |       WHEN grouping(d) = 0 THEN 'day'
+      |       WHEN grouping(w) = 0 THEN 'week'
+      |       ELSE 'total' END AS grain,
+      |  coalesce(h, d, w) AS bucket,
+      |  count(*) AS cnt,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total_value
+      |FROM (SELECT value, date_trunc('week', ts) AS w,
+      |        date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h
+      |      FROM $view)
+      |GROUP BY ROLLUP (w, d, h)
+      |ORDER BY grain, bucket""".stripMargin)
+  }
+
+  /** Per-user lag features — the standard sequence-model feature
+    * block (previous value, trailing-3 mean EXCLUDING the current
+    * row, seconds since the previous event) in one window pass over
+    * one shuffle on user_id. The trailing mean divides an exact
+    * DECIMAL(18,2) sum by the frame row count; with 2-decimal inputs
+    * and n ≤ 3 the quotient provably never lands on a 4-dp half
+    * boundary (cents·50 is an integer for n=2; cents·200/3 is always
+    * even for n=3), so the float round is engine-identical without
+    * the q_target_encode integer-div detour.
+    */
+  def q_lag_features(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trail3 = byUser.rowsBetween(-3, -1)
+    t(s, dir, "events")
+      .withColumn("e", col("ts").cast("long"))
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev_value",
+        round(lag(col("v"), 1).over(byUser).cast("double"), 2))
+      .withColumn("trail3_n", count(col("v")).over(trail3))
+      .withColumn("trail3_mean",
+        when(col("trail3_n") > 0,
+          round(sum(col("v")).over(trail3).cast("double") / col("trail3_n"),
+            4)))
+      .withColumn("secs_since_prev", col("e") - lag(col("e"), 1).over(byUser))
+      .select(col("event_id"), col("user_id"), col("prev_value"),
+        col("trail3_n"), col("trail3_mean"), col("secs_since_prev"))
+      .orderBy("event_id")
+  }
+
   /** Pairwise Pearson correlation matrix of four lineitem measures
     * (quantity, extendedprice, discount, tax) from ONE pass: a single
     * global hash aggregate collects every exact-decimal moment (4

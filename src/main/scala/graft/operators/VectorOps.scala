@@ -407,6 +407,79 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** ADC shortlist size for the IVF-PQ exact re-rank stage. */
+  val ivfpqShortlist = 50
+
+  /** L6: composed IVF-PQ search — the billion-scale serving stack
+    * end-to-end: coarse k-means cells route the query ([[kmeansCells]]),
+    * vectors are PQ-coded on their RESIDUALS against their cell
+    * centroid (residual coding is what makes PQ work under IVF: the
+    * residual distribution is far tighter than the raw one), search
+    * scans only the probed cells' codes with an ADC lookup table
+    * (nprobe × m × k = 128 scalar distances, computed once per
+    * query), and the ADC top-[[ivfpqShortlist]] is re-ranked with
+    * exact cosine — the standard shortlist+rerank recipe that buys
+    * back ADC's quantization error.
+    *
+    * Scale shape: codes are built with the same map-only assigns and
+    * constant-size Lloyd shuffles as [[q_vec_pq]]; at query time the
+    * corpus-side work is ONE broadcast-joined projection over the
+    * probed cells' code rows (2 B/vector read, no embedding payload)
+    * and the exact re-rank touches [[ivfpqShortlist]] full vectors.
+    * Rows-only (k-means, SURVEY §2.12); VectorOpsSpec holds recall
+    * vs brute force and the shortlist-beats-raw-ADC property.
+    */
+  def q_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (cells, cent) = kmeansCells(e, ivfLloydIters)
+    // residual frame, named like an embedding so pqSubvectors applies
+    // array<float> like the raw embeddings: CentroidAgg's input
+    // encoder is Seq[Float] (the codebook precision is floats anyway)
+    val res = cells.join(broadcast(cent), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, y) => x.cast("double") - y.cast("double"))
+          .cast("array<float>").as("embedding"))
+    val subs = pqSubvectors(res.select(col("vec_id"), col("embedding")))
+    val cb = pqCodebooks(subs, pqLloydIters)
+    val codes = pqAssign(subs, cb)
+      .select(col("vec_id"), col("sub"), col("cell").as("code"))
+    // query routing: nprobe nearest cells by centroid cosine
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cell"), col("centroid"),
+        cosine(col("centroid"), col("q_emb")).as("cc"))
+      .orderBy(col("cc").desc, col("cell")).limit(ivfNProbe)
+    // ADC lookup table: per (probed cell, sub, code) the exact L2
+    // between the query's residual subvector and the codeword —
+    // nprobe·m·k rows, built entirely from broadcast-sized frames
+    val subDim = 64 / pqSubspaces
+    val lut = probes.crossJoin(broadcast(q))
+      .select(col("cell"),
+        explode(array((0 until pqSubspaces).map(j =>
+          struct(lit(j).as("sub"),
+            slice(zip_with(col("q_emb"), col("centroid"),
+              (x, y) => x.cast("double") - y.cast("double")),
+              j * subDim + 1, subDim).as("qsv"))): _*)).as("s"))
+      .select(col("cell"), col("s.sub").as("sub"), col("s.qsv").as("qsv"))
+      .join(cb.withColumnRenamed("cell", "code"), Seq("sub"))
+      .select(col("cell"), col("sub"), col("code"),
+        l2sq(col("qsv"), col("centroid")).as("err"))
+    // scan ONLY the probed cells' codes; ADC = Σ_sub lut(err)
+    val adc = cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes.select(col("cell"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .groupBy("vec_id").agg(sum(col("err")).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id")).limit(ivfpqShortlist)
+    // exact re-rank of the shortlist
+    e.join(broadcast(adc), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+  }
+
   /** Bits in the sign-random-projection LSH bucket id. */
   val lshBits = 6
 

@@ -328,6 +328,61 @@ object Streams {
       }
   }
 
+  /** One streaming drift reading: the PSI of a (window, event_type)
+    * cell's accumulated value histogram against the static reference.
+    */
+  case class DriftRow(win_start: Long, event_type: String,
+    n_cur: Long, n_bins: Long, psi: Double)
+
+  /** Streaming drift monitor — the stateful twin of batch
+    * q_psi_drift: per (tumbling window, event_type) key, state is the
+    * BOUNDED bin-count map of observed values (≤ value-range /
+    * psiBinWidth entries, ~10 on this data — constant regardless of
+    * event volume, the StateBound discipline), and each micro-batch
+    * emits the key's refreshed PSI against a STATIC reference
+    * histogram (computed batch-side, e.g. from the training window,
+    * and passed in as a plain map — the standard deployment shape:
+    * reference fixed at model-training time, stream monitored against
+    * it). Same +1-Laplace-smoothed formula as the batch twin over the
+    * union of reference and observed bins; the last emission per key
+    * is the key's final reading (append mode re-emits on update).
+    */
+  def psiDrift(spark: SparkSession, events: DataFrame,
+    ref: Map[(String, Long), Long],
+    windowSecs: Long = 21600L): Dataset[DriftRow] = {
+    import spark.implicits._
+    val binW = graft.operators.Relational.psiBinWidth
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(e =>
+        (e.ts.getTime / 1000 / windowSecs * windowSecs, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[EventRow],
+          st: GroupState[Map[Long, Long]]) =>
+          val bins = st.getOption.getOrElse(Map.empty)
+          val updated = rows.foldLeft(bins) { (m, e) =>
+            val b = math.floor(e.value / binW).toLong
+            m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          st.update(updated)
+          val refBins = ref.collect {
+            case ((t, b), c) if t == key._2 => b -> c
+          }
+          val all = (refBins.keySet ++ updated.keySet).toSeq.sorted
+          val k = all.size
+          val nRef = refBins.values.sum
+          val nCur = updated.values.sum
+          val psi = all.map { b =>
+            val p = (refBins.getOrElse(b, 0L) + 1).toDouble / (nRef + k)
+            val q = (updated.getOrElse(b, 0L) + 1).toDouble / (nCur + k)
+            BigDecimal((p - q) * math.log(p / q))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          Iterator.single(DriftRow(key._1, key._2, nCur, k.toLong,
+            psi.toDouble))
+      }
+  }
+
   /** Stateful last-write-wins: state = current winner per user_id;
     * each micro-batch emits keys whose winner changed. Tie-break
     * (ts, event_id) matches the batch q_window_dedup_lww.

@@ -136,6 +136,70 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_time_rollup: every grain reconciles to the same corpus " +
+    "totals; buckets are unique within a grain") {
+    val out = Relational.q_time_rollup(spark, dir)
+      .as[(String, Option[java.sql.Timestamp], Long, Double)].collect()
+    val n = Tables(spark, dir, "events").count()
+    val grains = out.groupBy(_._1)
+    assert(grains.keySet == Set("hour", "day", "week", "total"))
+    Seq("hour", "day", "week").foreach { g =>
+      assert(grains(g).map(_._3).sum == n, s"$g counts don't reconcile")
+      val buckets = grains(g).map(_._2)
+      assert(buckets.forall(_.nonEmpty), s"$g has a null bucket")
+      assert(buckets.distinct.length == buckets.length, s"$g dup bucket")
+    }
+    assert(grains("total").length == 1 && grains("total").head._3 == n)
+    assert(grains("total").head._2.isEmpty)
+    // value sums reconcile across grains (to display rounding)
+    val hourSum = grains("hour").map(_._4).sum
+    val totalSum = grains("total").head._4
+    assert(math.abs(hourSum - totalSum) < 0.01 * grains("hour").length)
+    // hierarchy sizes: hours >= days >= weeks >= 1
+    assert(grains("hour").length >= grains("day").length)
+    assert(grains("day").length >= grains("week").length)
+  }
+
+  test("q_lag_features: brute-force per-user re-derivation matches") {
+    val out = Relational.q_lag_features(spark, dir)
+      .as[(Long, Long, Option[Double], Long, Option[Double], Option[Long])]
+      .collect()
+    val ev = Tables(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts".cast("long"), $"value",
+        $"ts")
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)].collect()
+    val byEvent = out.map(o => o._1 -> o).toMap
+    assert(out.length == ev.length)
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._5.getTime, r._1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val (prevV, t3n, t3m, gap) = {
+          if (i == 0) (None, 0L, None, None)
+          else {
+            val window = sorted.slice(math.max(0, i - 3), i).map(_._4)
+            (Some(sorted(i - 1)._4),
+              window.length.toLong,
+              Some(window.sum / window.length),
+              Some(r._3 - sorted(i - 1)._3))
+          }
+        }
+        val got = byEvent(r._1)
+        assert(got._4 == t3n, s"event ${r._1} trail3_n")
+        (got._3, prevV) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6)
+          case (None, None) =>
+          case other => fail(s"event ${r._1} prev_value $other")
+        }
+        (got._5, t3m) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-3)
+          case (None, None) =>
+          case other => fail(s"event ${r._1} trail3_mean $other")
+        }
+        assert(got._6 == gap, s"event ${r._1} gap")
+      }
+    }
+  }
+
   test("q_snapshot_diff: classifications are sound and totals " +
     "reconcile with the raw order stream") {
     val out = Relational.q_snapshot_diff(spark, dir)

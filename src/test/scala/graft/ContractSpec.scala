@@ -14,7 +14,7 @@ class ContractSpec extends AnyFunSuite {
     "q_compress_ratio",
     // k-means codebooks have no DuckDB twin; VectorOpsSpec pins
     // determinism, MSE monotonicity in k, and ADC recall
-    "q_vec_pq")
+    "q_vec_pq", "q_ann_ivfpq")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -444,4 +444,74 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(streamedTop == batchTop)
   }
+
+  test("streaming PSI drift vs a static reference: final emission per " +
+    "(window, type) equals a driver-side recompute; state is " +
+    "bins-bounded, not volume-bounded") {
+    val d = Files.createTempDirectory("events_psi")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val raws = ev.select(col("ts").cast("long"), col("event_type"),
+      col("value")).as[(Long, String, Double)].collect()
+    val binW = Relational.psiBinWidth
+    // reference histogram: the batch q_psi_drift midpoint rule
+    val (mn, mx) = (raws.map(_._1).min, raws.map(_._1).max)
+    val ref = raws.filter(r => r._1 * 2 <= mn + mx)
+      .groupBy(r => (r._2, math.floor(r._3 / binW).toLong))
+      .view.mapValues(_.length.toLong).toMap
+    // stage two in-order halves
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_psi").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_psi").toString
+    val winSecs = 21600L
+    val q = Streams.psiDrift(spark, raw, ref, winSecs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psi_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("psi_out")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(emissions.nonEmpty)
+    // final emission per key = the one with the key's max n_cur
+    // (counts only grow; a key untouched by batch 2 keeps its batch-1
+    // reading)
+    val fin = emissions.groupBy(e => (e._1, e._2))
+      .view.mapValues(_.maxBy(_._3)).toMap
+    // driver-side recompute over the full corpus
+    val byKey = raws.groupBy(r => (r._1 / winSecs * winSecs, r._2))
+    assert(fin.keySet == byKey.keySet)
+    byKey.foreach { case (key, rows) =>
+      val cur = rows.groupBy(r => math.floor(r._3 / binW).toLong)
+        .view.mapValues(_.length.toLong).toMap
+      val refT = ref.collect { case ((t, b), c) if t == key._2 => b -> c }
+      val all = (refT.keySet ++ cur.keySet).toSeq.sorted
+      val k = all.size
+      val (nR, nC) = (refT.values.sum, cur.values.sum)
+      val psi = all.map { b =>
+        val p = (refT.getOrElse(b, 0L) + 1).toDouble / (nR + k)
+        val qq = (cur.getOrElse(b, 0L) + 1).toDouble / (nC + k)
+        BigDecimal((p - qq) * math.log(p / qq))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val got = fin(key)
+      assert(got._3 == nC, s"$key n_cur")
+      assert(got._4 == k.toLong, s"$key n_bins")
+      assert(math.abs(got._5 - psi) < 1e-9, s"$key psi ${got._5} vs $psi")
+      // bounded state: bins, not events — the whole point of the shape
+      assert(k <= 16, s"$key state grew past the bin bound")
+    }
+  }
 }

@@ -48,6 +48,31 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF one-probe recall $recall below bar")
   }
 
+  test("q_ann_ivfpq: shortlist+rerank holds the IVF recall bar and " +
+    "emits exact cosines in descending order") {
+    val exact = VectorOps.q_sim_topk(spark, dir).collect().map(_.getLong(0)).toSet
+    val out = VectorOps.q_ann_ivfpq(spark, dir).collect()
+    assert(out.length == 10)
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(!out.map(_.getLong(0)).contains(0L), "query vec must be excluded")
+    // exact re-rank of the ADC shortlist must not fall below the
+    // plain-IVF bar by more than the shortlist truncation allows;
+    // with shortlist=50 of ~nprobe/k of 500 vectors the shortlist is
+    // effectively the whole probed set, so the same 0.3 bar applies
+    val got = out.map(_.getLong(0)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall below bar")
+    // sims must be EXACT cosines (re-ranked), matching the brute-force
+    // values for the same ids
+    val bf = VectorOps.q_sim_topk(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      bf.get(r.getLong(0)).foreach(v =>
+        assert(math.abs(v - r.getDouble(1)) < 1e-9))
+    }
+  }
+
   // ── accuracy-dial sweeps (VERDICT r4 item #6): the rows-only ANN
   // entries' accuracy story as a measured CURVE, not a single bar ──
 
