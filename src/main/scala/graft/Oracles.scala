@@ -104,6 +104,36 @@ object Oracles {
   private val minhashLegs = (0 until 8)
     .map(j => s"min(md5(concat('$j:', shingle))) AS h$j").mkString(", ")
 
+  /** The BPE trainer's unrolled rounds (w0 → w_n with per-round pair
+    * counts p_r, argmax b_r, corpus stat s_r), shared by the
+    * q_bpe_train and q_bpe_encode oracles. `tok` is carried through
+    * every round so the encode oracle can join the corpus back on it.
+    */
+  private lazy val bpeTrainCtes: String = {
+    val rounds = graft.operators.TextOps.bpeTrainMerges
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT pr AS pair,
+         |    CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |  SELECT wc, unnest(list_transform(range(greatest(len(arr) - 1, 0)),
+         |      i -> arr[i + 1] || ' ' || arr[i + 2])) AS pr
+         |  FROM (SELECT wc, string_split(trim(seg), ' ') AS arr
+         |        FROM w${r - 1})) GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged,
+         |  cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT tok, wc,
+         |  replace(replace(seg, ' ' || pair || ' ', ' ' || merged || ' '),
+         |    ' ' || pair || ' ', ' ' || merged || ' ') AS seg
+         |  FROM w${r - 1} CROSS JOIN b$r),
+         |s$r AS (SELECT CAST(sum(wc * len(string_split(trim(seg), ' ')))
+         |  AS BIGINT) AS symbols_after FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest($tokL) AS tok FROM documents),
+       |w0 AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS wc,
+       |  ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS seg
+       |  FROM toks GROUP BY tok),
+       |$roundCtes""".stripMargin
+  }
+
   /** Deletion-neighborhood fuzzy candidates ending in a
     * `cand(term, tok)` CTE — shared by q_fuzzy_join and
     * q_entity_resolve.
@@ -2103,6 +2133,35 @@ object Oracles {
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
+    // char-level BPE trainer (TextOps.q_bpe_train): bpeTrainMerges
+    // unrolled MATERIALIZED rounds (the q_kcore discipline — default
+    // inlining would blow the plan up exponentially); the two-pass
+    // padded replace is the same declared merge-application
+    // convention the Spark side uses
+    "q_bpe_train" -> {
+      val rows = (1 to graft.operators.TextOps.bpeTrainMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS step, pair, merged, cnt, " +
+          s"symbols_after FROM b$r CROSS JOIN s$r")
+        .mkString("\nUNION ALL ")
+      s"""$bpeTrainCtes
+         |$rows
+         |ORDER BY step""".stripMargin
+    },
+
+    // BPE encode (TextOps.q_bpe_encode): the corpus re-tokenized with
+    // the trained merges — same round CTEs, final join on the
+    // vocabulary frame; integer-only output
+    "q_bpe_encode" -> {
+      val last = graft.operators.TextOps.bpeTrainMerges
+      s"""$bpeTrainCtes,
+         |d AS (SELECT doc_id, unnest($tokL) AS tok FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(len(string_split(trim(seg), ' '))) AS BIGINT)
+         |    AS n_symbols
+         |FROM d JOIN w$last USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
     // Efraimidis–Spirakis weighted sampling: key = ln(u)/w from a
     // salted md5 uniform, top-k keys = the weighted sample
     // (Relational.q_sample_weighted)
@@ -2982,6 +3041,41 @@ object Oracles {
         |  t3 AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
+
+    // cumulative distinct users by day (Relational.q_cume_users):
+    // first-seen day per user, then a bounded daily cumsum
+    "q_cume_users" ->
+      """WITH fd AS (SELECT user_id,
+        |    min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cume_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    // Gini coefficient of customer revenue (Relational.q_gini):
+    // Σ(2i−n−1)·x_i / (n·Σx) with exact integer cents and the
+    // integer-div 6-dp round
+    "q_gini" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+        |      AS i FROM sp),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total FROM sp),
+        |m AS (SELECT CAST(sum(CAST(2 * i - n - 1 AS HUGEINT) * cents)
+        |    AS HUGEINT) AS num FROM r CROSS JOIN t)
+        |SELECT n AS n_customers,
+        |  round(CAST(total AS DOUBLE) / 100, 2) AS total_spend,
+        |  CAST((2 * num * 1000000 + CAST(n AS HUGEINT) * total)
+        |    // (2 * CAST(n AS HUGEINT) * total) AS DOUBLE) / 1000000
+        |    AS gini
+        |FROM m CROSS JOIN t ORDER BY n_customers""".stripMargin,
 
     // snapshot reconciliation diff (Relational.q_snapshot_diff): both
     // snapshots from one conditional aggregate; exact-decimal compare

@@ -212,6 +212,10 @@ object SparkEntry {
     "q_time_rollup" -> (Relational.q_time_rollup _),
     "q_lag_features" -> (Relational.q_lag_features _),
     "q_ann_ivfpq" -> (VectorOps.q_ann_ivfpq _),
+    "q_bpe_train" -> (TextOps.q_bpe_train _),
+    "q_bpe_encode" -> (TextOps.q_bpe_encode _),
+    "q_cume_users" -> (Relational.q_cume_users _),
+    "q_gini" -> (Relational.q_gini _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),

@@ -2439,6 +2439,61 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Cumulative distinct users by day — the growth-accounting curve
+    * ("how many users have we EVER seen as of day d"): each user
+    * collapses to their first-seen day in one partial-combining
+    * aggregate, a second bounded aggregate counts new users per day,
+    * and the running total is a window over the calendar-sized daily
+    * frame. The naive per-day `countDistinct` over expanding
+    * prefixes is quadratic in days × corpus; this is two hash
+    * aggregates and a ≤ #days window.
+    */
+  def q_cume_users(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .groupBy("user_id").agg(min(date_trunc("day", col("ts"))).as("day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cume_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
+  /** Gini coefficient of per-customer revenue — the inequality
+    * readout behind every "top x% of customers drive y% of revenue"
+    * dashboard (q_concentration's scale-free companion). Formula
+    * G = Σ(2i − n − 1)·x_i / (n·Σx) over spend sorted ascending with
+    * i the exact global rank — ranks come from [[ScalableRank]]
+    * (range partition + local indices), NOT a single-partition
+    * window sort, so the sort parallelizes at any customer count.
+    * Spend is exact DECIMAL(18,2) converted to integer cents; the
+    * numerator/denominator are exact DECIMAL(38,0) and the 6-dp
+    * half-up rounding is integer division (the q_target_encode
+    * discipline), so the single emitted double is engine-identical.
+    */
+  def q_gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .select(col("o_custkey"), (col("s") * 100).cast("long").as("cents"))
+    val ranked = ScalableRank.withRank(
+      spend.withColumn("g", lit(1)), 32, "g",
+      Seq("cents", "o_custkey"), "i")
+    val tot = broadcast(ranked.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    ranked.join(tot, "g")
+      .select(col("n"), col("total"),
+        (dec(lit(2) * col("i") - col("n") - 1) * dec(col("cents")))
+          .as("term"))
+      .groupBy("n", "total").agg(sum(col("term")).as("num"))
+      .withColumn("den", dec(col("n")) * dec(col("total")))
+      .select(col("n").as("n_customers"),
+        round((col("total").cast("double")) / 100, 2).as("total_spend"),
+        (expr("CAST((2 * num * 1000000 + den) div (2 * den) AS DOUBLE)")
+          / 1000000).as("gini"))
+      .orderBy("n_customers")
+  }
+
   /** Pairwise Pearson correlation matrix of four lineitem measures
     * (quantity, extendedprice, discount, tax) from ONE pass: a single
     * global hash aggregate collects every exact-decimal moment (4

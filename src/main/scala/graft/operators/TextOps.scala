@@ -2021,6 +2021,103 @@ object TextOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(t))))
 
+  /** Merge rounds trained by [[q_bpe_train]] — shared verbatim with
+    * the oracle (the unrolled-CTE round count).
+    */
+  private[graft] val bpeTrainMerges = 8
+
+  /** L11: the full CHAR-level BPE TRAINER — [[bpeTrainMerges]] greedy
+    * merge rounds over the word-frequency table, each round = count
+    * every adjacent symbol pair (weighted by word frequency,
+    * overlapping occurrences included — the standard trainer
+    * objective), pick the argmax (ties: count desc, pair asc), apply
+    * it to every word's segmentation, and report the learned merge
+    * plus the corpus symbol count after it (the compression-progress
+    * readout). Output: one row per merge.
+    *
+    * Merge application is the PORTABLE two-pass convention: symbols
+    * are space-delimited with sentinel padding, and `replace(seg,
+    * " a b ", " ab ")` applied TWICE is simultaneous non-overlapping
+    * matching — both engines implement `replace` as the identical
+    * leftmost non-overlapping scan, pass 1 can strand at most one
+    * un-merged occurrence per scan gap (the consumed shared
+    * delimiter), pass 2 clears exactly those (replacements never
+    * create a new occurrence of the same pair), so two passes
+    * provably reach the fixpoint. This differs from Sennrich's
+    * sequential-greedy only in how odd runs of the pair tie-break
+    * ([[applyBpeMerge]] stays the spec'd greedy token-level
+    * component); the convention is DECLARED and the DuckDB twin pins
+    * it rows+schema+hash.
+    *
+    * Scale shape — why this trains on 100 TB: the corpus collapses
+    * to the distinct-word frequency table in ONE partial-combining
+    * aggregate (vocabulary-sized, corpus-size-independent — the
+    * classic trainer input); each round is one pair-count aggregate
+    * over that bounded frame, a 1-row argmax broadcast, and a
+    * map-side double replace; rounds are lineage-truncated via
+    * [[Checkpoints.ckpt]] (the q_mmr discipline).
+    */
+  private[graft] def bpeTrain(s: SparkSession, dir: String)
+    : (DataFrame, DataFrame) = {
+    val words0 = docTokens(s, dir).groupBy("tok")
+      .agg(count(lit(1)).as("wc"))
+      .select(col("tok"), col("wc"),
+        concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" "))
+          .as("seg"))
+    var cur = Checkpoints.ckpt(words0)
+    var out: DataFrame = null
+    for (step <- 1 to bpeTrainMerges) {
+      val arrd = cur.select(col("wc"), split(trim(col("seg")), " ").as("arr"))
+      val pairs = arrd.select(col("wc"),
+        explode(when(size(col("arr")) >= 2,
+          expr("transform(sequence(0, size(arr) - 2), " +
+            "i -> concat(arr[i], ' ', arr[i + 1]))"))
+          .otherwise(expr("cast(array() as array<string>)"))).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      val best = Checkpoints.ckpt(
+        pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select(col("pair"),
+            replace(col("pair"), lit(" "), lit("")).as("merged"),
+            col("cnt")))
+      val pat = concat(lit(" "), col("pair"), lit(" "))
+      val rep = concat(lit(" "), col("merged"), lit(" "))
+      cur = Checkpoints.ckpt(cur.crossJoin(broadcast(best))
+        .select(col("tok"), col("wc"),
+          replace(replace(col("seg"), pat, rep), pat, rep).as("seg")))
+      val stat = cur.agg(
+        sum(col("wc") * size(split(trim(col("seg")), " ")))
+          .as("symbols_after"))
+      val row = best.crossJoin(broadcast(stat))
+        .select(lit(step.toLong).as("step"), col("pair"), col("merged"),
+          col("cnt"), col("symbols_after"))
+      out = if (out == null) row else out.unionAll(row)
+    }
+    (cur, out)
+  }
+
+  def q_bpe_train(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir)._2.orderBy("step")
+
+  /** L11: BPE ENCODE — the consumer half of [[q_bpe_train]]: every
+    * document re-tokenized with the [[bpeTrainMerges]] learned
+    * merges, reporting words vs emitted subword symbols per doc (the
+    * budget every sequence-packing stage actually needs). The corpus
+    * joins the final vocabulary-sized (token → segmentation) frame
+    * on the token key — broadcastable at any corpus size since the
+    * vocabulary, not the corpus, bounds it — then one hash
+    * aggregate per doc. Integer-only output (no float rounding
+    * surface at all).
+    */
+  def q_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val segs = bpeTrain(s, dir)._1
+      .select(col("tok"),
+        size(split(trim(col("seg")), " ")).cast("long").as("n_sym"))
+    docTokens(s, dir).join(segs, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("n_sym")).as("n_symbols"))
+      .orderBy("doc_id")
+  }
+
   /** PII audit report — the compliance-side twin of q_redact: per
     * source, how many documents carry emails / long digit runs, and
     * the total occurrence counts, using the SAME two patterns

@@ -200,6 +200,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cume_users: cumulative curve reconciles with distinct users " +
+    "and is strictly increasing") {
+    val out = Relational.q_cume_users(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val totalUsers = Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(out.last._3 == totalUsers)
+    assert(out.map(_._2).sum == totalUsers)
+    out.zip(out.tail).foreach { case (a, b) =>
+      assert(b._3 == a._3 + b._2, "cume must accumulate new_users")
+      assert(a._1.before(b._1))
+    }
+  }
+
+  test("q_gini: matches a brute-force recompute and sits in [0, 1)") {
+    val out = Relational.q_gini(spark, dir)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (n, _, gini) = out.head
+    assert(gini >= 0.0 && gini < 1.0)
+    val spends = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double").as("s"))
+      .as[(Long, Double)].collect()
+    assert(n == spends.length)
+    val cents = spends.sortBy(p => (p._2, p._1))
+      .map(p => math.round(p._2 * 100))
+    val nn = cents.length.toLong
+    val total = cents.sum
+    val num = cents.zipWithIndex
+      .map { case (x, i0) => (2L * (i0 + 1) - nn - 1) * x }.sum
+    val expected = num.toDouble / (nn * total).toDouble
+    assert(math.abs(gini - expected) < 1e-6,
+      s"gini $gini vs brute $expected")
+  }
+
   test("q_snapshot_diff: classifications are sound and totals " +
     "reconcile with the raw order stream") {
     val out = Relational.q_snapshot_diff(spark, dir)

@@ -113,6 +113,65 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bands.count() == sigs.length.toLong * TextOps.simhashCombos.size)
   }
 
+  test("q_bpe_train: merge counts are monotone nonincreasing, symbol " +
+    "counts strictly decrease by the merge count, and the first " +
+    "merge matches a brute-force pair count") {
+    val out = TextOps.q_bpe_train(spark, dir)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(out.length == TextOps.bpeTrainMerges)
+    assert(out.map(_._1).toSeq == (1L to TextOps.bpeTrainMerges).toSeq)
+    out.foreach { case (_, pair, merged, cnt, _) =>
+      assert(pair.count(_ == ' ') == 1)
+      assert(merged == pair.replace(" ", ""))
+      assert(cnt >= 1)
+    }
+    // each merge replaces `applications` pair occurrences, and every
+    // application removes exactly one symbol, so the corpus symbol
+    // count strictly decreases round over round (never by more than
+    // the round's pair count — overlapping occurrences can't all be
+    // applied)
+    val symbols = out.map(_._5)
+    symbols.zip(symbols.tail).zip(out.tail).foreach {
+      case ((before, after), r) =>
+        assert(after < before, s"step ${r._1} did not shrink the corpus")
+        assert(before - after <= r._4, s"step ${r._1} removed more than cnt")
+    }
+    // argmax counts are monotone nonincreasing (a new pair formed by
+    // the merged symbol can occur at most as often as the merge did)
+    val cnts = out.map(_._4)
+    cnts.zip(cnts.tail).foreach { case (a, b) => assert(b <= a) }
+    // brute-force the FIRST merge from the raw corpus
+    val words = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFns.tokens($"text")).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect()
+    val pairCounts = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, c) =>
+      w.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
+        val key = s"${p(0)} ${p(1)}"
+        pairCounts(key) = pairCounts.getOrElse(key, 0L) + c
+      }
+    }
+    val bestBrute = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(out.head._2 == bestBrute._1 && out.head._4 == bestBrute._2,
+      s"first merge ${out.head._2}/${out.head._4} vs brute $bestBrute")
+  }
+
+  test("q_bpe_encode: per-doc symbol totals reconcile with the " +
+    "trainer's final corpus count and bound between words and chars") {
+    val enc = TextOps.q_bpe_encode(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val train = TextOps.q_bpe_train(spark, dir)
+      .as[(Long, String, String, Long, Long)].collect()
+    // Σ per-doc symbols == the trainer's symbols_after at the last
+    // merge (the two queries share one declared convention)
+    assert(enc.map(_._3).sum == train.last._5)
+    enc.foreach { case (_, nTok, nSym) =>
+      assert(nSym >= nTok, "a word never encodes below one symbol")
+    }
+    // every doc is present
+    assert(enc.length == Tables(spark, dir, "documents").count())
+  }
+
   test("q_decontaminate: eval docs never flagged; hits bounded by " +
     "eval shingle count; eval side broadcast") {
     val out = TextOps.q_decontaminate(spark, dir).collect()
