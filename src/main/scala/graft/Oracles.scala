@@ -3042,6 +3042,37 @@ object Oracles {
         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
 
+    // Kaplan-Meier weekly survival with right-censoring
+    // (Relational.q_survival): exact integer risk sets, per-offset
+    // ln from one integer ratio rounded DECIMAL(18,6) before the
+    // exact cumulative sum
+    "q_survival" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(date_trunc('week', ts) AS TIMESTAMP)))
+        |      AS BIGINT) AS w FROM events),
+        |u AS (SELECT user_id, min(w) AS w0, max(w) AS wl
+        |  FROM ev GROUP BY 1),
+        |e AS (SELECT max(w) AS we FROM ev),
+        |sp AS (SELECT CAST(CASE WHEN wl = we THEN (we - w0) // 604800
+        |      ELSE (wl - w0) // 604800 + 1 END AS BIGINT) AS off,
+        |    CAST(CASE WHEN wl <> we THEN 1 ELSE 0 END AS BIGINT)
+        |      AS is_event
+        |  FROM u CROSS JOIN e),
+        |p AS (SELECT off, CAST(count(*) AS BIGINT) AS ending,
+        |    CAST(sum(is_event) AS BIGINT) AS d FROM sp GROUP BY 1),
+        |r AS (SELECT off, ending, d,
+        |    CAST(sum(ending) OVER (ORDER BY off ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk FROM p),
+        |l AS (SELECT off, n_risk, d, ending,
+        |    CAST(CASE WHEN d > 0 THEN
+        |      round(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 6)
+        |      ELSE 0 END AS DECIMAL(18,6)) AS lnfac FROM r)
+        |SELECT off, n_risk, d AS n_events, ending - d AS n_censored,
+        |  round(exp(CAST(sum(lnfac) OVER (ORDER BY off
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 4) AS survival
+        |FROM l ORDER BY off""".stripMargin,
+
     // cumulative distinct users by day (Relational.q_cume_users):
     // first-seen day per user, then a bounded daily cumsum
     "q_cume_users" ->

@@ -216,6 +216,7 @@ object SparkEntry {
     "q_bpe_encode" -> (TextOps.q_bpe_encode _),
     "q_cume_users" -> (Relational.q_cume_users _),
     "q_gini" -> (Relational.q_gini _),
+    "q_survival" -> (Relational.q_survival _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),

@@ -850,6 +850,64 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Kaplan-Meier weekly survival curve with right-censoring —
+    * [[q_retention]]'s principled churn companion: retention counts
+    * who CAME BACK at offset k; KM estimates the probability of
+    * still being active, treating users whose last activity falls in
+    * the final observed week as CENSORED (still alive as far as the
+    * data can say) instead of churned — the standard correction
+    * without which every curve dives to zero at the observation
+    * boundary. Per user: churn event at offset (last − first)/wk + 1,
+    * or censoring at (end − first)/wk when last == end. Risk set
+    * n_k = users with event-or-censor offset ≥ k; S(k) =
+    * Π_{j≤k} (1 − d_j/n_j), computed as exp of the cumulative sum of
+    * per-offset ln((n−d)/n) — each ln formed from one exact integer
+    * ratio and rounded DECIMAL(18,6) before the exact sum (the
+    * q_kl_mixture ln discipline).
+    *
+    * Scale shape: one partial-combining aggregate per user, a second
+    * bounded aggregate per offset, and window math on the ≤ #weeks
+    * frame. Nothing corpus-sized past the first aggregate.
+    */
+  def q_survival(s: SparkSession, dir: String): DataFrame =
+    survivalOf(t(s, dir, "events").select(col("user_id"),
+      date_trunc("week", col("ts")).cast("long").as("w")))
+
+  /** KM core over a (user_id, week-epoch) frame — factored out so the
+    * spec can drive it with a constructed sparse cohort (the fixture
+    * is dense: 150 users, ~all censored, a 1-row curve).
+    */
+  private[graft] def survivalOf(ev: DataFrame): DataFrame = {
+    val wk = 604800L
+    val users = ev.groupBy("user_id")
+      .agg(min(col("w")).as("w0"), max(col("w")).as("wl"))
+    val endW = broadcast(ev.agg(max(col("w")).as("we")))
+    val spans = users.crossJoin(endW)
+      .select(
+        when(col("wl") === col("we"), (col("we") - col("w0")) / wk)
+          .otherwise((col("wl") - col("w0")) / wk + 1).cast("long").as("off"),
+        (col("wl") =!= col("we")).cast("long").as("is_event"))
+    val perOff = spans.groupBy("off")
+      .agg(count(lit(1)).as("ending"), sum(col("is_event")).as("d"))
+    val byOff = Window.orderBy("off")
+    val risk = perOff
+      .withColumn("n_risk",
+        sum(col("ending")).over(
+          byOff.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("lnfac",
+        when(col("d") > 0,
+          round(log(((col("n_risk") - col("d"))).cast("double") /
+            col("n_risk").cast("double")), 6))
+          .otherwise(lit(0.0)).cast("decimal(18,6)"))
+      .withColumn("lnsurv",
+        sum(col("lnfac")).over(
+          byOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    risk.select(col("off"), col("n_risk"), col("d").as("n_events"),
+      (col("ending") - col("d")).as("n_censored"),
+      round(exp(col("lnsurv").cast("double")), 4).as("survival"))
+      .orderBy("off")
+  }
+
   /** Weekly cohort LTV curve — [[q_retention]]'s revenue twin: per
     * (cohort week, week offset), purchase revenue that week, the
     * running cumulative, and cumulative revenue per cohort MEMBER

@@ -238,6 +238,51 @@ class AnalyticsSpec extends AnyFunSuite {
       s"gini $gini vs brute $expected")
   }
 
+  test("q_survival: constructed sparse cohort matches hand-computed " +
+    "Kaplan-Meier; fixture curve is monotone with reconciling counts") {
+    // 6 users over weeks 0..3 (week epoch = k*604800):
+    //   u1 weeks 0..3  -> censored at off 3 (last == end)
+    //   u2 weeks 0..1  -> event at off 2
+    //   u3 week 0 only -> event at off 1
+    //   u4 weeks 1..3  -> censored at off 2
+    //   u5 weeks 1..2  -> event at off 2
+    //   u6 week 3 only -> censored at off 0
+    val wk = 604800L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 0L), (2L, 1L),
+      (3L, 0L),
+      (4L, 1L), (4L, 3L),
+      (5L, 1L), (5L, 2L),
+      (6L, 3L))
+      .map { case (u, k) => (u, k * wk) }
+      .toDF("user_id", "w")
+    val out = Relational.survivalOf(ev)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // ends: off0: u6 censored; off1: u3 event; off2: u2,u5 events +
+    // u4 censored; off3: u1 censored
+    // risk sets (ending >= off): n0=6, n1=5, n2=4, n3=1
+    // S(0)=1; S(1)=1*(1-1/5)=0.8; S(2)=0.8*(1-2/4)=0.4; S(3)=0.4
+    val expected = Seq(
+      (0L, 6L, 0L, 1L, 1.0),
+      (1L, 5L, 1L, 0L, 0.8),
+      (2L, 4L, 2L, 1L, 0.4),
+      (3L, 1L, 0L, 1L, 0.4))
+    assert(out.toSeq.map(r => (r._1, r._2, r._3, r._4,
+      math.round(r._5 * 10000) / 10000.0)) == expected)
+    // fixture invariants
+    val fix = Relational.q_survival(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(fix.nonEmpty)
+    val users = Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(fix.map(r => r._3 + r._4).sum == users,
+      "every user ends exactly once (event or censor)")
+    val survs = fix.map(_._5)
+    survs.zip(survs.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    assert(fix.head._2 == users, "offset-0 risk set is everyone")
+  }
+
   test("q_snapshot_diff: classifications are sound and totals " +
     "reconcile with the raw order stream") {
     val out = Relational.q_snapshot_diff(spark, dir)
