@@ -3042,6 +3042,95 @@ object Oracles {
         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id""".stripMargin,
 
+    // two-sample KS drift (Relational.q_ks_drift): D·n1·n2 as an
+    // exact integer max over per-value cumulative counts; the oracle
+    // uses the plain per-type cumsum (the Spark side's two-level
+    // prefix is a plan choice, same math); significance decided by
+    // the exact integer compare
+    "q_ks_drift" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+        |    value FROM events),
+        |bd AS (SELECT min(e) AS mn, max(e) AS mx FROM e),
+        |pv AS (SELECT event_type, value,
+        |    CAST(sum(CASE WHEN e * 2 <= mn + mx THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN e * 2 <= mn + mx THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cc
+        |  FROM e CROSS JOIN bd GROUP BY 1, 2),
+        |c AS (SELECT event_type, cr, cc,
+        |    CAST(sum(cr) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |    CAST(sum(cc) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+        |  FROM pv),
+        |t AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS n1,
+        |    CAST(sum(cc) AS BIGINT) AS n2 FROM pv GROUP BY 1),
+        |d AS (SELECT c.event_type, n1, n2,
+        |    CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num
+        |  FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, n1, n2, d_num,
+        |  round(CAST(d_num AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d,
+        |  CAST(CASE WHEN CAST(d_num AS HUGEINT) * d_num * 1000000
+        |      > CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // delete-one-group jackknife SE (Relational.q_jackknife):
+    // md5-bucketed groups, integer 1e-6-unit LOO means, exact
+    // integer moments, IEEE sqrt last
+    "q_jackknife" -> {
+      val bkts = operators.Relational.jackBuckets
+      val hex = "strpos('0123456789abcdef', substr(md5('jk:' || " +
+        "CAST(event_id AS VARCHAR)), %d, 1)) - 1"
+      s"""WITH ev AS (SELECT event_type,
+        |    CAST(((${hex.format(1)}) * 16 + (${hex.format(2)})) % $bkts
+        |      AS BIGINT) AS b,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |g AS (SELECT event_type, b, sum(v) AS sb,
+        |    CAST(count(*) AS BIGINT) AS nb FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(sb) AS s,
+        |    CAST(sum(nb) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS nbuckets FROM g GROUP BY 1),
+        |m AS (SELECT g.event_type, n, s, nbuckets,
+        |    (2 * CAST((s - sb) * 100 AS BIGINT) * 10000 + (n - nb))
+        |      // (2 * (n - nb)) AS r
+        |  FROM g JOIN t USING (event_type)),
+        |a AS (SELECT event_type, n, s, nbuckets,
+        |    CAST(sum(r) AS BIGINT) AS msum,
+        |    CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS msq
+        |  FROM m GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n AS n_rows,
+        |  CAST((2 * CAST(s * 100 AS BIGINT) * 100 + n) // (2 * n)
+        |    AS DOUBLE) / 10000 AS mean,
+        |  round(sqrt(CAST(CAST(nbuckets - 1 AS HUGEINT)
+        |      * (nbuckets * msq - CAST(msum AS HUGEINT) * msum)
+        |      AS DOUBLE))
+        |    / (CAST(nbuckets AS DOUBLE) * 1000000), 6) AS se_jack
+        |FROM a ORDER BY event_type""".stripMargin
+    },
+
+    // trailing-24h rolling median of hourly counts
+    // (Relational.q_rolling_median): dense spine + one quantile
+    // window; med2 = 2·median is integer-exact on BIGINT counts
+    "q_rolling_median" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS mn, max(h) AS mx
+        |    FROM hourly GROUP BY 1)),
+        |dense AS (SELECT s.event_type, s.h,
+        |    coalesce(hourly.cnt, 0) AS cnt
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h)
+        |SELECT event_type, h, cnt,
+        |  CAST(CAST(quantile_cont(cnt, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) * 2
+        |    AS BIGINT) AS DOUBLE) / 2 AS med_24h
+        |FROM dense ORDER BY event_type, h""".stripMargin,
+
     // Kaplan-Meier weekly survival with right-censoring
     // (Relational.q_survival): exact integer risk sets, per-offset
     // ln from one integer ratio rounded DECIMAL(18,6) before the

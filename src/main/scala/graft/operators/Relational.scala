@@ -908,6 +908,141 @@ object Relational {
       .orderBy("off")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test per event type — the
+    * bin-free companion of [[q_psi_drift]]: D = max_v |F_ref(v) −
+    * F_cur(v)| over the same epoch-midpoint split, computed EXACTLY
+    * in integers (D·n1·n2 = max |c_ref·n2 − c_cur·n1| over the
+    * per-value cumulative counts) with the α=0.05 significance flag
+    * decided by the exact integer compare 10⁶·D_num² >
+    * 1.358²·10⁶·(n1+n2)·n1·n2 — no float ever enters a decision.
+    *
+    * Scale shape: the per-value cumulative counts use a TWO-LEVEL
+    * prefix sum (the ScalableRank discipline): per-(type, value-
+    * bucket) partial totals roll up on the bounded bucket frame and
+    * broadcast back as offsets, and the in-bucket cumsum window
+    * partitions on (type, bucket) — parallelism is types × buckets,
+    * never a single per-type sorted partition.
+    */
+  def q_ks_drift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("ts").cast("long").as("e"), col("value"))
+    val bounds = broadcast(e.agg(min(col("e")).as("mn"), max(col("e")).as("mx")))
+    val perVal = e.crossJoin(bounds)
+      .withColumn("is_ref", (col("e") * 2 <= col("mn") + col("mx")).cast("long"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("is_ref")).as("cr"), sum(lit(1L) - col("is_ref")).as("cc"))
+      .withColumn("bucket", floor(col("value") / psiBinWidth).cast("long"))
+    val bucketTot = perVal.groupBy("event_type", "bucket")
+      .agg(sum(col("cr")).as("bcr"), sum(col("cc")).as("bcc"))
+    val offW = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTot
+      .withColumn("ocr", coalesce(sum(col("bcr")).over(offW), lit(0L)))
+      .withColumn("occ", coalesce(sum(col("bcc")).over(offW), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("ocr"), col("occ"))
+    val inB = Window.partitionBy("event_type", "bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = perVal.join(broadcast(offsets), Seq("event_type", "bucket"))
+      .withColumn("c1", col("ocr") + sum(col("cr")).over(inB))
+      .withColumn("c2", col("occ") + sum(col("cc")).over(inB))
+    val totals = perVal.groupBy("event_type")
+      .agg(sum(col("cr")).as("n1"), sum(col("cc")).as("n2"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    cums.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dnum"))
+      .groupBy("event_type", "n1", "n2")
+      .agg(max(col("dnum")).as("d_num"))
+      .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6).as("d"),
+        (dec(col("d_num")) * dec(col("d_num")) * lit(1000000L) >
+          dec(lit(1844164L)) * dec(col("n1") + col("n2")) *
+            dec(col("n1")) * dec(col("n2")))
+          .cast("long").as("significant"))
+      .orderBy("event_type")
+  }
+
+  /** Delete-one-group jackknife standard error of the per-type mean
+    * value — the resampling-based uncertainty readout (the family
+    * PSI/KS flag membership in, this one quantifies). Rows assign to
+    * [[jackBuckets]] deterministic md5 buckets (the salted-hash
+    * discipline — reproducible across engines and re-runs); each
+    * leave-one-bucket-out mean m_b = (S − s_b)/(N − n_b) rounds to
+    * 6-dp DECIMAL before the exact moment sums, and
+    * SE² = (B−1)/B · Σ(m_b − m̄)² divides exact decimals with the
+    * one float op last. IEEE sqrt is exactly rounded (unlike ln/exp),
+    * so the emitted SE is engine-identical. Everything after the one
+    * per-(type, bucket) aggregate runs on the B × types frame.
+    */
+  private[graft] val jackBuckets = 32
+
+  def q_jackknife(s: SparkSession, dir: String): DataFrame = {
+    val b = conv(substring(md5(concat(lit("jk:"),
+      col("event_id").cast("string"))), 1, 2), 16, 10)
+      .cast("long") % jackBuckets
+    val grp = t(s, dir, "events")
+      .select(col("event_type"), b.as("b"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("v")).as("sb"), count(lit(1)).as("nb"))
+    val tot = grp.groupBy("event_type")
+      .agg(sum(col("sb")).as("s"), sum(col("nb")).as("n"),
+        count(lit(1)).as("nbuckets"))
+    // leave-one-out means as INTEGER 10⁻⁶-units (the q_target_encode
+    // ⌊(2a+d)/(2d)⌋ half-up), so the moment sums stay exact integers
+    // and the only floats are the final sqrt (IEEE exactly rounded)
+    // and two display divisions
+    val m = grp.join(broadcast(tot), "event_type")
+      .withColumn("cents", ((col("s") - col("sb")) * 100).cast("long"))
+      .withColumn("dd", col("n") - col("nb"))
+      .withColumn("r",
+        expr("CAST((2 * cents * 10000 + dd) div (2 * dd) AS BIGINT)"))
+    def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    m.groupBy(col("event_type"), col("n"), col("s"), col("nbuckets"))
+      .agg(sum(col("r")).as("msum"),
+        sum(dec38(col("r")) * dec38(col("r"))).as("msq"))
+      .withColumn("scents", (col("s") * 100).cast("long"))
+      .select(col("event_type"), col("n").as("n_rows"),
+        (expr("CAST((2 * scents * 100 + n) div (2 * n) AS DOUBLE)") / 10000)
+          .as("mean"),
+        // SE = sqrt((B−1)·(B·Σr² − (Σr)²)) / (B·10⁶), X exact integer
+        round(sqrt((dec38(col("nbuckets") - 1) *
+          (dec38(col("nbuckets")) * col("msq") -
+            dec38(col("msum")) * dec38(col("msum")))).cast("double")) /
+          (col("nbuckets").cast("double") * 1000000), 6).as("se_jack"))
+      .orderBy("event_type")
+  }
+
+  /** Trailing-24-hour rolling MEDIAN of the hourly event count per
+    * type — the robust baseline [[q_ewma]]'s mean-based smoother
+    * can't give (one spike drags a mean for 8 taps; the median
+    * shrugs it off). Densified spine first (the shared lesson), then
+    * one `percentile` window over a 24-row frame; medians of BIGINT
+    * counts are exact half-integers, emitted via the med2 = 2·median
+    * BIGINT trick (q_anomaly_mad discipline) so no float rounding
+    * surface exists. Calendar-bounded frames throughout.
+    */
+  def q_rolling_median(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("med2",
+        expr("CAST(percentile(cnt, 0.5) OVER (PARTITION BY event_type " +
+          "ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) * 2 " +
+          "AS BIGINT)"))
+      .select(col("event_type"), col("h"), col("cnt"),
+        (col("med2").cast("double") / 2).as("med_24h"))
+      .orderBy("event_type", "h")
+  }
+
   /** Weekly cohort LTV curve — [[q_retention]]'s revenue twin: per
     * (cohort week, week offset), purchase revenue that week, the
     * running cumulative, and cumulative revenue per cohort MEMBER

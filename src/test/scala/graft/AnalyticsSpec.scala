@@ -283,6 +283,89 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(fix.head._2 == users, "offset-0 risk set is everyone")
   }
 
+  test("q_ks_drift: brute-force KS statistic matches for every type; " +
+    "significance flag agrees with the exact critical compare") {
+    val out = Relational.q_ks_drift(spark, dir)
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val raws = Tables(spark, dir, "events")
+      .select($"event_type", $"ts".cast("long"), $"value")
+      .as[(String, Long, Double)].collect()
+    val (mn, mx) = (raws.map(_._2).min, raws.map(_._2).max)
+    out.foreach { case (typ, n1, n2, dnum, d, sig) =>
+      val rows = raws.filter(_._1 == typ)
+      val ref = rows.filter(r => r._2 * 2 <= mn + mx).map(_._3).sorted
+      val cur = rows.filter(r => r._2 * 2 > mn + mx).map(_._3).sorted
+      assert(n1 == ref.length && n2 == cur.length)
+      val values = (ref ++ cur).distinct.sorted
+      val bruteDnum = values.map { v =>
+        math.abs(ref.count(_ <= v).toLong * n2 - cur.count(_ <= v).toLong * n1)
+      }.max
+      assert(dnum == bruteDnum, s"$typ d_num $dnum vs $bruteDnum")
+      // d is the 6-dp display rounding of the exact ratio
+      assert(math.abs(d - dnum.toDouble / (n1 * n2)) < 5.01e-7)
+      val critHolds = BigInt(dnum) * BigInt(dnum) * 1000000 >
+        BigInt(1844164) * (n1 + n2) * n1 * n2
+      assert(sig == (if (critHolds) 1L else 0L))
+    }
+  }
+
+  test("q_jackknife: SE matches a driver-side delete-group recompute " +
+    "and the mean matches the plain mean") {
+    val out = Relational.q_jackknife(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val raws = Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jk:$id".getBytes("UTF-8"))
+      val hex = h.map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.substring(0, 2), 16) % 32).toLong
+    }
+    out.foreach { case (typ, n, mean, se) =>
+      val rows = raws.filter(_._2 == typ)
+      assert(n == rows.length)
+      val cents = rows.map(r => math.round(r._3 * 100))
+      val s = cents.sum
+      assert(math.abs(mean - s.toDouble / 100 / n) < 1e-3)
+      // delete-group recompute with the same integer 1e-6 rounding
+      val byB = rows.groupBy(r => bucket(r._1))
+      val rs = byB.toSeq.map { case (_, g) =>
+        val sb = g.map(r => math.round(r._3 * 100)).sum
+        val nb = g.length
+        val num = 2L * (s - sb) * 10000 + (n - nb)
+        num / (2L * (n - nb))
+      }
+      val b = rs.length
+      val msum = BigInt(rs.sum)
+      val msq = rs.map(r => BigInt(r) * BigInt(r)).sum
+      val x = BigInt(b - 1) * (BigInt(b) * msq - msum * msum)
+      val brute = math.sqrt(x.toDouble) / (b * 1e6)
+      assert(math.abs(se - brute) < 1e-5, s"$typ se $se vs $brute")
+      assert(se > 0)
+    }
+  }
+
+  test("q_rolling_median: trailing-24 window median matches a " +
+    "brute-force recompute on one series") {
+    val out = Relational.q_rolling_median(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val typ = out.head._1
+    val series = out.filter(_._1 == typ).sortBy(_._2.getTime)
+    series.zipWithIndex.foreach { case ((_, _, _, med), i) =>
+      val window = series.slice(math.max(0, i - 23), i + 1).map(_._3)
+        .sorted
+      val n = window.length
+      val brute =
+        if (n % 2 == 1) window(n / 2).toDouble
+        else (window(n / 2 - 1) + window(n / 2)) / 2.0
+      assert(math.abs(med - brute) < 1e-9, s"pos $i: $med vs $brute")
+    }
+  }
+
   test("q_snapshot_diff: classifications are sound and totals " +
     "reconcile with the raw order stream") {
     val out = Relational.q_snapshot_diff(spark, dir)
