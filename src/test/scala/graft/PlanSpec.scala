@@ -199,4 +199,26 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.operators.GraphOps.q_label_prop(spark, dir))
     assert(!plan.contains("Window"), plan.take(1500))
   }
+
+  test("q_join_interval joins hot hours with a broadcast HASH join — " +
+    "the interval predicate never plans a nested loop over sessions") {
+    val plan = planOf(Relational.q_join_interval(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the only nested loop is the intentional 1-row totals cross join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, s"unexpected nested loops ($bnl):\n${plan.take(2000)}")
+  }
+
+  test("q_ks_drift's heavy cumsum window partitions on (type, bucket), " +
+    "never one sorted partition per type") {
+    val plan = Relational.q_ks_drift(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the per-value running sums must carry BOTH partition keys
+    val heavy = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("value"))
+      .mkString("\n")
+    assert(heavy.nonEmpty, "per-value cumsum window missing")
+    assert(heavy.contains("event_type") && heavy.contains("bucket"),
+      s"cumsum window not bucketed:\n$heavy")
+  }
 }
