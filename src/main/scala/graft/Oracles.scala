@@ -2133,6 +2133,30 @@ object Oracles {
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
+    // corpus coverage curve (TextOps.q_coverage_curve): deciles via
+    // window ntile (ScalableRank is bit-identical by construction),
+    // first-appearance min per shingle, bounded decile frame after
+    "q_coverage_curve" ->
+      s"""$shinglesCte,
+         |dec AS (SELECT doc_id,
+         |    CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS decile
+         |  FROM documents),
+         |fd AS (SELECT shingle, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+         |pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_shingles
+         |  FROM fd JOIN dec USING (doc_id) GROUP BY 1),
+         |dp AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM dec GROUP BY 1),
+         |t AS (SELECT CAST(sum(new_shingles) AS BIGINT) AS tot FROM pd),
+         |c AS (SELECT dp.decile, n_docs,
+         |    coalesce(new_shingles, 0) AS new_shingles,
+         |    CAST(sum(coalesce(new_shingles, 0)) OVER (ORDER BY dp.decile
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_shingles
+         |  FROM dp LEFT JOIN pd USING (decile))
+         |SELECT decile, n_docs, new_shingles, cum_shingles,
+         |  CAST((2 * cum_shingles * 10000 + tot) // (2 * tot) AS DOUBLE)
+         |    / 10000 AS cum_share
+         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
     // char-level BPE trainer (TextOps.q_bpe_train): bpeTrainMerges
     // unrolled MATERIALIZED rounds (the q_kcore discipline — default
     // inlining would blow the plan up exponentially); the two-pass

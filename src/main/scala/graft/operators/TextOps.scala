@@ -2118,6 +2118,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus coverage curve — the marginal-utility readout behind
+    * every "is more of this source worth ingesting" call: documents
+    * bucket into ten equal-population deciles by doc_id order, and
+    * each decile reports the NEW distinct shingles it contributes
+    * (a shingle counts exactly once, at its min-doc_id first
+    * appearance) plus the cumulative coverage share. A flattening
+    * curve = the source is exhausted; near-linear = still novel.
+    *
+    * Scale shape: deciles come from [[ScalableRank.withNtile]]
+    * (range-partitioned, bit-identical to window ntile — never a
+    * single global sort); first-appearance is one min-aggregate over
+    * the SHARED cached (doc, shingle) frame; everything after runs on
+    * the 10-row decile frame. The cumulative share's 4-dp half-up
+    * round is integer division (the q_target_encode discipline).
+    */
+  def q_coverage_curve(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("g", lit(1))
+    val dec = ScalableRank.withNtile(docs, 32, "g", Seq("doc_id"), 10,
+      "decile").select(col("doc_id"), col("decile"))
+    val firstDoc = docShingles(s, dir)
+      .groupBy("shingle").agg(min(col("doc_id")).as("doc_id"))
+    val perDec = firstDoc.join(dec, "doc_id")
+      .groupBy("decile").agg(count(lit(1)).as("new_shingles"))
+    val docsPer = dec.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val tot = broadcast(perDec.agg(sum(col("new_shingles")).as("tot")))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(perDec, Seq("decile"), "left")
+      .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
+      .withColumn("cum_shingles", sum(col("new_shingles")).over(w))
+      .crossJoin(tot)
+      .select(col("decile"), col("n_docs"), col("new_shingles"),
+        col("cum_shingles"),
+        (expr("CAST((2 * cum_shingles * 10000 + tot) div (2 * tot) " +
+          "AS DOUBLE)") / 10000).as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** PII audit report — the compliance-side twin of q_redact: per
     * source, how many documents carry emails / long digit runs, and
     * the total occurrence counts, using the SAME two patterns

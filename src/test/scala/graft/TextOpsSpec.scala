@@ -172,6 +172,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.length == Tables(spark, dir, "documents").count())
   }
 
+  test("q_coverage_curve: deciles reconcile with the corpus and the " +
+    "distinct-shingle universe; curve is monotone ending at 1.0") {
+    val out = TextOps.q_coverage_curve(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    assert(out.map(_._2).sum ==
+      Tables(spark, dir, "documents").count())
+    val totalShingles = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFns.shingles($"text", 3))
+        .as("sh")).select("sh").distinct().count()
+    assert(out.map(_._3).sum == totalShingles)
+    assert(out.last._4 == totalShingles && out.last._5 == 1.0)
+    val cums = out.map(_._4)
+    cums.zip(cums.tail).foreach { case (a, b) => assert(b >= a) }
+    // first decile carries the largest marginal contribution on an
+    // id-ordered pass (every shingle seen there is new)
+    assert(out.head._3 == out.map(_._3).max)
+  }
+
   test("q_decontaminate: eval docs never flagged; hits bounded by " +
     "eval shingle count; eval side broadcast") {
     val out = TextOps.q_decontaminate(spark, dir).collect()
