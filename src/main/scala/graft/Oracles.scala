@@ -2133,6 +2133,62 @@ object Oracles {
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
+    // dedup-quality threshold sweep (TextOps.q_dedup_eval_sweep):
+    // the q_dedup_eval machinery with the truth gate parameterized
+    // over the shared exact-fraction tau list; tr/cand MATERIALIZED
+    // (read once per threshold)
+    "q_dedup_eval_sweep" -> {
+      val hex = operators.TextOps.dedupEvalPanelHex
+      val tauBlocks = operators.TextOps.dedupEvalTaus
+        .map { case (label, p, q) =>
+          s"""SELECT '$label' AS tau,
+             |  CAST(coalesce(sum(t), 0) AS BIGINT) AS n_truth,
+             |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_cand,
+             |  CAST(coalesce(sum(t * c), 0) AS BIGINT) AS tp,
+             |  CASE WHEN coalesce(sum(c), 0) = 0 THEN 0.0
+             |    ELSE round(CAST(sum(t * c) AS DOUBLE)
+             |      / CAST(sum(c) AS DOUBLE), 4) END AS precision_tau,
+             |  CASE WHEN coalesce(sum(t), 0) = 0 THEN 0.0
+             |    ELSE round(CAST(sum(t * c) AS DOUBLE)
+             |      / CAST(sum(t) AS DOUBLE), 4) END AS recall_tau
+             |FROM (SELECT
+             |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+             |    CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS c
+             |  FROM (SELECT a_id, b_id FROM tr
+             |      JOIN sizes sa ON a_id = sa.doc_id
+             |      JOIN sizes sb ON b_id = sb.doc_id
+             |      WHERE ${p + q} * inter >= $p * (sa.n + sb.n)) t
+             |  FULL OUTER JOIN cand c
+             |    ON t.a_id = c.a_id AND t.b_id = c.b_id)""".stripMargin
+        }.mkString("\nUNION ALL ")
+      s"""$shinglesCte,
+        |ids AS (SELECT doc_id FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$hex'),
+        |shs AS (SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN ids USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+        |tr AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    count(*) AS inter
+        |  FROM shs a JOIN shs b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id,
+        |    b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |      AND a.doc_id < b.doc_id
+        |  JOIN ids ia ON a.doc_id = ia.doc_id
+        |  JOIN ids ib ON b.doc_id = ib.doc_id)
+        |$tauBlocks
+        |ORDER BY tau""".stripMargin
+    },
+
     // corpus coverage curve (TextOps.q_coverage_curve): deciles via
     // window ntile (ScalableRank is bit-identical by construction),
     // first-appearance min per shingle, bounded decile frame after

@@ -2118,6 +2118,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Jaccard thresholds for [[q_dedup_eval_sweep]], as exact
+    * fractions (label, p, q) with the gate J ≥ p/q decided by the
+    * integer compare (p+q)·inter ≥ p·(na+nb). Shared verbatim with
+    * the oracle.
+    */
+  private[graft] val dedupEvalTaus =
+    Seq(("1/3", 1, 3), ("1/2", 1, 2), ("2/3", 2, 3))
+
+  /** Dedup-quality evaluation as a CURVE — [[q_dedup_eval]] pins one
+    * operating point (τ = 1/2); this sweeps three exact-fraction
+    * Jaccard thresholds against the SAME fixed LSH candidate set, so
+    * an operator reads how precision/recall trade as the notion of
+    * "true duplicate" tightens (the ANN-sweep discipline applied to
+    * the dedup family). Every threshold decision is the integer
+    * compare (p+q)·inter ≥ p·(na+nb) — no float can straddle
+    * engines. One unthresholded truth-base computation (pair
+    * intersections + sizes, cached) feeds all three rows; candidates
+    * and panel are the shared cached frames.
+    */
+  def q_dedup_eval_sweep(s: SparkSession, dir: String): DataFrame = {
+    val panel = cached(t(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
+        < dedupEvalPanelHex)
+      .select("doc_id"))
+    val sh = docShingles(s, dir).join(panel, "doc_id")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val base = cached(
+      sh.select(col("doc_id").as("a_id"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+          Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+          Seq("b_id")))
+    val cand = cached(minhashCandidatePairs(s, dir)
+      .join(panel.select(col("doc_id").as("a_id")), Seq("a_id"))
+      .join(panel.select(col("doc_id").as("b_id")), Seq("b_id")))
+    val rows = dedupEvalTaus.map { case (label, p, q) =>
+      val truth = base
+        .filter(lit(p + q) * col("inter") >= lit(p) * (col("na") + col("nb")))
+        .select("a_id", "b_id")
+      truth.withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"),
+          "full_outer")
+        .select(coalesce(col("t"), lit(0)).as("t"),
+          coalesce(col("c"), lit(0)).as("c"))
+        .agg(coalesce(sum(col("t")), lit(0)).cast("long").as("n_truth"),
+          coalesce(sum(col("c")), lit(0)).cast("long").as("n_cand"),
+          coalesce(sum(col("t") * col("c")), lit(0)).cast("long").as("tp"))
+        .select(lit(label).as("tau"), col("n_truth"), col("n_cand"),
+          col("tp"),
+          when(col("n_cand") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double")
+              / col("n_cand").cast("double"), 4)).as("precision_tau"),
+          when(col("n_truth") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double")
+              / col("n_truth").cast("double"), 4)).as("recall_tau"))
+    }
+    rows.reduce(_ unionAll _).orderBy("tau")
+  }
+
   /** Corpus coverage curve — the marginal-utility readout behind
     * every "is more of this source worth ingesting" call: documents
     * bucket into ten equal-population deciles by doc_id order, and

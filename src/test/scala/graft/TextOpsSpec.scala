@@ -172,6 +172,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.length == Tables(spark, dir, "documents").count())
   }
 
+  test("q_dedup_eval_sweep: the τ=1/2 row reproduces q_dedup_eval; " +
+    "truth sets nest and precision is monotone in τ") {
+    val sweep = TextOps.q_dedup_eval_sweep(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sweep.keySet == Set("1/3", "1/2", "2/3"))
+    val single = TextOps.q_dedup_eval(spark, dir).collect().head
+    val half = sweep("1/2")
+    assert(half._2 == single.getLong(0) && half._3 == single.getLong(1)
+      && half._4 == single.getLong(2))
+    assert(half._5 == single.getDouble(5) && half._6 == single.getDouble(6))
+    // by fraction value: 1/3 < 1/2 < 2/3
+    val ordered = Seq(sweep("1/3"), sweep("1/2"), sweep("2/3"))
+    // tightening τ shrinks truth (nested) and with a FIXED candidate
+    // set, tp shrinks with it, so precision is monotone nonincreasing
+    ordered.map(_._2).sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    ordered.map(_._4).sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    ordered.map(_._5).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9)
+    }
+    // candidate set identical across rows
+    assert(ordered.map(_._3).distinct.size == 1)
+    ordered.foreach { r => assert(r._4 <= math.min(r._2, r._3)) }
+  }
+
   test("q_coverage_curve: deciles reconcile with the corpus and the " +
     "distinct-shingle universe; curve is monotone ending at 1.0") {
     val out = TextOps.q_coverage_curve(spark, dir)
