@@ -3277,6 +3277,28 @@ object Oracles {
         |    AS gini
         |FROM m CROSS JOIN t ORDER BY n_customers""".stripMargin,
 
+    // Lorenz curve by customer decile (Relational.q_lorenz): window
+    // ntile ≡ ScalableRank by construction; integer-div 4-dp share
+    "q_lorenz" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+        |      AS decile FROM sp),
+        |pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS dc FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(dc) AS BIGINT) AS tot FROM pd),
+        |c AS (SELECT decile, n_customers, dc,
+        |    CAST(sum(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_cents FROM pd)
+        |SELECT decile, n_customers,
+        |  round(CAST(dc AS DOUBLE) / 100, 2) AS decile_spend,
+        |  CAST((2 * cum_cents * 10000 + tot) // (2 * tot) AS DOUBLE)
+        |    / 10000 AS cum_share
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
     // snapshot reconciliation diff (Relational.q_snapshot_diff): both
     // snapshots from one conditional aggregate; exact-decimal compare
     // decides `changed`

@@ -2687,6 +2687,39 @@ object Relational {
       .orderBy("n_customers")
   }
 
+  /** Lorenz curve by customer decile — [[q_gini]]'s readable
+    * companion: customers sort ascending by exact-cents spend into
+    * ten equal-population deciles ([[ScalableRank.withNtile]] —
+    * range-partitioned, bit-identical to window ntile, never a
+    * global single-partition sort), and each decile reports its
+    * population, exact spend, and the cumulative revenue share — the
+    * "bottom k% of customers drive x% of revenue" table. The 4-dp
+    * share is integer division (the q_target_encode discipline);
+    * everything after the rank runs on the 10-row decile frame.
+    */
+  def q_lorenz(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .select(col("o_custkey"), (col("s") * 100).cast("long").as("cents"))
+      .withColumn("g", lit(1))
+    val dec = ScalableRank.withNtile(spend, 32, "g",
+      Seq("cents", "o_custkey"), 10, "decile")
+    val perDec = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
+    val tot = broadcast(perDec.agg(sum(col("dc")).as("tot")))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDec
+      .withColumn("cum_cents", sum(col("dc")).over(w))
+      .crossJoin(tot)
+      .select(col("decile"), col("n_customers"),
+        round(col("dc").cast("double") / 100, 2).as("decile_spend"),
+        (expr("CAST((2 * cum_cents * 10000 + tot) div (2 * tot) " +
+          "AS DOUBLE)") / 10000).as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** Pairwise Pearson correlation matrix of four lineitem measures
     * (quantity, extendedprice, discount, tax) from ONE pass: a single
     * global hash aggregate collects every exact-decimal moment (4

@@ -366,6 +366,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lorenz: deciles reconcile with the customer universe, the " +
+    "curve is convex-monotone ending at 1.0, and it is consistent " +
+    "with q_gini's population") {
+    val out = Relational.q_lorenz(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    val gini = Relational.q_gini(spark, dir)
+      .as[(Long, Double, Double)].collect().head
+    assert(out.map(_._2).sum == gini._1, "decile populations = customers")
+    assert(math.abs(out.map(_._3).sum - gini._2) < 0.1,
+      "decile spends sum to total spend")
+    assert(out.last._4 == 1.0)
+    val shares = out.map(_._4)
+    shares.zip(shares.tail).foreach { case (a, b) => assert(b >= a) }
+    // ascending sort ⇒ marginal decile spend nondecreasing ⇒ convex
+    val spends = out.map(_._3)
+    spends.zip(spends.tail).foreach { case (a, b) =>
+      assert(b >= a - 0.01, "ascending deciles must not shrink in spend")
+    }
+  }
+
   test("q_snapshot_diff: classifications are sound and totals " +
     "reconcile with the raw order stream") {
     val out = Relational.q_snapshot_diff(spark, dir)
