@@ -1682,6 +1682,20 @@ object Oracles {
          |FROM assign a JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // quality × duplication cross-tab (TextOps.q_quality_vs_dup):
+    // the same recursive component assignment + the shared quality
+    // score snippet; "removed" is q_dup_share's rule verbatim
+    "q_quality_vs_dup" ->
+      s"""$clusterAssignCte
+         |SELECT CAST($scoreSql AS DOUBLE) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN a.cluster_id <> a.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  round(CAST(sum(CASE WHEN a.cluster_id <> a.doc_id THEN 1
+         |    ELSE 0 END) AS DOUBLE) / count(*), 4) AS removed_share
+         |FROM assign a JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // 3-core of the candidate graph (GraphOps.q_kcore): the peel is
     // unrolled to exactly kcoreMaxPeels rounds — peeling is monotone,
     // so rounds past the fixed point are idempotent, and the Spark

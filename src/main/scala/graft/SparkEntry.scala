@@ -223,6 +223,7 @@ object SparkEntry {
     "q_coverage_curve" -> (TextOps.q_coverage_curve _),
     "q_dedup_eval_sweep" -> (TextOps.q_dedup_eval_sweep _),
     "q_lorenz" -> (Relational.q_lorenz _),
+    "q_quality_vs_dup" -> (TextOps.q_quality_vs_dup _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),

@@ -2584,6 +2584,38 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Quality × duplication composition audit — the curation-policy
+    * cross-tab "are the low-quality documents also the duplicated
+    * ones?": per quality-score band (the q_quality_score scalar, a
+    * 3-value key), the share of documents the cluster dedup would
+    * remove (label ≠ own id, exactly [[q_dup_share]]'s rule — one
+    * definition of "removed" across both audits). If dup share
+    * concentrates in the low band, dedup and quality filtering are
+    * redundant passes; if not, they prune different mass — the
+    * readout that decides pipeline stage ORDER. Reuses the shared
+    * component labels and candidate frames; one corpus-side join +
+    * one 3-row aggregate.
+    */
+  def q_quality_vs_dup(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+    val scored = withToks(t(s, dir, "documents"), col("doc_id"),
+      nospaceC.as("__nospace"))
+      .select(col("doc_id"),
+        scoreOf(col("__toks"), col("__nospace")).as("score"))
+    scored
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .select(col("score"),
+        when(coalesce(col("label"), col("doc_id")) =!= col("doc_id"), 1L)
+          .otherwise(0L).as("removed"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("removed")).as("n_removed"),
+        round(sum(col("removed")).cast("double") / count(lit(1)), 4)
+          .as("removed_share"))
+      .orderBy("score")
+  }
+
   // ── Zipf fit (L37) ─────────────────────────────────────────────────
 
   /** Terms entering the Zipf fit (shared with the oracle). */

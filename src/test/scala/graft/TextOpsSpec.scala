@@ -172,6 +172,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.length == Tables(spark, dir, "documents").count())
   }
 
+  test("q_quality_vs_dup: bands partition the corpus, removed totals " +
+    "reconcile with q_dup_share, and the removed rule is identical") {
+    val out = TextOps.q_quality_vs_dup(spark, dir)
+      .as[(Double, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).forall(Set(0.0, 0.5, 1.0)))
+    assert(out.map(_._2).sum == Tables(spark, dir, "documents").count())
+    val dupShare = TextOps.q_dup_share(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).sum == dupShare.map(_._3).sum,
+      "one 'removed' rule across both audits")
+    out.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+      assert(r._3 <= r._2)
+    }
+  }
+
   test("q_dedup_eval_sweep: the τ=1/2 row reproduces q_dedup_eval; " +
     "truth sets nest and precision is monotone in τ") {
     val sweep = TextOps.q_dedup_eval_sweep(spark, dir)
