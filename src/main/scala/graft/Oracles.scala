@@ -2223,8 +2223,8 @@ object Oracles {
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_shingles
          |  FROM dp LEFT JOIN pd USING (decile))
          |SELECT decile, n_docs, new_shingles, cum_shingles,
-         |  CAST((2 * cum_shingles * 10000 + tot) // (2 * tot) AS DOUBLE)
-         |    / 10000 AS cum_share
+         |  CAST((2 * CAST(cum_shingles AS HUGEINT) * 10000 + tot)
+         |    // (2 * CAST(tot AS HUGEINT)) AS DOUBLE) / 10000 AS cum_share
          |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
 
     // char-level BPE trainer (TextOps.q_bpe_train): bpeTrainMerges
@@ -3309,8 +3309,8 @@ object Oracles {
         |      AS BIGINT) AS cum_cents FROM pd)
         |SELECT decile, n_customers,
         |  round(CAST(dc AS DOUBLE) / 100, 2) AS decile_spend,
-        |  CAST((2 * cum_cents * 10000 + tot) // (2 * tot) AS DOUBLE)
-        |    / 10000 AS cum_share
+        |  CAST((2 * CAST(cum_cents AS HUGEINT) * 10000 + tot)
+        |    // (2 * CAST(tot AS HUGEINT)) AS DOUBLE) / 10000 AS cum_share
         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
 
     // snapshot reconciliation diff (Relational.q_snapshot_diff): both

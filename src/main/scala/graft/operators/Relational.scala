@@ -2713,10 +2713,13 @@ object Relational {
     perDec
       .withColumn("cum_cents", sum(col("dc")).over(w))
       .crossJoin(tot)
+      // DECIMAL(38,0), not BIGINT: 2·cum·10⁴ overflows a long once
+      // total cents pass ~4.6e14 — the sf100 spot caught exactly this
       .select(col("decile"), col("n_customers"),
         round(col("dc").cast("double") / 100, 2).as("decile_spend"),
-        (expr("CAST((2 * cum_cents * 10000 + tot) div (2 * tot) " +
-          "AS DOUBLE)") / 10000).as("cum_share"))
+        (expr("CAST((2 * CAST(cum_cents AS DECIMAL(38,0)) * 10000 + tot) " +
+          "div (2 * CAST(tot AS DECIMAL(38,0))) AS DOUBLE)") / 10000)
+          .as("cum_share"))
       .orderBy("decile")
   }
 

@@ -2213,10 +2213,13 @@ object TextOps {
       .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
       .withColumn("cum_shingles", sum(col("new_shingles")).over(w))
       .crossJoin(tot)
+      // DECIMAL(38,0) guards the ×10⁴ against long overflow at
+      // extreme shingle universes (the q_lorenz sf100 lesson)
       .select(col("decile"), col("n_docs"), col("new_shingles"),
         col("cum_shingles"),
-        (expr("CAST((2 * cum_shingles * 10000 + tot) div (2 * tot) " +
-          "AS DOUBLE)") / 10000).as("cum_share"))
+        (expr("CAST((2 * CAST(cum_shingles AS DECIMAL(38,0)) * 10000 " +
+          "+ tot) div (2 * CAST(tot AS DECIMAL(38,0))) AS DOUBLE)") / 10000)
+          .as("cum_share"))
       .orderBy("decile")
   }
 
