@@ -328,6 +328,41 @@ object Streams {
       }
   }
 
+  /** Streaming anomaly detector — tumbling hourly counts per
+    * event_type flagged against a STATIC baseline of per-(type,
+    * hour-of-day) doubled medians (batch-trained, e.g. from
+    * q_rolling_median / q_seasonality's frames — the deployment
+    * shape: baseline frozen at training time, stream scored against
+    * it, exactly like [[psiDrift]]'s reference). The flag is the
+    * integer-exact compare 4·cnt > 3·med2 (⇔ cnt > 1.5·median; med2
+    * = 2·median is integral for count series), so no float enters
+    * the decision. One windowed aggregation + one broadcastable
+    * static join — watermark-bounded state, nothing stateful beyond
+    * the window store.
+    */
+  def anomalyFlags(spark: SparkSession, events: DataFrame,
+    baseline: Map[(String, Int), Long]): DataFrame = {
+    import spark.implicits._
+    val base = baseline.toSeq
+      .map { case ((t, h), m) => (t, h, m) }
+      .toDF("event_type", "hod", "med2")
+    // the baseline joins BEFORE the aggregation (the event's
+    // hour-of-day equals its tumbling window's — windows are
+    // hour-aligned), because a stream-static join AFTER a streaming
+    // aggregation is a restricted plan shape; med2 is constant per
+    // group, surfaced with min()
+    events
+      .withColumn("hod", hour(col("ts")))
+      .join(broadcast(base), Seq("event_type", "hod"), "left")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(min(col("med2")), lit(0L)).as("med2"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("cnt"), col("med2"),
+        (col("cnt") * 4 > col("med2") * 3).cast("long").as("anomalous"))
+  }
+
   /** One streaming drift reading: the PSI of a (window, event_type)
     * cell's accumulated value histogram against the static reference.
     */

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, count, date_trunc, expr, hour, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
@@ -443,6 +443,46 @@ class StreamingSpec extends AnyFunSuite {
     val batchTop = Relational.q_paths(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(streamedTop == batchTop)
+  }
+
+  test("streaming anomaly flags vs a static hour-of-day baseline " +
+    "equal the batch recompute; decisions are integer-exact") {
+    val ev = Tables(spark, dir, "events")
+    // batch-trained baseline: doubled median hourly count per
+    // (type, hour-of-day) over the fixture
+    val hourly = ev
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", hour(col("h")))
+    val baseline = hourly.groupBy("event_type", "hod")
+      .agg(expr("CAST(percentile(cnt, 0.5) * 2 AS BIGINT)").as("med2"))
+      .as[(String, Int, Long)].collect()
+      .map { case (t, hd, m) => (t, hd) -> m }.toMap
+    val raw = Streams.eventsStream(spark, eventsDir)
+    val ck = Files.createTempDirectory("ck_anom").toString
+    val q = Streams.anomalyFlags(spark, raw, baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anom_out")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("anom_out")
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> (r._3, r._4, r._5)).toMap
+    // batch recompute over the same files
+    val batch = hourly.as[(String, java.sql.Timestamp, Long, Int)]
+      .collect()
+    assert(streamed.nonEmpty && batch.nonEmpty)
+    assert(streamed.size == batch.length)
+    batch.foreach { case (t, h, cnt, hod) =>
+      val got = streamed((h.getTime, t))
+      val med2 = baseline.getOrElse((t, hod), 0L)
+      assert(got._1 == cnt, s"($t,$h) count")
+      assert(got._2 == med2, s"($t,$h) baseline")
+      assert(got._3 == (if (cnt * 4 > med2 * 3) 1L else 0L),
+        s"($t,$h) flag")
+    }
   }
 
   test("streaming PSI drift vs a static reference: final emission per " +
