@@ -1038,8 +1038,9 @@ object Oracles {
 
     // SCD2 history build (Relational.q_scd2): run starts via lag,
     // interval close via lead over the change rows; (ts, event_id)
-    // total tie order; open intervals closed with the 9999-12-31
-    // sentinel on both sides
+    // total tie order; open intervals closed with the 2262-01-01
+    // sentinel on both sides (pandas datetime64[ns]-safe; its max is
+    // 2262-04-11, so the classic 9999-12-31 would break the harness)
     "q_scd2" ->
       """WITH r AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id
@@ -1050,7 +1051,7 @@ object Oracles {
         |SELECT user_id, event_type, ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |    TIMESTAMP '2262-01-01 00:00:00') AS valid_to,
         |  event_id AS first_event_id
         |FROM c ORDER BY user_id, valid_from, first_event_id""".stripMargin,
 
@@ -1326,7 +1327,7 @@ object Oracles {
     "q_postings" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($tokL) AS tok FROM documents)
          |SELECT tok, count(*) AS df,
-         |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings
          |FROM dt GROUP BY tok ORDER BY df DESC, tok LIMIT 200""".stripMargin,
 
     // 2-D Pareto frontier (Relational.q_skyline): one row per distinct
@@ -2434,7 +2435,7 @@ object Oracles {
          |        ELSE least(255, CAST(floor((CAST(e.embedding[i] AS DOUBLE) - b.mins[i])
          |          / (b.maxs[i] - b.mins[i]) * $bins) AS BIGINT)) END) AS codes
          |  FROM embeddings e, b)
-         |SELECT vec_id, codes,
+         |SELECT vec_id, array_to_string(codes, ',') AS codes,
          |  round(list_sum(list_transform(range(1, len(embedding)+1), i ->
          |    (CAST(embedding[i] AS DOUBLE) - (mins[i]
          |       + (CAST(codes[i] AS DOUBLE) + 0.5) * (maxs[i] - mins[i]) / $bins))
@@ -3053,11 +3054,13 @@ object Oracles {
         |g AS (SELECT sum(v) AS gs, CAST(count(*) AS BIGINT) AS gn FROM ev)
         |SELECT event_id, user_id,
         |  CASE WHEN n > 1 THEN
-        |    CAST((2 * CAST((s - v) * 10000 AS BIGINT) + (n - 1))
-        |      // (2 * (n - 1)) AS DOUBLE) / 10000 END AS loo_enc,
-        |  CAST((2 * CAST((s * gn + $m * gs) * 10000 AS BIGINT)
-        |      + gn * (n + $m))
-        |    // (2 * gn * (n + $m)) AS DOUBLE) / 10000 AS smooth_enc
+        |    CAST((2 * CAST((s - v) * 10000 AS HUGEINT) + (n - 1))
+        |      // (2 * CAST(n - 1 AS HUGEINT)) AS DOUBLE) / 10000 END AS loo_enc,
+        |  CAST((2 * (CAST(s * 10000 AS HUGEINT) * gn
+        |        + $m * CAST(gs * 10000 AS HUGEINT))
+        |      + CAST(gn AS HUGEINT) * (n + $m))
+        |    // (2 * CAST(gn AS HUGEINT) * (n + $m)) AS DOUBLE) / 10000
+        |    AS smooth_enc
         |FROM ev JOIN pu USING (user_id) CROSS JOIN g
         |ORDER BY event_id""".stripMargin
     },

@@ -1193,8 +1193,12 @@ object Relational {
     * the reference's last-write-wins sink discards: collapse each
     * user's event stream into validity intervals [valid_from,
     * valid_to) per run of consecutive equal event_type, open
-    * intervals closed with a 9999-12-31 sentinel (also keeps the
-    * emitted column non-null, per the §2.12 null-sort rule). Total
+    * intervals closed with a 2262-01-01 sentinel (also keeps the
+    * emitted column non-null, per the §2.12 null-sort rule; the
+    * classic 9999-12-31 sentinel sits outside pandas datetime64[ns]
+    * — max 2262-04-11 — and the driver's comparator mangles it, so
+    * the harness contract pins declared timestamps below that; see
+    * ContractSpec). Total
     * tie order (ts, event_id) makes runs well-defined when one user
     * has simultaneous events.
     *
@@ -1212,7 +1216,7 @@ object Relational {
       .select(col("user_id"), col("event_type"),
         col("ts").as("valid_from"),
         coalesce(lead(col("ts"), 1).over(w),
-          lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+          lit("2262-01-01 00:00:00").cast("timestamp")).as("valid_to"),
         col("event_id").as("first_event_id"))
       .orderBy("user_id", "valid_from", "first_event_id")
   }
@@ -2448,6 +2452,15 @@ object Relational {
     * exactly when the rational lands on a half boundary (4 of 10k
     * rows in the first cut flipped the 4th decimal).
     *
+    * PRECONDITION: the ⌊(2a+d)/(2d)⌋ convention is round-HALF-UP only
+    * for non-negative numerators a (here: event values ≥ 0, so every
+    * sum/LOO difference is ≥ 0). With negative values both engines'
+    * `div` truncates toward zero, which shifts the convention to
+    * round-half-AWAY-from-zero territory inconsistently — a corpus
+    * with refunds must first split sign or use a sign-aware formula
+    * (⌊(2a+sgn(a)·d)/(2d)⌋). Same caveat applies to q_jackknife's
+    * LOO means.
+    *
     * Scale shape: one partial-combining aggregate on user_id, the
     * 1-row global frame broadcast, and one equi-join back on user_id
     * — two shuffles on the same key (AQE coalesces), output linear in
@@ -2463,11 +2476,21 @@ object Relational {
       sum(col("v")).as("gs"), count(lit(1)).as("gn")))
     val m = encodePrior
     ev.join(perUser, "user_id").crossJoin(g)
-      .withColumn("loo_num", ((col("s") - col("v")) * 10000).cast("long"))
-      .withColumn("loo_den", col("n") - 1)
+      // all ×10⁴ integer-division operands go through DECIMAL(38,0),
+      // not BIGINT: s·gn·10⁴ passes 2⁶³ around sf100 event volumes,
+      // where Spark's cast silently NULLs while DuckDB errors — the
+      // exact defect class the q_lorenz sf100 spot caught (there the
+      // fix was DECIMAL(38,0) / HUGEINT; mirrored in the oracle here)
+      .withColumn("loo_num",
+        ((col("s") - col("v")) * 10000).cast("decimal(38,0)"))
+      .withColumn("loo_den", (col("n") - 1).cast("decimal(38,0)"))
       .withColumn("sm_num",
-        ((col("s") * col("gn") + lit(m) * col("gs")) * 10000).cast("long"))
-      .withColumn("sm_den", col("gn") * (col("n") + lit(m)))
+        ((col("s") * 10000).cast("decimal(38,0)") * col("gn")
+          + lit(m) * (col("gs") * 10000).cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+      .withColumn("sm_den",
+        (col("gn").cast("decimal(38,0)") * (col("n") + lit(m)))
+          .cast("decimal(38,0)"))
       .select(col("event_id"), col("user_id"),
         when(col("n") > 1,
           expr("CAST((2 * loo_num + loo_den) div (2 * loo_den) AS DOUBLE)")

@@ -551,12 +551,17 @@ object TextOps {
     * partition-dependent, sort_array makes it canonical). This is the
     * build side of lexical retrieval at scale: one shuffle on the
     * term, postings capped so no group's state grows with the corpus.
+    * The postings list is serialized to a comma-joined scalar: the
+    * driver's comparator can't hash ARRAY columns (ContractSpec pins
+    * the scalar-output rule), and value semantics are unchanged.
     */
   def q_postings(s: SparkSession, dir: String): DataFrame =
     docTokensDistinct(s, dir)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 8).as("postings"))
+        array_join(transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 8),
+          d => d.cast("string")), ",").as("postings"))
       .orderBy(col("df").desc, col("tok"))
       .limit(200)
 

@@ -280,6 +280,15 @@ object VectorOps {
           (x.cast("double") - xhat) * (x.cast("double") - xhat)
         }),
         lit(0.0), (acc, v) => acc + v) / size(col("embedding")), 6).as("mse"))
+      // declared output serializes codes to a comma-joined scalar in a
+      // SEPARATE projection (the mse expression above needs the array;
+      // aliasing the string over it in the same select would shadow it
+      // via lateral alias resolution): the driver's comparator can't
+      // hash ARRAY columns (ContractSpec pins the scalar-output rule)
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes"),
+        col("mse"))
       .orderBy("vec_id")
   }
 
@@ -401,8 +410,11 @@ object VectorOps {
       .select(col("vec_id"), col("sub"), col("cell"),
         l2sq(col("sv"), col("centroid")).as("err"))
     coded.groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
-        p => p.getField("cell")).as("codes"),
+      // codes serialized to a comma-joined scalar so the driver's
+      // rows-only loader survives the column (ContractSpec rule)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        p => p.getField("cell").cast("string")), ",").as("codes"),
         round(sum(col("err")) / lit(64.0), 6).as("mse"))
       .orderBy("vec_id")
   }

@@ -339,6 +339,14 @@ object Streams {
     * the decision. One windowed aggregation + one broadcastable
     * static join — watermark-bounded state, nothing stateful beyond
     * the window store.
+    *
+    * Missing-baseline policy (explicit): a (event_type, hour-of-day)
+    * cell absent from the baseline scores med2 = NULL and
+    * anomalous = NULL — "unknown", NOT flagged. Coalescing a missing
+    * baseline to 0 would flag EVERY nonempty window of an unseen
+    * type/hour (cnt·4 > 0), drowning the monitor in alerts whenever
+    * a new event type ships; downstream decides how to treat
+    * unknowns (typically: route to baseline retraining, not paging).
     */
   def anomalyFlags(spark: SparkSession, events: DataFrame,
     baseline: Map[(String, Int), Long]): DataFrame = {
@@ -356,11 +364,11 @@ object Streams {
       .join(broadcast(base), Seq("event_type", "hod"), "left")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        coalesce(min(col("med2")), lit(0L)).as("med2"))
+      .agg(count(lit(1)).as("cnt"), min(col("med2")).as("med2"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("cnt"), col("med2"),
-        (col("cnt") * 4 > col("med2") * 3).cast("long").as("anomalous"))
+        when(col("med2").isNotNull,
+          (col("cnt") * 4 > col("med2") * 3).cast("long")).as("anomalous"))
   }
 
   /** One streaming drift reading: the PSI of a (window, event_type)
@@ -381,25 +389,46 @@ object Streams {
     * it). Same +1-Laplace-smoothed formula as the batch twin over the
     * union of reference and observed bins; the last emission per key
     * is the key's final reading (append mode re-emits on update).
+    *
+    * State lifetime: each key's bin map is bounded, but the NUMBER of
+    * (window, event_type) keys grows with elapsed windows, so closed
+    * windows' state is evicted via event-time timeout — a watermark
+    * on ts plus a per-key timeout at window-end + 1 h lateness. After
+    * the watermark passes that point no event can reach the window
+    * (the watermark drops it first), so eviction never loses an
+    * update; long-running streams hold state only for open windows.
     */
   def psiDrift(spark: SparkSession, events: DataFrame,
     ref: Map[(String, Long), Long],
     windowSecs: Long = 21600L): Dataset[DriftRow] = {
     import spark.implicits._
     val binW = graft.operators.Relational.psiBinWidth
-    events.select("event_id", "ts", "user_id", "event_type", "value")
+    events.withWatermark("ts", "1 hour")
+      .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventRow]
       .groupByKey(e =>
         (e.ts.getTime / 1000 / windowSecs * windowSecs, e.event_type))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), rows: Iterator[EventRow],
           st: GroupState[Map[Long, Long]]) =>
+          if (st.hasTimedOut) {
+            // window closed past the lateness horizon: the last
+            // emission was the final reading; drop the state
+            st.remove()
+            Iterator.empty
+          } else {
           val bins = st.getOption.getOrElse(Map.empty)
           val updated = rows.foldLeft(bins) { (m, e) =>
             val b = math.floor(e.value / binW).toLong
             m.updated(b, m.getOrElse(b, 0L) + 1L)
           }
           st.update(updated)
+          // evict once the watermark passes window-end + 1 h; clamp
+          // above the current watermark (Spark rejects a timeout in
+          // the past when late-but-in-watermark rows touch the key)
+          val target = (key._1 + windowSecs + 3600L) * 1000L
+          st.setTimeoutTimestamp(math.max(target, st.getCurrentWatermarkMs + 1L))
           val refBins = ref.collect {
             case ((t, b), c) if t == key._2 => b -> c
           }
@@ -415,6 +444,7 @@ object Streams {
           }.sum
           Iterator.single(DriftRow(key._1, key._2, nCur, k.toLong,
             psi.toDouble))
+          }
       }
   }
 

@@ -1,9 +1,22 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types._
 
-/** Guards the driver contract itself (SparkEntry ↔ Oracles drift). */
+/** Guards the driver contract itself (SparkEntry ↔ Oracles drift),
+  * including the HARNESS-representability rules learned in round 5:
+  * the driver's comparator loads both sides into pandas and
+  * `sort_values` over every column, so a declared output must contain
+  * only scalar atomic columns (an `array<...>` column raises inside
+  * pandas before any compare happens) and every timestamp must fit in
+  * datetime64[ns] (1677-09-21 .. 2262-04-11 — the 9999-12-31 SCD2
+  * sentinel was silently mangled into a hash-red). These rules are
+  * pinned here so a new query can't re-ship the failure class.
+  */
 class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
 
   /** Ops implemented but deliberately not oracle-declared (no faithful
     * DuckDB twin — SURVEY §2.12 allows omission → rows-only check).
@@ -48,5 +61,57 @@ class ContractSpec extends AnyFunSuite {
   test("queries map is stable (no duplicate keys lost to Map semantics)") {
     assert(SparkEntry.queries.size >= 47)
     assert(SparkEntry.oracleSql.size >= 44)
+  }
+
+  /** Pandas-hashable scalar types. Binary is excluded on purpose: the
+    * comparator stringifies cell values and raw bytes round-trip
+    * differently per engine.
+    */
+  private def scalarOk(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
+    case _ => true
+  }
+
+  test("declared outputs contain only comparator-safe scalar columns " +
+    "(no array/map/struct/binary — pandas sort_values dies on them)") {
+    // schema needs only analysis, not execution: cheap for all 196
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      val offenders = f(spark, dir).schema.fields
+        .filterNot(fd => scalarOk(fd.dataType))
+        .map(fd => s"$name.${fd.name}: ${fd.dataType.simpleString}")
+      offenders
+    }
+    assert(bad.isEmpty, s"non-scalar declared output columns: $bad")
+  }
+
+  test("declared timestamp outputs stay inside pandas datetime64[ns] " +
+    "(1677-09-21 .. 2262-04-11 — outside it the driver mangles values)") {
+    val lo = java.sql.Timestamp.valueOf("1677-09-22 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2262-04-11 00:00:00")
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      val df = f(spark, dir)
+      val tsCols = df.schema.fields.collect {
+        case fd if fd.dataType == TimestampType ||
+          fd.dataType == TimestampNTZType => fd.name
+      }
+      if (tsCols.isEmpty) Nil
+      else {
+        val aggs = tsCols.flatMap(c => Seq(
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        tsCols.flatMap { c =>
+          Seq(s"mn_$c", s"mx_$c").flatMap { a =>
+            Option(r.getAs[Any](a)).collect {
+              case t: java.sql.Timestamp
+                if t.before(lo) || t.after(hi) => s"$name.$c=$t"
+              case t: java.time.LocalDateTime
+                if t.isBefore(lo.toLocalDateTime) ||
+                  t.isAfter(hi.toLocalDateTime) => s"$name.$c=$t"
+            }
+          }
+        }
+      }
+    }
+    assert(bad.isEmpty, s"timestamps outside pandas range: $bad")
   }
 }

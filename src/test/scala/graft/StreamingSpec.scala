@@ -485,6 +485,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly flags under a PARTIAL baseline: unseen (type, hour) " +
+    "cells score med2 = NULL and anomalous = NULL (unknown, not " +
+    "flagged), covered cells are unaffected") {
+    val ev = Tables(spark, dir, "events")
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", hour(col("h")))
+    val full = hourly.groupBy("event_type", "hod")
+      .agg(expr("CAST(percentile(cnt, 0.5) * 2 AS BIGINT)").as("med2"))
+      .as[(String, Int, Long)].collect()
+      .map { case (t, hd, m) => (t, hd) -> m }.toMap
+    // drop one whole event type from the baseline — the "new event
+    // type shipped after training" deployment case
+    val dropped = full.keys.map(_._1).toSeq.distinct.sorted.head
+    val partial = full.filter { case ((t, _), _) => t != dropped }
+    val raw = Streams.eventsStream(spark, eventsDir)
+    val ck = Files.createTempDirectory("ck_anom_part").toString
+    val q = Streams.anomalyFlags(spark, raw, partial)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anom_part_out")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("anom_part_out").collect()
+    assert(rows.nonEmpty)
+    val (unseen, seen) = rows.partition(_.getString(1) == dropped)
+    assert(unseen.nonEmpty, "fixture lost the dropped type")
+    // unknown cells: explicit NULLs, never a spurious flag
+    unseen.foreach { r =>
+      assert(r.isNullAt(3), s"med2 not NULL for unseen type: $r")
+      assert(r.isNullAt(4), s"anomalous not NULL for unseen type: $r")
+    }
+    // covered cells keep the integer-exact decision against the
+    // trained value for their (type, hour-of-day)
+    seen.foreach { r =>
+      val (t, cnt) = (r.getString(1), r.getLong(2))
+      // UTC hour-of-day from the epoch (session tz is UTC; the JVM
+      // default tz must not leak in via toLocalDateTime)
+      val hod = (r.getTimestamp(0).getTime / 3600000L % 24L).toInt
+      val med2 = r.getLong(3)
+      assert(med2 == partial((t, hod)), s"($t,$hod) med2 drifted")
+      assert(r.getLong(4) == (if (cnt * 4 > med2 * 3) 1L else 0L))
+    }
+  }
+
   test("streaming PSI drift vs a static reference: final emission per " +
     "(window, type) equals a driver-side recompute; state is " +
     "bins-bounded, not volume-bounded") {

@@ -214,7 +214,7 @@ class VectorOpsSpec extends AnyFunSuite {
     val rows = VectorOps.q_vec_quantize(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val codes = r.getSeq[Long](1)
+      val codes = r.getString(1).split(",").toSeq.map(_.toLong)
       assert(codes.nonEmpty && codes.forall(c => c >= 0 && c <= 255))
       val mse = r.getDouble(2)
       // unit-normalized fixture: per-dim range << 1, so the midpoint
@@ -298,7 +298,9 @@ class VectorOpsSpec extends AnyFunSuite {
   test("q_vec_pq: codes are m 4-bit ids per vector, deterministic " +
     "across runs, and MSE beats the k=4 codebook (monotone in k)") {
     val out = VectorOps.q_vec_pq(spark, dir)
-      .as[(Long, Seq[Long], Double)].collect()
+      .as[(Long, String, Double)].collect()
+      .map { case (id, cs, mse) =>
+        (id, cs.split(",").toSeq.map(_.toLong), mse) }
     assert(out.nonEmpty)
     out.foreach { case (_, codes, mse) =>
       assert(codes.length == VectorOps.pqSubspaces)
@@ -307,7 +309,9 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     // deterministic rebuild
     val again = VectorOps.q_vec_pq(spark, dir)
-      .as[(Long, Seq[Long], Double)].collect()
+      .as[(Long, String, Double)].collect()
+      .map { case (id, cs, mse) =>
+        (id, cs.split(",").toSeq.map(_.toLong), mse) }
     assert(out.toSeq == again.toSeq)
     // MSE monotone in codebook size: a k=16 codebook must beat the
     // nested-seed k=4 one on mean reconstruction error (k-means with
@@ -353,7 +357,9 @@ class VectorOpsSpec extends AnyFunSuite {
       .as[(Int, Long, Seq[Double])].collect()
       .map { case (sub, cell, c) => (sub, cell) -> c.toArray }.toMap
     val codes = VectorOps.q_vec_pq(spark, dir)
-      .as[(Long, Seq[Long], Double)].collect()
+      .as[(Long, String, Double)].collect()
+      .map { case (id, cs, mse) =>
+        (id, cs.split(",").toSeq.map(_.toLong), mse) }
     val subDim = 64 / VectorOps.pqSubspaces
     // ADC: distance(query, vec) ≈ Σ_j l2(q_sub_j, codeword(j, code_j))
     val adc = codes.filter(_._1 != 0L).map { case (id, cs, _) =>
