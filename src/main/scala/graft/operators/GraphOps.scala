@@ -60,12 +60,15 @@ object GraphOps {
   private def coEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey")).distinct()
+    // no outer distinct: the two branches are prefix-disjoint (src
+    // starts 's' in one, 'p' in the other) and each is distinct
+    // because li is — the dedup would be a pure extra shuffle over
+    // 2×|edges| rows paid by every graph query sharing this cache
     cached(
       li.select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), col("l_partkey")).as("dst"))
         .union(li.select(concat(lit("p"), col("l_partkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst")))
-        .distinct())
+          concat(lit("s"), col("l_suppkey")).as("dst"))))
   }
 
   def q_pagerank(s: SparkSession, dir: String): DataFrame = {
@@ -108,24 +111,39 @@ object GraphOps {
     * (the "blast radius" traversal: which parts/suppliers are within
     * k procurement links of a flagged supplier).
     *
-    * Each unrolled iteration is one equi-join of the reached set
-    * against the cached edge list + one min-aggregate — the same
-    * shuffle-on-node-key shape as a PageRank step, with monotone
-    * frontier growth bounded by the k-hop ball. This full-reached-set
-    * re-join keeps the plan purely declarative; a many-hop production
-    * traversal would join only the delta frontier (nodes first
-    * reached last round) against the edges, exactly like the
-    * connected-components loop's convergence test.
+    * Delta-frontier traversal (the connected-components discipline):
+    * each unrolled hop joins ONLY the nodes first reached last round
+    * against the cached edge list, dedups the candidate set, and
+    * anti-joins the already-reached set — so hop i's join input is
+    * the frontier (≤ ball growth), never the whole reached set, and
+    * no hop re-aggregates the full distance frame. BFS levels make
+    * this exact: a node's first discovery round IS its hop distance,
+    * so the min-aggregate of the naive formulation is subsumed by the
+    * anti-join. The early frontiers are tiny (1 node at hop 1) and
+    * AQE broadcasts them into the edge join.
     */
   def q_bfs(s: SparkSession, dir: String): DataFrame = {
     val e = coEdges(s, dir)
-    var dist = s.range(1)
+    val seed = s.range(1)
       .select(lit(bfsSeed).as("node"), lit(0L).as("dist"))
+    var dist = seed
+    var frontier = seed.select("node")
     for (i <- 1 to bfsHops) {
-      val next = dist.withColumnRenamed("node", "src")
+      val novel = frontier.withColumnRenamed("node", "src")
         .join(e, "src")
-        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
-      dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+        // lazy lineage cut: each hop's delta is referenced twice
+        // (next frontier + the distance union), so without this the
+        // plan re-derives every earlier hop along each path — ~2^hops
+        // subtrees whose task-scheduling overhead dominated the bench
+        // (200-node plan for 3 hops). Lazy localCheckpoint keeps
+        // query CONSTRUCTION free (ContractSpec builds all plans) and
+        // materializes each tiny delta once at execution.
+        .localCheckpoint(false)
+      dist = dist.union(novel)
+      frontier = novel.select("node")
     }
     dist.orderBy("node")
   }

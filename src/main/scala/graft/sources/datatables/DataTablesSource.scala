@@ -115,7 +115,7 @@ class DataTablesScanBuilder(fullSchema: StructType,
   options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-  with SupportsPushDownTopN {
+  with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private val searchable = options.getOrDefault("searchablecolumn", "")
   private val pageSize = options.getOrDefault("pagesize", "1000").toInt
@@ -123,6 +123,7 @@ class DataTablesScanBuilder(fullSchema: StructType,
   private var pushedSearch: Option[(String, String)] = None
   private var postScan: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Int = 0
   private var order: Seq[(String, Boolean)] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -149,6 +150,19 @@ class DataTablesScanBuilder(fullSchema: StructType,
   override def pushLimit(n: Int): Boolean = {
     limit = Some(n)
     true // fully pushed: the server's `length` caps the result
+  }
+
+  /** OFFSET → the protocol's `start` field, the same knob the
+    * reference pages with (config.py:24 / exclusion_requests.py:84).
+    * Catalyst's contract: for LIMIT n OFFSET m it first pushes
+    * limit = n + m (via pushLimit/pushTopN), then pushOffset(m), and
+    * the source must emit rows [m, n + m) of the (ordered, filtered)
+    * stream — so the scan skips ⌊m/pageSize⌋ whole pages and plans
+    * only the ⌈(limit − m)/pageSize⌉ pages the query can return.
+    */
+  override def pushOffset(n: Int): Boolean = {
+    offset = n
+    true
   }
 
   /** ORDER BY + LIMIT → the protocol's order payload + length. Spark
@@ -198,30 +212,35 @@ class DataTablesScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = new DataTablesScan(
     schema, fetchCols, options.getOrDefault("transport", ""), pushedSearch,
-    limit, pageSize, order)
+    limit, pageSize, order, offset)
 }
 
 class DataTablesScan(schema: StructType, fetchCols: Seq[String],
   transportName: String, search: Option[(String, String)],
-  limit: Option[Int], pageSize: Int, order: Seq[(String, Boolean)] = Nil)
+  limit: Option[Int], pageSize: Int, order: Seq[(String, Boolean)] = Nil,
+  offset: Int = 0)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"DataTablesScan(search=$search, limit=$limit, pageSize=$pageSize, order=$order)"
+    s"DataTablesScan(search=$search, limit=$limit, pageSize=$pageSize, " +
+      s"order=$order, offset=$offset)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val transport = TransportRegistry.get(transportName)
     val total0 = transport.count(search.map(_._1), search.map(_._2))
+    // pushed limit already INCLUDES the pushed offset (Catalyst sends
+    // limit+offset, then the offset): the scan window is [begin, total)
     val total = limit.fold(total0)(l => math.min(total0, l.toLong))
+    val begin = math.min(offset.toLong, total)
     // one partition per protocol page — parallel fetch replaces the
     // reference's serialized per-page loop
-    val pages = ((total + pageSize - 1) / pageSize).toInt
+    val pages = ((total - begin + pageSize - 1) / pageSize).toInt
     (0 until math.max(pages, 0)).map { p =>
-      val start = p * pageSize
+      val start = begin + p * pageSize
       val len = math.min(pageSize.toLong, total - start).toInt
-      DataTablesPartition(start, len): InputPartition
+      DataTablesPartition(start.toInt, len): InputPartition
     }.toArray
   }
 

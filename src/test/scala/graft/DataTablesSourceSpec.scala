@@ -114,6 +114,49 @@ class DataTablesSourceSpec extends AnyFunSuite {
         "an index-addressed order payload cannot reference it")
   }
 
+  test("OFFSET is pushed as the protocol start: limit+offset windows " +
+    "skip whole pages and plan only the reachable ones") {
+    TransportRegistry.register("erc_counting_off",
+      CountingTransport(FixtureTransport(records, "ID"), DataTablesSourceSpec.fetches))
+    val counted = spark.read.format("graft.sources.datatables.DefaultSource")
+      .option("transport", "erc_counting_off")
+      .option("columns", "ID,Company,HTSUSCode,PublicStatus")
+      .option("searchableColumn", "HTSUSCode")
+      .option("pageSize", "1000")
+      .load()
+    // plain offset+limit (no sort): rows [2000, 2200) of the server's
+    // natural order — ONE page fetch starting inside page 3, the two
+    // skipped pages never planned
+    val win = counted.offset(2000).limit(200)
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("offset=2000"),
+      "pushed offset missing from scan description:\n" + plan.take(1500))
+    // partition count read off the scan node, NOT via .rdd: Spark
+    // keeps a residual CollectLimit above the fully-pushed scan, so
+    // rdd.getNumPartitions would itself execute a (second) job
+    val scanParts = win.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }
+    assert(scanParts == Seq(1),
+      s"skipped pages should not be planned as partitions: $scanParts")
+    DataTablesSourceSpec.fetches.set(0)
+    val got = win.select("ID").collect().map(_.getString(0)).toSeq
+    assert(got == records.map(_("ID")).slice(2000, 2200),
+      "offset window returned the wrong slice")
+    assert(DataTablesSourceSpec.fetches.get() == 1,
+      s"expected 1 page fetch, saw ${DataTablesSourceSpec.fetches.get()}")
+
+    // TopN + offset inside one page: order/start/length all ride the
+    // wire, one fetch, exact rows [5, 10) of the ID-desc order
+    DataTablesSourceSpec.fetches.set(0)
+    val topOff = counted.orderBy(col("ID").desc).offset(5).limit(5)
+    val ids = topOff.select("ID").collect().map(_.getString(0)).toSeq
+    assert(ids == records.map(_("ID")).sorted.reverse.slice(5, 10))
+    assert(DataTablesSourceSpec.fetches.get() == 1,
+      s"expected 1 page fetch, saw ${DataTablesSourceSpec.fetches.get()}")
+  }
+
   test("non-default null ordering is not pushed (server sorts absent-as-empty)") {
     val top = read.orderBy(col("ID").asc_nulls_last).limit(5)
     val plan = top.queryExecution.executedPlan.toString

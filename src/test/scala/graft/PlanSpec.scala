@@ -209,6 +209,25 @@ class PlanSpec extends AnyFunSuite {
     assert(bnl <= 1, s"unexpected nested loops ($bnl):\n${plan.take(2000)}")
   }
 
+  test("the quadratic embed pair join exists ONLY in q_dedup_embed: " +
+    "no other declared query plans an intra-block embedding self-join") {
+    // q_dedup_embed's all-pairs contract is Θ(Σ_block C(n_b,2)) on
+    // clustered corpora (509 s at sf10) — priced-in for its own
+    // declared output, but the 100 TB dedup-DECISION default is the
+    // linear star form (q_dedup_embed_star, window-min rep — no self
+    // join). This guard keeps any composed pipeline (q_curate,
+    // q_quality_vs_dup, future consumers) from silently planning the
+    // pair join: the shape's signature is a join keyed on the LSH
+    // (band, bucket) pair over the embeddings table.
+    for ((name, fn) <- SparkEntry.queries if name != "q_dedup_embed") {
+      val p = planOf(fn(spark, dir))
+      val pairJoin = p.contains("embeddings") && p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("band") && l.contains("bucket"))
+      assert(!pairJoin,
+        s"$name plans the quadratic embed pair join — use the star form")
+    }
+  }
+
   test("q_ks_drift's heavy cumsum window partitions on (type, bucket), " +
     "never one sorted partition per type") {
     val plan = Relational.q_ks_drift(spark, dir)
