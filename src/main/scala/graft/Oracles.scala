@@ -202,7 +202,14 @@ object Oracles {
       s"round(list_sum(list_transform(range(1, ${graft.functions.RandomProjection.srcDims + 1}), i -> embedding[i] * ($lits)[i])), 4) + 0.0 AS p$j"
     }.mkString(",\n  ")
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = sqlBase ++ Map(
+    // streaming fMGWS twins (Streams.q_stream_markov/_retention):
+    // the state machine's final emissions must agree bit-for-bit with
+    // the batch operator, so the oracle IS the batch twin's oracle
+    "q_stream_markov" -> sqlBase("q_markov"),
+    "q_stream_retention" -> sqlBase("q_retention"))
+
+  private lazy val sqlBase: Map[String, String] = Map(
     // ── scans / predicates ─────────────────────────────────────────
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice

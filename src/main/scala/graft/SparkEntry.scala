@@ -245,7 +245,12 @@ object SparkEntry {
     "q_degree_dist" -> (TextOps.q_degree_dist _),
     "q_source_profile" -> (TextOps.q_source_profile _),
     "q_dup_matrix" -> (TextOps.q_dup_matrix _),
-    "q_kcore" -> (GraphOps.q_kcore _)
+    "q_kcore" -> (GraphOps.q_kcore _),
+    // §2.10 streaming state machines under the driver's oracle gate:
+    // real fMGWS queries drained with AvailableNow, final emissions
+    // projected to the batch twin's shape (oracle = the twin's SQL)
+    "q_stream_markov" -> (streaming.Streams.q_stream_markov _),
+    "q_stream_retention" -> (streaming.Streams.q_stream_retention _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -687,4 +687,117 @@ object Streams {
           clientFor)
       }
       .start()
+
+  // ── declared streaming queries (driver-gated fMGWS output) ───────
+  //
+  // The streaming surface above is spec-pinned against its batch
+  // twins, but specs run outside the driver's oracle gate. These two
+  // queries put flatMapGroupsWithState OUTPUT under that gate: each
+  // runs a REAL Structured Streaming query (file source over the
+  // events table, Trigger.AvailableNow, memory sink), then projects
+  // the final emissions to the batch twin's exact output shape — so
+  // the DuckDB oracle that hash-gates q_markov / q_retention gates
+  // the state machine's emissions too.
+
+  /** File-source streams need a directory; the driver fixtures are
+    * single files at small SF and part-file directories from ScaleGen
+    * — symlink the single-file case into a temp landing dir.
+    */
+  private def streamableDir(eventsPath: String): String = {
+    val p = Paths.get(eventsPath)
+    if (Files.isDirectory(p)) eventsPath
+    else {
+      val d = Files.createTempDirectory("graft_stream_events")
+      Files.createSymbolicLink(d.resolve("events.parquet"), p.toAbsolutePath)
+      d.toString
+    }
+  }
+
+  /** Drain one streaming Dataset to completion (AvailableNow) into a
+    * memory sink, apply `project` to the sink's rows (a DISTRIBUTED
+    * aggregation — only its bounded result is ever collected), tear
+    * down the sink + checkpoint, and return the result re-hosted as a
+    * local relation. The collect is safe by construction: both
+    * callers reduce to frames bounded by type/week cardinality, never
+    * by event volume.
+    */
+  private def drainAndProject[T](spark: SparkSession, stream: Dataset[T],
+    mode: OutputMode, tag: String)(project: DataFrame => DataFrame)
+    : DataFrame = {
+    val name = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ck = Files.createTempDirectory(s"ck_$tag")
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = project(spark.table(name))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val schema = out.schema
+    spark.catalog.dropTempView(name)
+    // checkpoint is per-invocation scratch — drop it so repeated
+    // bench passes don't accumulate state dirs
+    val walk = Files.walk(ck)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Declared query: [[markovTransitions]] drained end-to-end, its
+    * emitted transitions counted into q_markov's exact output shape
+    * (src_type, dst_type, cnt, p). Oracle = q_markov's DuckDB twin —
+    * the batch and streaming state machines must agree bit-for-bit.
+    * AvailableNow over a static landing dir is one micro-batch, where
+    * the per-user in-order delivery contract holds trivially (the
+    * state fn sorts each user's rows by (ts, event_id) within the
+    * batch); the multi-batch / late-arrival behavior is pinned
+    * separately in StreamingSpec.
+    */
+  def q_stream_markov(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, markovTransitions(s, events),
+      OutputMode.Append, "stream_markov") { sink =>
+      val tr = sink.groupBy("src_type", "dst_type")
+        .agg(count(lit(1)).as("cnt"))
+      // per-source total via window, not the batch twin's broadcast
+      // self-join: tr is ≤ |types|² rows post-aggregate (bounded, so
+      // the window costs nothing), and a self-join through the memory
+      // sink's view hits Catalyst's conflicting-reference check
+      val wtot = org.apache.spark.sql.expressions.Window
+        .partitionBy("src_type")
+      tr.select(col("src_type"), col("dst_type"), col("cnt"),
+          round(col("cnt").cast("double") /
+            sum(col("cnt")).over(wtot).cast("double"), 6).as("p"))
+        .orderBy("src_type", "dst_type")
+    }
+  }
+
+  /** Declared query: [[retentionSnapshots]] drained end-to-end, the
+    * max-rev snapshot per user (the LWW discipline its consumers
+    * apply) exploded into q_retention's exact output shape
+    * (cohort_week, week_offset, n_users). Oracle = q_retention's
+    * DuckDB twin. Epoch-day cohort longs convert to DATE via
+    * date_add from 1970-01-01 — timezone-free on both sides (UTC
+    * sessions).
+    */
+  def q_stream_retention(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, retentionSnapshots(s, events),
+      OutputMode.Update, "stream_retention") { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("rev").desc)
+      sink.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          date_add(lit("1970-01-01").cast("date"),
+            col("cohort_day").cast("int")).as("cohort_week"),
+          explode(col("offsets")).as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }
+  }
 }
