@@ -17,13 +17,35 @@ object Caches {
   private val registry =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist and remember for later release. MEMORY_AND_DISK: spill,
-    * never silently evict-and-recompute.
+  /** Session conf selecting the shared-intermediate strategy:
+    *  - `persist` (default): MEMORY_AND_DISK — right whenever the
+    *    intermediate fits the executors' storage fraction + scratch;
+    *  - `disk`: DISK_ONLY — the intermediate dwarfs memory but fits
+    *    local disk (columnar-compressed), and >1 consumer still
+    *    amortizes the one materialization;
+    *  - `none`: recompute-per-consumer — NOTHING is persisted; each
+    *    consumer re-derives the subplan from the source scan. This is
+    *    the 100×-scale posture for the exploded shingle family: at
+    *    sf100 the distinct (doc_id, shingle) table exceeds RAM+scratch
+    *    on this host, and a persist that cannot fit is strictly worse
+    *    than recompute (it pays the write AND evicts). A real cluster
+    *    run would instead stage the table to the object store once
+    *    (the cache's role at 100 TB); recompute mode is the
+    *    single-host stand-in that keeps memory flat.
     */
-  def cached(df: DataFrame): DataFrame = {
-    registry.add(df)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-  }
+  val modeKey = "spark.graft.cache.mode"
+
+  /** Persist per [[modeKey]] and remember for later release. */
+  def cached(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(modeKey, "persist") match {
+      case "none" => df
+      case "disk" =>
+        registry.add(df)
+        df.persist(StorageLevel.DISK_ONLY)
+      case _ =>
+        registry.add(df)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Unpersist everything registered since the last call. Non-blocking
     * (the executors drop blocks asynchronously); NOT cascading — by

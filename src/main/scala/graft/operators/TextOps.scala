@@ -64,13 +64,23 @@ object TextOps {
     * consumers one materialization).
     */
   private def docTokensDistinct(s: SparkSession, dir: String): DataFrame =
-    cached(docTokens(s, dir).distinct())
+    cached(t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("tok")))
 
-  /** Distinct (doc_id, 3-gram-shingle) pairs. */
+  /** Distinct (doc_id, 3-gram-shingle) pairs. The distinct is
+    * MAP-SIDE (array_distinct within each document's shingle array
+    * before the explode): a document's shingles all come from its one
+    * source row, so per-doc array dedup IS the global (doc_id,
+    * shingle) distinct — the `.distinct()` this replaces shuffled the
+    * full exploded table (5B rows at sf100) purely to discover what
+    * each row already knew. Every shingle consumer now starts
+    * shuffle-free from the scan.
+    */
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
     cached(t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFns.shingles(col("text"), 3)).as("shingle"))
-      .distinct())
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles(col("text"), 3))).as("shingle")))
 
   // ── exact dedup (L1) ───────────────────────────────────────────────
 
@@ -1327,7 +1337,11 @@ object TextOps {
     */
   def evalShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
-      .select(explode(TextFns.shingles(col("text"), decontamNgram)).as("shingle"))
+      // array_distinct pre-explode: per-doc dedup is free map-side
+      // work; the global distinct shuffle then carries only each
+      // doc's unique shingles
+      .select(explode(array_distinct(
+        TextFns.shingles(col("text"), decontamNgram))).as("shingle"))
       .distinct()
 
   /** Benchmark decontamination — flag corpus documents that share any
@@ -1347,8 +1361,9 @@ object TextOps {
   def q_decontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(TextFns.shingles(col("text"), decontamNgram)).as("shingle"))
-      .distinct()
+        // per-doc map-side distinct (the docShingles discipline)
+        explode(array_distinct(
+          TextFns.shingles(col("text"), decontamNgram))).as("shingle"))
     val evalSh = sh.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     sh.filter(col("doc_id") % 50 =!= 0)
@@ -2540,7 +2555,11 @@ object TextOps {
   def q_source_overlap(s: SparkSession, dir: String): DataFrame = {
     val ss = cached(t(s, dir, "documents")
       .select(col("source"),
-        explode(TextFns.shingles(col("text"), 3)).as("shingle"))
+        // per-doc array_distinct cuts the exploded volume map-side;
+        // the distinct() must stay — (source, shingle) dedup spans
+        // documents within a source
+        explode(array_distinct(TextFns.shingles(col("text"), 3)))
+          .as("shingle"))
       .distinct())
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = ss.select(col("source").as("src_a"), col("shingle"))

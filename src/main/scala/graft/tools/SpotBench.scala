@@ -29,6 +29,10 @@ object SpotBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark")
+    // SPARK_GRAFT_CACHE_MODE → graft.Caches.modeKey: `none` is the
+    // fifth-decade probe posture (the exploded shingle table exceeds
+    // RAM+scratch at sf100; recompute keeps memory flat)
+    val cacheMode = sys.env.getOrElse("SPARK_GRAFT_CACHE_MODE", "persist")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -37,6 +41,7 @@ object SpotBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir)
+      .config(graft.Caches.modeKey, cacheMode)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup on the smallest fixture
