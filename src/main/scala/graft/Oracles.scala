@@ -207,7 +207,8 @@ object Oracles {
     // the state machine's final emissions must agree bit-for-bit with
     // the batch operator, so the oracle IS the batch twin's oracle
     "q_stream_markov" -> sqlBase("q_markov"),
-    "q_stream_retention" -> sqlBase("q_retention"))
+    "q_stream_retention" -> sqlBase("q_retention"),
+    "q_stream_paths" -> sqlBase("q_paths"))
 
   private lazy val sqlBase: Map[String, String] = Map(
     // ── scans / predicates ─────────────────────────────────────────

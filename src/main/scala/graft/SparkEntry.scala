@@ -250,7 +250,8 @@ object SparkEntry {
     // real fMGWS queries drained with AvailableNow, final emissions
     // projected to the batch twin's shape (oracle = the twin's SQL)
     "q_stream_markov" -> (streaming.Streams.q_stream_markov _),
-    "q_stream_retention" -> (streaming.Streams.q_stream_retention _)
+    "q_stream_retention" -> (streaming.Streams.q_stream_retention _),
+    "q_stream_paths" -> (streaming.Streams.q_stream_paths _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

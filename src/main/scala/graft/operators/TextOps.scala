@@ -603,29 +603,56 @@ object TextOps {
 
   // ── n-gram Jaccard near-dup ────────────────────────────────────────
 
-  /** Jaccard near-dup candidates over 3-gram word shingles via an
-    * inverted-index self-join (df-capped). Output: top-100 pairs by
-    * rounded Jaccard. All arithmetic is integer until one final exact
-    * double division.
+  /** The df-capped inverted index: (doc_id, shingle) rows for
+    * shingles with df ≤ [[maxShingleDf]], shared by q_dedup_ngram and
+    * q_dedup_containment (persisted — it feeds three consumers:
+    * sizes + both self-join branches; round 1 recomputed this subplan
+    * ~5×, 22% of the whole bench). Two-phase DECLARATIVE shape on
+    * purpose: df aggregate, then join back — both whole-stage-codegen
+    * HashAggregate/SortMergeJoin with full spill support. A
+    * bounded-state collect_list-style typed Aggregator would make it
+    * one exchange, but ObjectHashAggregate's per-row object buffers
+    * measured 2.6–5× SLOWER end-to-end at sf10 (17.5–35 s vs 6.6 s)
+    * than the second codegen'd shuffle it saves — the declarative
+    * form IS the scale form here.
     */
-  def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
-    // docShingles is persisted, so `rare` and the index join both read
-    // one materialized shingle table; `sh` (the df-capped index) is
-    // persisted too because it feeds three consumers (sizes + both
-    // self-join branches). Round 1 recomputed this subplan ~5× — 22%
-    // of the whole bench.
+  private def shingleIndexCapped(s: SparkSession, dir: String): DataFrame = {
     val sh0 = docShingles(s, dir)
     val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("shingle")
-    val sh = cached(sh0.join(rare, "shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // self-join via USING key (renamed ids) — qualified a(col)===b(col)
-    // on a self-derived frame degenerates to a trivially-true predicate
+    cached(sh0.join(rare, "shingle"))
+  }
+
+  /** Candidate pairs + intersection counts off the capped index: the
+    * inverted-index self-join on the shingle (USING key — qualified
+    * a(col)===b(col) on a self-derived frame degenerates to a
+    * trivially-true predicate), then one narrow (a_id, b_id) count.
+    * df ≤ cap bounds the per-shingle fan-out; the cap IS the declared
+    * semantics.
+    */
+  private def shingleInterCounts(sh: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 2)
+  }
+
+  /** Per-doc capped-shingle counts (the |A|, |B| of the Jaccard
+    * denominator).
+    */
+  private def shingleDocSizes(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** Jaccard near-dup candidates over 3-gram word shingles via the
+    * df-capped inverted-index self-join. Output: top-100 pairs by
+    * rounded Jaccard. All arithmetic is integer until one final exact
+    * double division.
+    */
+  def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndexCapped(s, dir)
+    val sizes = shingleDocSizes(sh)
+    shingleInterCounts(sh)
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
@@ -649,16 +676,9 @@ object TextOps {
     * session the index materializes once.
     */
   def q_dedup_containment(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = docShingles(s, dir)
-    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("shingle")
-    val sh = cached(sh0.join(rare, "shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= 2)
+    val sh = shingleIndexCapped(s, dir)
+    val sizes = shingleDocSizes(sh)
+    shingleInterCounts(sh)
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .filter(col("inter") * 2 >= least(col("na"), col("nb")))

@@ -775,6 +775,23 @@ object Streams {
     }
   }
 
+  /** Declared query: [[pathTrigrams]] drained end-to-end, its emitted
+    * completed trigrams counted into q_paths' exact output shape
+    * (path, n, top-20). Oracle = q_paths' DuckDB twin — the two-deep
+    * state machine (last TWO events per user) must reproduce the
+    * batch window's trigram extraction exactly under the in-order
+    * delivery contract.
+    */
+  def q_stream_paths(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, pathTrigrams(s, events),
+      OutputMode.Append, "stream_paths") { sink =>
+      sink.groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }
+  }
+
   /** Declared query: [[retentionSnapshots]] drained end-to-end, the
     * max-rev snapshot per user (the LWW discipline its consumers
     * apply) exploded into q_retention's exact output shape

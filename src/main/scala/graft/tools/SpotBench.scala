@@ -33,7 +33,14 @@ object SpotBench {
     // fifth-decade probe posture (the exploded shingle table exceeds
     // RAM+scratch at sf100; recompute keeps memory flat)
     val cacheMode = sys.env.getOrElse("SPARK_GRAFT_CACHE_MODE", "persist")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — probe-only conf overrides
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val spark = extra.foldLeft(SparkSession.builder()) {
+      case (b, (k, v)) => b.config(k, v)
+    }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
