@@ -208,7 +208,32 @@ object Oracles {
     // the batch operator, so the oracle IS the batch twin's oracle
     "q_stream_markov" -> sqlBase("q_markov"),
     "q_stream_retention" -> sqlBase("q_retention"),
-    "q_stream_paths" -> sqlBase("q_paths"))
+    "q_stream_paths" -> sqlBase("q_paths"),
+    // q_stream_sessionize reduces to a bounded histogram (its raw
+    // emission volume is session-count-sized, unlike the other
+    // twins), so its oracle is the batch gap-rule CTE aggregated to
+    // the same shape; date_diff('second') is the floor-second
+    // difference, matching the snapshots' cast-to-long arithmetic
+    "q_stream_sessionize" ->
+      """WITH sess AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*) AS n_events
+        |  FROM (SELECT user_id, ts, event_id,
+        |      CAST(sum(new_session) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |    FROM (SELECT user_id, ts, event_id,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR date_diff('second',
+        |                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                    ts) >= 1800
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM events))
+        |  GROUP BY user_id, session_id)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  CAST(sum(date_diff('second', session_start, session_end)) AS BIGINT)
+        |    AS sum_duration_s
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin)
 
   private lazy val sqlBase: Map[String, String] = Map(
     // ── scans / predicates ─────────────────────────────────────────

@@ -251,7 +251,8 @@ object SparkEntry {
     // projected to the batch twin's shape (oracle = the twin's SQL)
     "q_stream_markov" -> (streaming.Streams.q_stream_markov _),
     "q_stream_retention" -> (streaming.Streams.q_stream_retention _),
-    "q_stream_paths" -> (streaming.Streams.q_stream_paths _)
+    "q_stream_paths" -> (streaming.Streams.q_stream_paths _),
+    "q_stream_sessionize" -> (streaming.Streams.q_stream_sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

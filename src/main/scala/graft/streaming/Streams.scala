@@ -487,6 +487,17 @@ object Streams {
   case class RetentionSnap(user_id: Long, cohort_day: Long,
     offsets: Seq[Long], rev: Long)
 
+  /** One revisioned per-session snapshot (streaming sessionization
+    * emission): the session's boundaries and size AS OF this
+    * micro-batch. Timestamps are floor-epoch-second longs — the same
+    * integer the batch twin's `cast(ts as long)` gap rule uses, so
+    * duration arithmetic downstream is integer-exact. Downstream
+    * keeps max-rev per (user_id, session_id); a session that spans
+    * micro-batches is simply re-emitted with its extended end.
+    */
+  case class SessionSnap(user_id: Long, session_id: Long,
+    start_s: Long, end_s: Long, n_events: Long, rev: Long)
+
   /** Monday-truncated epoch day of a timestamp — the JVM twin of
     * `date_trunc('week')` under UTC (1970-01-01 was a Thursday, so
     * epoch day d is a Monday iff (d+3) % 7 == 0).
@@ -532,6 +543,67 @@ object Streams {
               weeks.toSeq.sorted.map(w => ((w - cohort) / 7).toLong),
               rev + 1))
           }
+      }
+  }
+
+  /** Streaming sessionization — the stateful twin of batch
+    * q_sessionize's gap rule (a ≥ 30-minute pause in floor-epoch-
+    * seconds starts a new session). State is ONE open session per
+    * user: (session counter, start, last-seen key, size) — bounded by
+    * the user universe like [[markovTransitions]], never by event
+    * volume; an infinite deployment ages idle users out with a state
+    * TTL (an idle user's open session is by then immutable, since any
+    * later event necessarily starts a new one).
+    *
+    * Emission is Update-mode revisioned snapshots: every session
+    * TOUCHED in a micro-batch re-emits its current (start, end, n) —
+    * this is what makes the twin exact where a watermark-flushed
+    * `session_window` aggregate is not: Append-mode session windows
+    * only emit once the watermark passes them, so sessions ending
+    * inside the final watermark horizon are never flushed by a
+    * drained AvailableNow run. Re-emission needs no flush; the last
+    * revision per (user, session) IS the closed session. Same
+    * in-order contract as [[markovTransitions]]: per-user (ts,
+    * event_id) order across batches, stragglers older than the
+    * user's stored last key are dropped detectably.
+    */
+  def sessionSnapshots(spark: SparkSession,
+    events: DataFrame): Dataset[SessionSnap] = {
+    import spark.implicits._
+    def key(e: EventRow): (Long, Int, Long) =
+      (e.ts.getTime, e.ts.getNanos, e.event_id)
+    // state: (sid, start_s, lastMs, lastNanos, lastId, n, rev)
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+          st: GroupState[(Long, Long, Long, Int, Long, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(key)
+          var (sid, startS, lastMs, lastNanos, lastId, n, rev) =
+            st.getOption.getOrElse(
+              (0L, 0L, Long.MinValue, 0, Long.MinValue, 0L, 0L))
+          val touched =
+            scala.collection.mutable.LinkedHashMap.empty[Long, SessionSnap]
+          for (e <- sorted) {
+            val k = key(e)
+            if (sid == 0L ||
+              Ordering[(Long, Int, Long)].gt(k, (lastMs, lastNanos, lastId))) {
+              val sec = Math.floorDiv(k._1, 1000L)
+              // the batch twin's gap rule: cast-to-long (floor-second)
+              // difference ≥ 1800 starts a new session
+              if (sid == 0L || sec - Math.floorDiv(lastMs, 1000L) >= 1800L) {
+                sid += 1; startS = sec; n = 0L
+              }
+              n += 1; lastMs = k._1; lastNanos = k._2; lastId = k._3
+              touched(sid) = SessionSnap(uid, sid, startS, sec, n, rev + 1)
+            } // older than the stored last: contract violation, drop
+          }
+          if (touched.nonEmpty) {
+            rev += 1
+            st.update((sid, startS, lastMs, lastNanos, lastId, n, rev))
+          }
+          touched.valuesIterator
       }
   }
 
@@ -815,6 +887,34 @@ object Streams {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }
+  }
+
+  /** Declared query: [[sessionSnapshots]] drained end-to-end, the
+    * max-rev snapshot per (user, session) reduced to the
+    * session-length histogram with an integer-exact duration sum per
+    * length — n_events, n_sessions, sum_duration_s. Every session the
+    * state machine closes contributes its exact (start, end, size),
+    * so a single mis-split session moves two histogram rows AND a
+    * duration sum; the oracle is the batch gap-rule sessionization
+    * (q_sessionize's CTE) aggregated to the same shape. Unlike the
+    * other three twins this one's raw emission volume is
+    * session-count-sized, so the drained sink reduces it with a
+    * DISTRIBUTED max-rev + histogram aggregate and only the bounded
+    * (≤ max session length) result is collected.
+    */
+  def q_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, sessionSnapshots(s, events),
+      OutputMode.Update, "stream_sessionize") { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "session_id").orderBy(col("rev").desc)
+      sink.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("end_s") - col("start_s")).as("sum_duration_s"))
+        .orderBy("n_events")
     }
   }
 }

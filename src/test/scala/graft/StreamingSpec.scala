@@ -445,6 +445,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTop == batchTop)
   }
 
+  test("streaming sessionization over two in-order batches reproduces " +
+    "batch q_sessionize's full session table, session-spanning splits " +
+    "included") {
+    val d = Files.createTempDirectory("events_sess")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_ss").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    // the ts-median split necessarily cuts many users' open sessions
+    // across the batch boundary — the re-emission path under test
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_sess").toString
+    val q = Streams.sessionSnapshots(spark, raw)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ss_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    // LWW per (user, session): the max-rev snapshot is the closed session
+    val streamed = spark.table("ss_out").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(5), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        val (_, st, en, n) = rows.map(_._2).maxBy(_._1)
+        k -> (st, en, n)
+      }
+    val batch = Relational.q_sessionize(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (Math.floorDiv(r.getTimestamp(2).getTime, 1000L),
+          Math.floorDiv(r.getTimestamp(3).getTime, 1000L),
+          r.getLong(4)))).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("streaming anomaly flags vs a static hour-of-day baseline " +
     "equal the batch recompute; decisions are integer-exact") {
     val ev = Tables(spark, dir, "events")
