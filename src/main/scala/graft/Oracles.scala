@@ -233,7 +233,24 @@ object Oracles {
         |SELECT n_events, count(*) AS n_sessions,
         |  CAST(sum(date_diff('second', session_start, session_end)) AS BIGINT)
         |    AS sum_duration_s
-        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin)
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
+    // complete-mode drain of the tumbling-window aggregate: the final
+    // emission IS the batch hour bucketing
+    "q_stream_windowed" -> sqlBase("q_time_bucket"),
+    // statefulLww's final winners profiled per type; the decimal-exact
+    // value sum moves if any user's winner differs from the batch
+    // ranking window's
+    "q_stream_lww" ->
+      """WITH w AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n_winners,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   private lazy val sqlBase: Map[String, String] = Map(
     // ── scans / predicates ─────────────────────────────────────────

@@ -193,6 +193,7 @@ object SparkEntry {
     // multimodal
     "q_media_meta" -> (MultimodalOps.q_media_meta _),
     "q_media_frames" -> (MultimodalOps.q_media_frames _),
+    "q_media_features" -> (MultimodalOps.q_media_features _),
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),
     "q_triangles" -> (GraphOps.q_triangles _),
@@ -252,7 +253,9 @@ object SparkEntry {
     "q_stream_markov" -> (streaming.Streams.q_stream_markov _),
     "q_stream_retention" -> (streaming.Streams.q_stream_retention _),
     "q_stream_paths" -> (streaming.Streams.q_stream_paths _),
-    "q_stream_sessionize" -> (streaming.Streams.q_stream_sessionize _)
+    "q_stream_sessionize" -> (streaming.Streams.q_stream_sessionize _),
+    "q_stream_windowed" -> (streaming.Streams.q_stream_windowed _),
+    "q_stream_lww" -> (streaming.Streams.q_stream_lww _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -917,4 +917,50 @@ object Streams {
         .orderBy("n_events")
     }
   }
+
+  /** Declared query: [[windowedCounts]] — the canonical
+    * watermark + event-time tumbling-window aggregate — drained in
+    * Complete mode, where each trigger's emission REPLACES the memory
+    * sink, so after an AvailableNow drain the sink IS the final
+    * aggregate over every window (complete mode retains all window
+    * state; the watermark's state-eviction role belongs to the
+    * unbounded Append deployment, pinned in StreamingSpec). Oracle =
+    * batch q_time_bucket: window('1 hour').start and
+    * date_trunc('hour') are the same epoch-aligned boundary. Output
+    * is calendar-bounded (hours × types).
+    */
+  def q_stream_windowed(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, windowedCounts(events),
+      OutputMode.Complete, "stream_windowed") { sink =>
+      sink.orderBy("bucket", "event_type")
+    }
+  }
+
+  /** Declared query: [[statefulLww]] drained end-to-end — the
+    * PUT-by-ID last-write-wins state machine that mirrors the
+    * reference's DynamoDB batch-put semantics — reduced to the
+    * per-type winner profile (n_winners, decimal-exact sum of winning
+    * values, ≤ |event types| rows). The sink's re-emissions are
+    * resolved with the SAME LWW discipline downstream consumers
+    * apply ((ts, event_id) max per user); any user whose final winner
+    * differs from the batch window's moves counts AND value sums
+    * across type rows. Oracle = batch q_window_dedup_lww's ranking
+    * CTE aggregated to the same shape.
+    */
+  def q_stream_lww(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, statefulLww(s, events),
+      OutputMode.Update, "stream_lww") { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      sink.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_winners"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+            .as("sum_value"))
+        .orderBy("event_type")
+    }
+  }
 }

@@ -27,7 +27,10 @@ class ContractSpec extends AnyFunSuite {
     "q_compress_ratio",
     // k-means codebooks have no DuckDB twin; VectorOpsSpec pins
     // determinism, MSE monotonicity in k, and ADC recall
-    "q_vec_pq", "q_ann_ivfpq")
+    "q_vec_pq", "q_ann_ivfpq",
+    // byte-level decode → resize → feature extraction has no DuckDB
+    // twin; MultimodalSpec pins exact pixel/PCM feature values
+    "q_media_features")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

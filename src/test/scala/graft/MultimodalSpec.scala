@@ -689,4 +689,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).format == "unknown")   // stub fallback, not a crash
     assert(got(3L).n_bytes == "not media".getBytes.length)
   }
+
+  test("nnResize center-samples exactly: a 2x2 raster becomes four 4x4 " +
+    "quadrant blocks at 8x8") {
+    val r = MediaHeaders.bmpPixels(bmpBytes).get
+    val thumb = MultimodalOps.nnResize(r, 8, 8)
+    val expected = (0 until 8).flatMap { y =>
+      (0 until 8).map { x =>
+        (if (y < 4) if (x < 4) 0xff0000 else 0x00ff00
+         else if (x < 4) 0x0000ff else 0xffffff)
+      }
+    }
+    assert(thumb.toSeq == expected)
+  }
+
+  test("image + audio feature extraction is value-exact on hand-built " +
+    "containers") {
+    def ck(vals: Seq[Int]): Long =
+      vals.foldLeft(1125899906842597L)((a, v) => a * 31 + v)
+    val img = MultimodalOps.imageFeats(1L, "bmp",
+      MediaHeaders.bmpPixels(bmpBytes).get)
+    // 2x2 pure red/green/blue/white: channel sum 255*3 + 765 = 1530
+    assert(img.mean_intensity.contains(1530.0 / 12.0)) // = 127.5 exactly
+    val expectedThumb = (0 until 8).flatMap { y =>
+      (0 until 8).map { x =>
+        (if (y < 4) if (x < 4) 0xff0000 else 0x00ff00
+         else if (x < 4) 0x0000ff else 0xffffff)
+      }
+    }
+    assert(img.thumb_ck.contains(ck(expectedThumb)))
+    val aud = MultimodalOps.audioFeats(2L,
+      MediaHeaders.wavSamples(wavBytes).get)
+    // [0, 1000, -1000, 32767, -32768]: sign flips at i=2,3,4
+    assert(aud.zcr.contains(3L))
+    val ssq = 0L + 1000L * 1000 + 1000L * 1000 +
+      32767L * 32767 + 32768L * 32768
+    assert(aud.rms.contains(
+      math.rint(math.sqrt(ssq.toDouble / 5) * 10000.0) / 10000.0))
+  }
+
+  test("wrapBmp / wrapWav synthesize REAL containers the decoders " +
+    "round-trip byte-exactly") {
+    val payload = Array.tabulate[Byte](96)(i => (i * 7 % 251).toByte)
+    val r = MediaHeaders.bmpPixels(MultimodalOps.wrapBmp(payload)).get
+    assert(r.width == 16 && r.height == 2)
+    // bottom-up BMP: payload row 0 is the BOTTOM raster row; samples
+    // are BGR in file order
+    def px(row: Int, xx: Int): Int = {
+      val i = row * 48 + xx * 3
+      def u(b: Byte) = b & 0xff
+      (u(payload(i + 2)) << 16) | (u(payload(i + 1)) << 8) | u(payload(i))
+    }
+    val expected = (0 until 16).map(px(1, _)) ++ (0 until 16).map(px(0, _))
+    assert(r.pixels.toSeq == expected)
+    val p = MediaHeaders.wavSamples(MultimodalOps.wrapWav(payload)).get
+    assert(p.sampleRate == 8000 && p.channels == 1 && p.bits == 16)
+    val expSamples = (0 until 48).map { k =>
+      val lo = payload(2 * k) & 0xff
+      val hi = payload(2 * k + 1)
+      (hi << 8) | lo
+    }
+    assert(p.samples.toSeq == expSamples)
+  }
+
+  test("q_media_features runs the real encode→decode→resize→feature " +
+    "path over the fixture: every 5th doc audio, the rest images, no " +
+    "stub rows") {
+    val rows = MultimodalOps.q_media_features(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 0) {
+        assert(r.getString(2) == "audio" && r.getString(1) == "wav")
+        assert(!r.isNullAt(7) && !r.isNullAt(8)) // zcr, rms
+        assert(r.isNullAt(5) && r.isNullAt(6))
+      } else {
+        assert(r.getString(2) == "image" && r.getString(1) == "bmp")
+        assert(!r.isNullAt(5) && !r.isNullAt(6)) // thumb_ck, mean
+        assert(r.isNullAt(7) && r.isNullAt(8))
+      }
+    }
+  }
 }
