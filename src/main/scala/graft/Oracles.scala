@@ -462,6 +462,75 @@ object Oracles {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
 
+    // J8 subquery forms: the oracle states the IDENTICAL SQL shapes —
+    // DuckDB decorrelates them its own way; the semantics must agree
+    "q_subquery_scalar" ->
+      """SELECT l.l_returnflag AS rflag, count(*) AS n_small,
+        |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS rev
+        |FROM lineitem l
+        |WHERE l.l_quantity * 5 < (SELECT sum(l2.l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l.l_returnflag ORDER BY rflag""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_customers,
+        |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS bal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT p.p_brand AS brand, count(*) AS n_parts
+        |FROM part p
+        |WHERE p.p_partkey IN (SELECT l_partkey FROM lineitem
+        |                      WHERE l_returnflag = 'R')
+        |  AND p.p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                          WHERE l_quantity >= 49)
+        |GROUP BY p.p_brand ORDER BY brand""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_top_orders,
+        |  round(CAST(sum(CAST(t.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS top2_rev
+        |FROM customer c, LATERAL (
+        |  SELECT o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin,
+
+    // same linear recursion over the trailing-24-month window; DuckDB
+    // floor-divides with `//` (operands nonnegative, so it agrees
+    // with Spark's `div` truncation) and subtracts INTERVAL 23 MONTH
+    // where Spark's spine uses add_months(-23) — both land on the
+    // same first-of-month boundary
+    "q_recursive_decay" ->
+      """WITH RECURSIVE monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1
+        |  HAVING CAST(date_trunc('month', o_orderdate) AS DATE) >=
+        |    (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        |       - INTERVAL 23 MONTH FROM orders)),
+        |idx AS (SELECT mon, rev_cents,
+        |    CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i
+        |  FROM monthly),
+        |bal(i, mon, rev_cents, balance_cents) AS (
+        |  SELECT i, mon, rev_cents, rev_cents FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.mon, x.rev_cents,
+        |    (b.balance_cents * 99) // 100 + x.rev_cents
+        |  FROM bal b JOIN idx x ON x.i = b.i + 1)
+        |SELECT mon, rev_cents, balance_cents FROM bal
+        |ORDER BY mon""".stripMargin,
+
     // plain range-join statement of q_join_range's semantics — the
     // Spark side reaches the same result through the bucketed
     // equi-join rewrite

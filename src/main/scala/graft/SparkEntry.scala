@@ -65,6 +65,11 @@ object SparkEntry {
     "q_join_star" -> (Relational.q_join_star _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_semi" -> (Relational.q_join_semi _),
+    "q_subquery_scalar" -> (Relational.q_subquery_scalar _),
+    "q_subquery_exists" -> (Relational.q_subquery_exists _),
+    "q_subquery_in" -> (Relational.q_subquery_in _),
+    "q_lateral_topn" -> (Relational.q_lateral_topn _),
+    "q_recursive_decay" -> (Relational.q_recursive_decay _),
     "q_join_asof" -> (AsOfJoin.q_join_asof _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_bloom" -> (operators.BloomJoin.q_join_bloom _),

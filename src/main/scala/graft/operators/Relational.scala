@@ -598,6 +598,151 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  // ── J8: subquery forms (Catalyst decorrelation) ────────────────────
+
+  /** J8a: correlated SCALAR subquery — the TPC-H Q17 shape: lineitems
+    * whose quantity is under 1/5 of their part's total ordered
+    * quantity. Declared through the `spark.sql` entry so the plan is
+    * Catalyst's actual DECORRELATION rewrite (the per-row correlated
+    * aggregate becomes one grouped aggregate + equi-join — PlanSpec
+    * asserts the join and that no per-row subquery survives), not a
+    * hand-written join. Exactness: l_quantity is integral (1..50), so
+    * `l_quantity * 5 < sum(l_quantity)` is an exact double compare in
+    * both engines (sums ≤ 3e6 ≪ 2^53); revenue follows the
+    * DECIMAL(18,4) sum discipline.
+    *
+    * Scale shape: the decorrelated aggregate is one partial-combining
+    * pass over lineitem keyed on l_partkey, joined back on the same
+    * key — the self-join co-partitions, no row-at-a-time subquery
+    * execution at any scale.
+    */
+  def q_subquery_scalar(s: SparkSession, dir: String): DataFrame = {
+    val view = s"li_sq_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "lineitem").createOrReplaceTempView(view)
+    s.sql(s"""SELECT l.l_returnflag AS rflag, count(*) AS n_small,
+      |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+      |    AS rev
+      |FROM $view l
+      |WHERE l.l_quantity * 5 < (SELECT sum(l2.l_quantity) FROM $view l2
+      |                          WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY l.l_returnflag ORDER BY rflag""".stripMargin)
+  }
+
+  /** J8b: EXISTS + NOT EXISTS — customers with at least one urgent
+    * order and no finished one, profiled per segment. Catalyst
+    * decorrelates the pair into one left-semi and one left-anti join
+    * (PlanSpec-asserted); the account-balance sum follows the
+    * DECIMAL(18,4) discipline.
+    */
+  def q_subquery_exists(s: SparkSession, dir: String): DataFrame = {
+    val cv = s"cust_sq_${Integer.toHexString(dir.hashCode)}"
+    val ov = s"ord_sq_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "customer").createOrReplaceTempView(cv)
+    t(s, dir, "orders").createOrReplaceTempView(ov)
+    s.sql(s"""SELECT c.c_mktsegment AS segment, count(*) AS n_customers,
+      |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+      |    AS bal
+      |FROM $cv c
+      |WHERE EXISTS (SELECT 1 FROM $ov o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM $ov o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  /** J8c: IN + NOT IN subqueries — parts with a returned lineitem but
+    * never ordered near the quantity cap. `l_partkey` is non-null, so
+    * NOT IN's three-valued-logic trap (one NULL empties the result)
+    * cannot fire and both engines agree; Catalyst plans semi + anti
+    * joins like the EXISTS pair.
+    */
+  def q_subquery_in(s: SparkSession, dir: String): DataFrame = {
+    val pv = s"part_sq_${Integer.toHexString(dir.hashCode)}"
+    val lv = s"li_sq_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "part").createOrReplaceTempView(pv)
+    t(s, dir, "lineitem").createOrReplaceTempView(lv)
+    s.sql(s"""SELECT p.p_brand AS brand, count(*) AS n_parts
+      |FROM $pv p
+      |WHERE p.p_partkey IN (SELECT l_partkey FROM $lv
+      |                      WHERE l_returnflag = 'R')
+      |  AND p.p_partkey NOT IN (SELECT l_partkey FROM $lv
+      |                          WHERE l_quantity >= 49)
+      |GROUP BY p.p_brand ORDER BY brand""".stripMargin)
+  }
+
+  /** J8d: LATERAL (correlated inline) subquery with ORDER BY + LIMIT —
+    * each customer's two most expensive orders, profiled per segment.
+    * Catalyst decorrelates the per-row top-n into a ranking window
+    * over one equi-join (no per-customer re-execution); the tie-break
+    * on o_orderkey makes the top-2 set deterministic in both engines.
+    * Customers without orders drop out (comma-LATERAL is CROSS
+    * APPLY / inner semantics in Spark and DuckDB alike).
+    */
+  def q_lateral_topn(s: SparkSession, dir: String): DataFrame = {
+    val cv = s"cust_lat_${Integer.toHexString(dir.hashCode)}"
+    val ov = s"ord_lat_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "customer").createOrReplaceTempView(cv)
+    t(s, dir, "orders").createOrReplaceTempView(ov)
+    s.sql(s"""SELECT c.c_mktsegment AS segment, count(*) AS n_top_orders,
+      |  round(CAST(sum(CAST(t.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+      |    AS top2_rev
+      |FROM $cv c, LATERAL (
+      |  SELECT o_totalprice FROM $ov o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  /** W-family extension: RECURSIVE CTE rollforward — month-over-month
+    * decayed balance (balanceₘ = ⌊99·balanceₘ₋₁/100⌋ + revₘ in exact
+    * integer cents). The stepwise integer floor-division makes this
+    * genuinely recursive — no closed-form window sum reproduces the
+    * per-step truncation — and the recursion is LINEAR (one row per
+    * step, months-bounded), the shape Spark's UNION ALL-only
+    * recursive CTE executes safely: each iteration joins the 1-row
+    * frontier to the month spine, never fanning out. Cents come from
+    * the DECIMAL(18,2) cast discipline; DuckDB's twin uses `//` for
+    * the same floor division (operands are nonnegative, so floor ≡
+    * truncation in both engines).
+    */
+  def q_recursive_decay(s: SparkSession, dir: String): DataFrame = {
+    // Spark re-plans every CTE referenced from the recursive step on
+    // EVERY iteration — with the month spine inlined, each of the ~80
+    // steps re-ran the full orders aggregate (33 s at sf0.1). The
+    // spine is calendar-bounded (~80 rows no matter the SF), so
+    // materialize it ONCE (eager checkpoint — the Pregel discipline)
+    // and recurse over the materialized view: the corpus is scanned
+    // exactly once, and each step joins a 1-row frontier to 80 rows.
+    val ov = s"ord_rec_${Integer.toHexString(dir.hashCode)}"
+    val iv = s"idx_rec_${Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "orders").createOrReplaceTempView(ov)
+    // trailing-24-month replay window: the recursion depth (= Spark
+    // jobs, ~0.1 s scheduling each) stays CONSTANT as data grows —
+    // at any SF the corpus contributes one aggregate pass, the
+    // recursion a fixed 24 steps
+    Checkpoints.ckpt(s.sql(
+      s"""SELECT mon, rev_cents,
+        |  CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS rev_cents
+        |  FROM $ov GROUP BY 1)
+        |WHERE mon >= add_months(
+        |  (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        |   FROM $ov), -23)""".stripMargin))
+      .createOrReplaceTempView(iv)
+    s.sql(s"""WITH RECURSIVE bal(i, mon, rev_cents, balance_cents) AS (
+      |  SELECT i, mon, rev_cents, rev_cents FROM $iv WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.i, x.mon, x.rev_cents,
+      |    (b.balance_cents * 99) div 100 + x.rev_cents
+      |  FROM bal b JOIN $iv x ON x.i = b.i + 1)
+      |SELECT mon, rev_cents, balance_cents FROM bal
+      |ORDER BY mon""".stripMargin)
+  }
+
   // ── §2.7 set operations ────────────────────────────────────────────
 
   /** Set union (distinct). */

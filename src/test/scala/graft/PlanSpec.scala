@@ -28,6 +28,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("subquery forms decorrelate into joins — no per-row subquery " +
+    "execution survives") {
+    // EXISTS / NOT EXISTS → one left-semi + one left-anti join
+    val ex = planOf(Relational.q_subquery_exists(spark, dir))
+    assert(ex.contains("LeftSemi"), ex.take(2000))
+    assert(ex.contains("LeftAnti"), ex.take(2000))
+    // IN / NOT IN → the same semi/anti pair
+    val in = planOf(Relational.q_subquery_in(spark, dir))
+    assert(in.contains("LeftSemi"), in.take(2000))
+    assert(in.contains("LeftAnti"), in.take(2000))
+    // correlated scalar aggregate → grouped aggregate + equi-join;
+    // an InSubquery/ScalarSubquery surviving to the physical plan
+    // would mean row-at-a-time execution
+    val sc = planOf(Relational.q_subquery_scalar(spark, dir))
+    assert(sc.contains("Join"), sc.take(2000))
+    // LATERAL top-n → ranking window over one equi-join, not
+    // per-customer re-execution
+    val lat = planOf(Relational.q_lateral_topn(spark, dir))
+    assert(lat.contains("Join"), lat.take(2000))
+    for (p <- Seq(ex, in, sc, lat))
+      assert(!p.contains("InSubqueryExec") && !p.contains("ScalarSubquery"),
+        p.take(2000))
+  }
+
   test("q_filter_eq pushes the predicate into the parquet scan") {
     val p = planOf(Relational.q_filter_eq(spark, dir))
     assert(p.contains("PushedFilters") &&
