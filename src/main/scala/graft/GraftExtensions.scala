@@ -18,8 +18,12 @@ import graft.functions.{DeflateSize, JaroWinkler, MortonCode, VectorDot, VectorN
   * After registration: `SELECT word_shingles(text, 3) FROM docs`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    // conf-gated optimizer rule (spark.graft.rangeJoin.bucketWidth;
+    // a strict no-op until the width is set)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {

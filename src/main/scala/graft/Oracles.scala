@@ -495,6 +495,23 @@ object Oracles {
         |                          WHERE l_quantity >= 49)
         |GROUP BY p.p_brand ORDER BY brand""".stripMargin,
 
+    // the NAIVE range join — DuckDB plans it with its own IEJoin;
+    // Spark reaches the same values through RangeJoinRule's bucketed
+    // rewrite, which must be invisible here
+    "q_join_range_auto" ->
+      """WITH hot AS (
+        |  SELECT win_start_s, win_start_s + 3599 AS win_end_s FROM (
+        |    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+        |        AS win_start_s,
+        |      count(*) AS n_in_hour
+        |    FROM events GROUP BY 1
+        |    ORDER BY n_in_hour DESC, win_start_s LIMIT 20))
+        |SELECT h.win_start_s, count(*) AS n_events
+        |FROM events e JOIN hot h
+        |  ON CAST(floor(epoch(e.ts)) AS BIGINT) >= h.win_start_s
+        | AND CAST(floor(epoch(e.ts)) AS BIGINT) <= h.win_end_s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_lateral_topn" ->
       """SELECT c.c_mktsegment AS segment, count(*) AS n_top_orders,
         |  round(CAST(sum(CAST(t.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)

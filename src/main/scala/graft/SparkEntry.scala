@@ -70,6 +70,7 @@ object SparkEntry {
     "q_subquery_in" -> (Relational.q_subquery_in _),
     "q_lateral_topn" -> (Relational.q_lateral_topn _),
     "q_recursive_decay" -> (Relational.q_recursive_decay _),
+    "q_join_range_auto" -> (Relational.q_join_range_auto _),
     "q_join_asof" -> (AsOfJoin.q_join_asof _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_bloom" -> (operators.BloomJoin.q_join_bloom _),

@@ -553,6 +553,40 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** J6 through the OPTIMIZER-RULE path: the range join written
+    * NAIVELY — a declarative BETWEEN predicate with no hand-bucketing
+    * — counting events inside each of the 20 busiest hour windows.
+    * The session registers [[graft.plans.RangeJoinRule]] (the
+    * production form is `spark.sql.extensions=graft.GraftExtensions`;
+    * `experimental.extraOptimizations` is the documented equivalent
+    * for an already-built session) and sets the 3600-unit bucket
+    * width, so Catalyst itself rewrites the nested-loop shape into
+    * the bucketed equi-join q_join_range builds by hand — PlanSpec
+    * asserts no BroadcastNestedLoopJoin survives in THIS query's
+    * physical plan. The oracle is the same naive SQL: the rewrite
+    * must be invisible in the values.
+    */
+  def q_join_range_auto(s: SparkSession, dir: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    s.conf.set(graft.plans.RangeJoinRule.widthKey, "3600")
+    val evs = t(s, dir, "events").select(col("ts").cast("long").as("ts_s"))
+    val hot = t(s, dir, "events")
+      .groupBy((col("ts").cast("long")
+        - pmod(col("ts").cast("long"), lit(3600L))).as("win_start_s"))
+      .agg(count(lit(1)).as("n_in_hour"))
+      .orderBy(col("n_in_hour").desc, col("win_start_s"))
+      .limit(20)
+      .select(col("win_start_s"),
+        (col("win_start_s") + 3599L).as("win_end_s"))
+    evs.join(hot, col("ts_s") >= col("win_start_s") &&
+        col("ts_s") <= col("win_end_s"))
+      .groupBy("win_start_s")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_start_s")
+  }
+
   /** Skew-salted join on the DECLARED surface: the big side's rows
     * scatter over `salts` deterministic sub-keys (xxhash64 of the
     * row), the small side replicates once per salt, and the join runs

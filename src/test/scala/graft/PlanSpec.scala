@@ -52,6 +52,14 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("q_join_range_auto: RangeJoinRule turns the declared naive " +
+    "BETWEEN join into a bucketed equi-join in the real query path") {
+    val p = planOf(Relational.q_join_range_auto(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("__graft_range_bucket"), p.take(2000))
+  }
+
   test("q_filter_eq pushes the predicate into the parquet scan") {
     val p = planOf(Relational.q_filter_eq(spark, dir))
     assert(p.contains("PushedFilters") &&
