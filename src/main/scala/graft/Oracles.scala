@@ -1941,6 +1941,96 @@ object Oracles {
          |FROM m""".stripMargin
     },
 
+    // count-min sketch audit (TextOps.q_cms_err): geometry (depth,
+    // probe-N) interpolated from TextOps so the two engines' sketches
+    // cannot desynchronize; bucket = first two md5 hex chars of
+    // "<i>:<tok>" as an integer 0..255, exactly the Spark
+    // conv(substring(md5(...),1,2),16,10)
+    "q_cms_err" -> {
+      val d = graft.operators.TextOps.cmsDepth
+      val topN = graft.operators.TextOps.cmsProbeTopN
+      def bucket(h: String) =
+        s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr($h, 2, 1)) - 1))"
+      val bTok = bucket("md5(CAST(i AS VARCHAR) || ':' || tok)")
+      s"""WITH toks AS (SELECT unnest($tokL) AS tok FROM documents),
+         |ks AS (SELECT tok, i, CAST($bTok AS BIGINT) AS bucket
+         |  FROM toks CROSS JOIN (SELECT unnest(range($d)) AS i)),
+         |counters AS (SELECT i, bucket, count(*) AS c
+         |  FROM ks GROUP BY i, bucket),
+         |top AS (SELECT tok, count(*) AS exact_tf FROM toks
+         |  GROUP BY tok ORDER BY exact_tf DESC, tok LIMIT $topN),
+         |probe AS (SELECT tok, exact_tf, i, CAST($bTok AS BIGINT) AS bucket
+         |  FROM top CROSS JOIN (SELECT unnest(range($d)) AS i)),
+         |est AS (SELECT tok, exact_tf, min(c) AS cms_est
+         |  FROM probe JOIN counters USING (i, bucket)
+         |  GROUP BY tok, exact_tf)
+         |SELECT tok, exact_tf, cms_est,
+         |  cms_est - exact_tf AS overcount
+         |FROM est ORDER BY exact_tf DESC, tok""".stripMargin
+    },
+
+    // sparse cosine similarity join (TextOps.q_sparse_sim): prefix
+    // filtering (each doc's 5 globally-rarest tokens, df safety cap)
+    // for candidates; the verified cosine is then computed over the
+    // FULL vectors, restricted to candidate pairs (value-identical to
+    // the engine's map-verify plan; restricting dots to candidates
+    // keeps the oracle itself tractable at the sf1.0 sweep)
+    "q_sparse_sim" -> {
+      val pfx = graft.operators.TextOps.sparseSimPrefix
+      val cap = graft.operators.TextOps.sparseSimDfCap
+      val tau = graft.operators.TextOps.sparseSimTau
+      s"""WITH toks AS (SELECT doc_id, unnest($tokL) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+         |pfx AS (SELECT doc_id, tok FROM
+         |  (SELECT t.doc_id, t.tok,
+         |     row_number() OVER (PARTITION BY t.doc_id
+         |       ORDER BY d.df, t.tok) AS rn
+         |   FROM tf t JOIN dft d ON t.tok = d.tok
+         |   WHERE d.df <= $cap)
+         |  WHERE rn <= $pfx),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM pfx a JOIN pfx b
+         |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |dots AS (SELECT c.ia, c.ib,
+         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN tf a ON a.doc_id = c.ia
+         |  JOIN tf b ON b.doc_id = c.ib AND b.tok = a.tok
+         |  GROUP BY c.ia, c.ib),
+         |n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+         |  FROM tf GROUP BY doc_id),
+         |pairs AS (SELECT d.ia, d.ib, d.dot,
+         |    round(CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+         |      4) AS cos
+         |  FROM dots d
+         |  JOIN n2 na ON d.ia = na.doc_id
+         |  JOIN n2 nb ON d.ib = nb.doc_id)
+         |SELECT ia, ib, dot, cos FROM pairs WHERE cos >= $tau
+         |ORDER BY cos DESC, ia, ib""".stripMargin
+    },
+
+    // calibration/reliability table (Relational.q_calibration):
+    // fixed-width binning of the declared linear price score,
+    // DECIMAL(18,6)-exact mean-prediction sum
+    "q_calibration" ->
+      """WITH s AS (SELECT
+        |    CAST(least(floor(least(o_totalprice / 400000.0, 1.0) * 10), 9)
+        |      AS BIGINT) AS bin,
+        |    CAST(round(least(o_totalprice / 400000.0, 1.0), 6)
+        |      AS DECIMAL(18,6)) AS pr,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders)
+        |SELECT bin, count(*) AS n,
+        |  round(CAST(sum(pr) AS DOUBLE) / count(*), 6) AS mean_p,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT
         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'

@@ -200,6 +200,7 @@ object SparkEntry {
     "q_media_meta" -> (MultimodalOps.q_media_meta _),
     "q_media_frames" -> (MultimodalOps.q_media_frames _),
     "q_media_features" -> (MultimodalOps.q_media_features _),
+    "q_media_dhash" -> (MultimodalOps.q_media_dhash _),
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),
     "q_triangles" -> (GraphOps.q_triangles _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "q_quality_vs_dup" -> (TextOps.q_quality_vs_dup _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
+    "q_calibration" -> (Relational.q_calibration _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),
     "q_decile_bands" -> (Relational.q_decile_bands _),
     "q_mmr" -> (VectorOps.q_mmr _),
@@ -247,6 +249,8 @@ object SparkEntry {
     "q_source_overlap" -> (TextOps.q_source_overlap _),
     "q_dup_share" -> (TextOps.q_dup_share _),
     "q_zipf" -> (TextOps.q_zipf _),
+    "q_cms_err" -> (TextOps.q_cms_err _),
+    "q_sparse_sim" -> (TextOps.q_sparse_sim _),
     "q_topic_terms" -> (TextOps.q_topic_terms _),
     "q_hamming_hist" -> (TextOps.q_hamming_hist _),
     "q_degree_dist" -> (TextOps.q_degree_dist _),

@@ -366,6 +366,109 @@ object MultimodalOps {
     * MultimodalSpec pins resize/feature values exactly on hand-built
     * rasters and PCM.
     */
+  // ── perceptual image near-dup (difference hash) ───────────────────
+
+  /** dHash geometry: 9×8 grayscale thumbnail, 64 horizontal-gradient
+    * bits, banded into 4×16-bit LSH keys; candidate pairs keep
+    * hamming ≤ [[dhashMaxHamming]]. Like the SimHash text family the
+    * banding is the declared candidate contract: a pair must agree on
+    * ≥1 full 16-bit band (guaranteed complete for hamming ≤ 3 by
+    * pigeonhole; a documented recall trade above that).
+    */
+  private[graft] val dhashMaxHamming = 10
+
+  /** 64 dHash bits of a 9×8 grayscale grid (row-major, w=9), bit k =
+    * [gray(x,y) > gray(x+1,y)] for k = 8y+x — returned as two 32-bit
+    * halves in non-negative longs (the SimHash sign-bit convention).
+    * Gray = r+g+b (no division: monotone in luminance, comparison
+    * outcomes are scale-free).
+    */
+  private[graft] def dhashHalves(gray: Array[Int]): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val k = y * 8 + x
+        if (gray(y * 9 + x) > gray(y * 9 + x + 1)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** (doc_id, dh_hi, dh_lo) per decodable image row: per-partition
+    * decode (the established non-Catalyst boundary), 9×8 nearest-
+    * neighbor resample, gradient bits. Non-image rows are dropped.
+    */
+  private[graft] def dhashFrame(media: DataFrame)(implicit s: SparkSession)
+    : DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val raster = MediaHeaders.bmpPixels(bytes)
+            .orElse(MediaHeaders.pngPixels(bytes))
+            .orElse(MediaHeaders.gifPixels(bytes))
+            .orElse(MediaHeaders.jpegPixels(bytes))
+          raster.map { r =>
+            val thumb = nnResize(r, 9, 8)
+            val gray = thumb.map(p =>
+              ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+            val (hi, lo) = dhashHalves(gray)
+            (id, hi, lo)
+          }
+        }
+      }.toDF("doc_id", "dh_hi", "dh_lo")
+  }
+
+  /** Declared rows-only query: perceptual image near-dup — the
+    * multimodal member of the near-dup family (n-gram/MinHash/SimHash
+    * for text, cosine for embeddings, dHash for images). The fixture
+    * payloads are wrapped into REAL BMPs map-side (like
+    * [[q_media_features]]) so the real decode → resize → hash path
+    * runs at every scale; then the pair search is pure DataFrame LSH:
+    * 4×16-bit band buckets → self-join on (band, key) → exact
+    * hamming via bit_count(xor) — payload bytes never shuffle, only
+    * (id, 2×long) signatures do, and the band join is bucket-bounded
+    * exactly like the SimHash text geometry. Rows-only by §2.12
+    * (byte-level decode has no DuckDB twin); MultimodalSpec pins the
+    * hash on hand-built rasters and asserts perturbation monotonicity.
+    */
+  def q_media_dhash(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val wrapped = mediaTable(s, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, wrapBmp(if (bytes == null) Array.empty[Byte] else bytes))
+      })
+      .toDF("doc_id", "content")
+    val sig = dhashFrame(wrapped)
+    val banded = sig.select(col("doc_id"), col("dh_hi"), col("dh_lo"),
+      posexplode(array(
+        col("dh_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("dh_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("dh_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("dh_hi"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        (bit_count(col("a.dh_hi").bitwiseXOR(col("b.dh_hi"))) +
+          bit_count(col("a.dh_lo").bitwiseXOR(col("b.dh_lo"))))
+          .cast("long").as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= dhashMaxHamming)
+      .orderBy("ia", "ib")
+  }
+
   def q_media_features(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._

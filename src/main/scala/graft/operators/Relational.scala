@@ -3077,6 +3077,39 @@ object Relational {
     * key, §2.12 NULL rule). Mean span is sum/count of exact BIGINTs
     * — one shared IEEE division, not avg()'s engine-internal fold.
     */
+  /** Model-calibration (reliability) table — the eval-metrics row
+    * every scoring pipeline needs next to q_ndcg/q_forecast_eval/
+    * q_ab_test: bucket a [0,1] predicted score into 10 fixed-width
+    * bins and report, per bin, the population, the mean prediction,
+    * and the empirical positive rate; a calibrated scorer has the
+    * two tracking each other. The score here is the declared linear
+    * price score least(o_totalprice/400000, 1) and the outcome is
+    * urgent/high order priority — fixed-width binning (NOT ntile)
+    * deliberately: bin assignment is a map-side expression with no
+    * global sort, so the whole query is one map-side-combined
+    * 10-group aggregate at any corpus size (the q_decile_bands
+    * contrast, where rank-deciles genuinely need ScalableRank).
+    * Mean prediction sums DECIMAL(18,6)-rounded scores exactly;
+    * the two rates are single IEEE divisions rounded at the end.
+    */
+  def q_calibration(s: SparkSession, dir: String): DataFrame = {
+    val p = least(col("o_totalprice") / lit(400000.0), lit(1.0))
+    val y = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+      .otherwise(0L)
+    t(s, dir, "orders")
+      .select(least(floor(p * 10), lit(9L)).cast("long").as("bin"),
+        round(p, 6).cast("decimal(18,6)").as("pr"), y.as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pr")).as("sp"),
+        sum(col("y")).as("sy"))
+      .select(col("bin"), col("n"),
+        round(col("sp").cast("double") / col("n").cast("double"), 6)
+          .as("mean_p"),
+        round(col("sy").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+      .orderBy("bin")
+  }
+
   def q_window_nav(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

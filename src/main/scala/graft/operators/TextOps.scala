@@ -2681,6 +2681,155 @@ object TextOps {
     * top-N via TakeOrdered, then a [[zipfTopN]]-row bounded window +
     * one-row aggregate — the corpus is touched once.
     */
+  // ── count-min sketch (the mergeable frequency sketch) ─────────────
+
+  /** CMS geometry, shared verbatim with the oracle SQL: depth d rows
+    * of width 256 counters. Width 256 = exactly the first TWO hex
+    * chars of md5("<i>:<tok>") — no modulo, so the bucket function is
+    * a string slice both engines compute identically.
+    */
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsProbeTopN = 30
+
+  /** Bucket of token `tok` in CMS row `i`: first two hex chars of
+    * md5("i:tok") as an integer 0..255.
+    */
+  private def cmsBucket(i: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), tok)), 1, 2), 16, 10)
+      .cast("long")
+
+  /** Count-min sketch error audit: build a d×256 CMS over the token
+    * stream, then probe it with the exact top-[[cmsProbeTopN]] tokens
+    * and report estimate vs truth. The sketch fills the one gap in
+    * the engine's sketch family (HLL distinct, MinHash similarity,
+    * SimHash fingerprints, Bloom membership — CMS is point
+    * frequency), and its 100 TB story is the whole point: the counter
+    * table is d·256 = 1024 rows REGARDLESS of corpus size, built by
+    * one map-side-combined aggregate (the shuffle carries ≤1024 rows
+    * per mapper), and two sketches merge by cell-wise addition — the
+    * canonical mergeable-summary shape for a 1000-executor corpus
+    * profile. Every value is an exact integer (counts and md5-slice
+    * buckets), so the oracle gate hashes bit-for-bit; the declared
+    * overcount column is the sketch's error made observable (CMS
+    * never undercounts — TextOpsSpec asserts overcount ≥ 0 and the
+    * ε·N bound).
+    */
+  def q_cms_err(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    // (i, bucket) per token occurrence, all d rows in one pass
+    val keyed = toks.select(posexplode(
+      array((0 until cmsDepth).map(i => cmsBucket(i, col("tok"))): _*))
+      .as(Seq("i", "bucket")))
+    val counters = keyed.groupBy("i", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_tf"))
+      .orderBy(col("exact_tf").desc, col("tok"))
+      .limit(cmsProbeTopN)
+    // probe side: d keys per probed token, broadcast (≤ d·topN rows)
+    val probes = broadcast(top.select(col("tok"), col("exact_tf"),
+      posexplode(array((0 until cmsDepth)
+        .map(i => cmsBucket(i, col("tok"))): _*)).as(Seq("i", "bucket"))))
+    probes.join(counters, Seq("i", "bucket"))
+      .groupBy("tok", "exact_tf")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("tok"), col("exact_tf"), col("cms_est"),
+        (col("cms_est") - col("exact_tf")).as("overcount"))
+      .orderBy(col("exact_tf").desc, col("tok"))
+  }
+
+  // ── sparse similarity join (candidate-gen + exact verify) ─────────
+
+  /** Per-document prefix size for [[q_sparse_sim]]'s candidate
+    * generation: each doc indexes only its [[sparseSimPrefix]]
+    * globally-rarest tokens (order by global df asc, tok). The
+    * postings table is exactly prefix·N rows at ANY corpus size —
+    * the property a fixed absolute df cap lacks (a cap that finds
+    * pairs at sf0.01 generates zero candidates at 10× when every
+    * token's df grows past it; measured before this form replaced
+    * it).
+    */
+  private[graft] val sparseSimPrefix = 5
+
+  /** Safety df cap on prefix postings (a token that is "rarest" for
+    * many docs could still fan out; same role as [[maxShingleDf]]).
+    */
+  private[graft] val sparseSimDfCap = 1000
+
+  /** Cosine threshold for [[q_sparse_sim]] (applied to the rounded
+    * value in both engines). 0.9 on raw count vectors is the
+    * near-dup regime — below ~0.8 the shared-stopword mass of
+    * UNRELATED documents already clears the bar (67k pairs at 0.6 vs
+    * 42 at 0.9 on the sf0.01 fixture), so a lower τ measures corpus
+    * homogeneity, not duplication.
+    */
+  private[graft] val sparseSimTau = 0.90
+
+  /** Sparse count-vector cosine similarity join — the lexical twin of
+    * the dense embedding near-dup family, in the shape that survives
+    * 100 TB: (1) candidate pairs come from PREFIX FILTERING — the
+    * inverted index holds only each doc's [[sparseSimPrefix]] rarest
+    * tokens (rarest = lowest global df, ties by token), so the index
+    * is prefix·N rows at any scale and near-dups (which share their
+    * rare tokens) are found at every corpus size; a df safety cap
+    * bounds per-token fan-out. (2) Each candidate is then verified
+    * with the EXACT cosine over the full token-count vectors, carried
+    * as bounded per-doc maps (a doc's vector rides with it — no third
+    * shuffle per pair; the dot product is a map-lookup fold inside
+    * codegen'd HOFs). Dot and norms are exact BIGINTs; the one double
+    * op is sqrt·sqrt at the end (IEEE-identical in both engines), so
+    * the pair list is hash-gated exactly. Declared contract: pairs
+    * whose prefixes share ≥1 token, with rounded full-vector cosine ≥
+    * [[sparseSimTau]] — prefix recall is the documented trade
+    * (complete for exact dups, which share identical prefixes).
+    */
+  def q_sparse_sim(s: SparkSession, dir: String): DataFrame =
+    sparseSimFromTf(
+      cached(docTokens(s, dir)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))),
+      docTokensDistinct(s, dir)
+        .groupBy("tok").agg(count(lit(1)).as("df")))
+
+  /** The pair search over a prepared (doc_id, tok, tf) frame and its
+    * (tok, df) document frequencies — separated so the completeness
+    * property (identical docs are ALWAYS paired, any corpus) is
+    * spec-testable on constructed corpora, which the fixtures can't
+    * provide (their planted near-dups are perturbed, never identical).
+    */
+  private[graft] def sparseSimFromTf(tf: DataFrame,
+    dfTok: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val post = tf.join(dfTok, "tok")
+      .filter(col("df") <= sparseSimDfCap)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sparseSimPrefix)
+      .select("tok", "doc_id")
+    val cand = post.as("a").join(post.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    val vecs = tf.groupBy("doc_id").agg(
+      map_from_entries(collect_list(struct(col("tok"), col("tf"))))
+        .as("vec"),
+      sum(col("tf") * col("tf")).as("n2"))
+    val dot = expr(
+      """aggregate(map_entries(va), CAST(0 AS BIGINT),
+        |  (acc, e) -> acc + e.value * coalesce(vb[e.key], CAST(0 AS BIGINT)))
+        |""".stripMargin)
+    cand
+      .join(vecs.select(col("doc_id").as("ia"), col("vec").as("va"),
+        col("n2").as("n2a")), "ia")
+      .join(vecs.select(col("doc_id").as("ib"), col("vec").as("vb"),
+        col("n2").as("n2b")), "ib")
+      .withColumn("dot", dot)
+      .select(col("ia"), col("ib"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 4)
+          .as("cos"))
+      .filter(col("cos") >= sparseSimTau)
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

@@ -30,7 +30,10 @@ class ContractSpec extends AnyFunSuite {
     "q_vec_pq", "q_ann_ivfpq",
     // byte-level decode → resize → feature extraction has no DuckDB
     // twin; MultimodalSpec pins exact pixel/PCM feature values
-    "q_media_features")
+    "q_media_features",
+    // perceptual image hashing rides the same decode boundary;
+    // MultimodalSpec pins the dHash bits and banding guarantees
+    "q_media_dhash")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -770,4 +770,55 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dhashHalves: pinned bits on a hand-built gradient grid, " +
+    "invariant to brightness scale, sensitive to one flipped gradient") {
+    // 9x8 grid, row-major: strictly decreasing across each row
+    // ⇒ every gradient bit set ⇒ hi = lo = 0xffffffff
+    val dec = Array.tabulate(72)(i => 80 - (i % 9) * 5)
+    assert(MultimodalOps.dhashHalves(dec) == (0xffffffffL, 0xffffffffL))
+    // strictly increasing ⇒ no bit set
+    val inc = Array.tabulate(72)(i => (i % 9) * 5)
+    assert(MultimodalOps.dhashHalves(inc) == (0L, 0L))
+    // doubling every gray value changes nothing (comparisons only)
+    assert(MultimodalOps.dhashHalves(dec.map(_ * 2)) ==
+      MultimodalOps.dhashHalves(dec))
+    // flipping ONE gradient cell (row 0, x=0: make g(0,0) < g(0,1))
+    // clears exactly bit 0 of lo
+    val oneFlip = dec.clone(); oneFlip(0) = 0
+    assert(MultimodalOps.dhashHalves(oneFlip) ==
+      (0xffffffffL, 0xfffffffeL))
+  }
+
+  test("q_media_dhash: pairs are ordered and hamming is within the " +
+    "declared cap on the fixture") {
+    val rows = MultimodalOps.q_media_dhash(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val h = r.getLong(2)
+      assert(h >= 0 && h <= MultimodalOps.dhashMaxHamming)
+    }
+  }
+
+  test("dhashFrame: identical payloads hash identically (hamming-0 " +
+    "discovery is guaranteed — equal hashes share all four bands); a " +
+    "byte-reversed payload hashes differently") {
+    import org.apache.spark.sql.functions._
+    val payload = Array.tabulate[Byte](600)(i => ((i * 37 + 11) % 251).toByte)
+    val media = Seq(
+      (1L, MultimodalOps.wrapBmp(payload)),
+      (2L, MultimodalOps.wrapBmp(payload)),
+      (3L, MultimodalOps.wrapBmp(payload.reverse))
+    ).toDF("doc_id", "content")
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sig = MultimodalOps.dhashFrame(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sig.size == 3)
+    assert(sig(1L) == sig(2L), "identical payloads must hash identically")
+    assert(sig(1L) != sig(3L), "reversed payload must hash differently")
+    // halves stay in the non-negative 32-bit convention
+    sig.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi <= 0xffffffffL && lo >= 0L && lo <= 0xffffffffL)
+    }
+  }
 }

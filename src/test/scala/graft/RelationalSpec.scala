@@ -525,4 +525,23 @@ class RelationalSpec extends AnyFunSuite {
       .count()
     assert(mismatch == 0, "weekday() disagrees with date_format E")
   }
+
+  test("q_calibration: bins partition the orders, mean prediction " +
+    "sits inside each bin's declared score range, rates in [0,1]") {
+    val rows = Relational.q_calibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (bin, n, meanP, posRate) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(n > 0)
+      // bin b holds scores in [b/10, (b+1)/10) — except 9, closed at 1
+      val hi = if (bin == 9) 1.0 + 1e-9 else (bin + 1) / 10.0 + 1e-9
+      assert(meanP >= bin / 10.0 - 1e-9 && meanP <= hi,
+        s"bin $bin mean_p $meanP outside its score range")
+      assert(posRate >= 0.0 && posRate <= 1.0)
+    }
+    val total = Tables(spark, dir, "orders").count()
+    assert(rows.map(_._2).sum == total, "bins do not partition orders")
+  }
 }

@@ -863,4 +863,63 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(icept - (sy - cov / vx * sx) / nn) < 1e-4)
     Caches.releaseAll()
   }
+
+  test("q_cms_err: count-min never undercounts, is exact for the " +
+    "top token when its buckets are uncontended, and overcounts are " +
+    "within the eps*N sketch envelope on the fixture") {
+    val rows = TextOps.q_cms_err(spark, dir).collect()
+    assert(rows.length == TextOps.cmsProbeTopN)
+    val totalToks = Tables(spark, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+      .count()
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(over >= 0, s"CMS undercounted ${r.getString(0)}")
+      assert(est == exact + over)
+      // d=4, w=256: realized error should sit well inside e/w * N
+      assert(over <= (math.E / 256.0) * totalToks + 1,
+        s"overcount $over beyond sketch envelope for ${r.getString(0)}")
+    }
+    // exact counts are descending (probe list is the exact top-N)
+    val exacts = rows.map(_.getLong(1)).toSeq
+    assert(exacts == exacts.sorted.reverse)
+    Caches.releaseAll()
+  }
+
+  test("q_sparse_sim: ia<ib and cosine within [tau,1] on the fixture") {
+    val got = TextOps.q_sparse_sim(spark, dir).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val cos = r.getDouble(3)
+      assert(cos >= TextOps.sparseSimTau && cos <= 1.0)
+    }
+    Caches.releaseAll()
+  }
+
+  test("sparseSimFromTf: prefix completeness — identical docs are " +
+    "always paired at cosine exactly 1, scaled copies too, and an " +
+    "unrelated doc pairs with neither") {
+    // doc 1 ≡ doc 2 (identical bags); doc 3 = 2×doc 1 (proportional
+    // ⇒ cos 1.0 IF candidate — shares the same rarest tokens); doc 4
+    // disjoint vocabulary
+    val tf = Seq(
+      (1L, "alpha", 2L), (1L, "beta", 1L), (1L, "gamma", 3L),
+      (2L, "alpha", 2L), (2L, "beta", 1L), (2L, "gamma", 3L),
+      (3L, "alpha", 4L), (3L, "beta", 2L), (3L, "gamma", 6L),
+      (4L, "delta", 5L), (4L, "epsilon", 1L)
+    ).toDF("doc_id", "tok", "tf")
+    val dfTok = tf.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val got = TextOps.sparseSimFromTf(tf, dfTok).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"identical pair: $got")
+    assert(got.get((1L, 3L)).contains(1.0), s"proportional pair: $got")
+    assert(got.get((2L, 3L)).contains(1.0))
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "disjoint doc must not pair")
+    // exact integer dot: 2*2 + 1*1 + 3*3 = 14 for (1,2)
+    val dot12 = TextOps.sparseSimFromTf(tf, dfTok)
+      .filter(col("ia") === 1 && col("ib") === 2)
+      .select("dot").as[Long].head()
+    assert(dot12 == 14L)
+  }
 }
