@@ -377,6 +377,20 @@ object MultimodalOps {
     */
   private[graft] val dhashMaxHamming = 10
 
+  /** Band-bucket size cap — the [[graft.operators.TextOps.maxShingleDf]]
+    * discipline applied to LSH buckets: a (band, key) bucket of m
+    * members yields m²/2 candidate pairs, and low-entropy payloads
+    * (flat-gradient thumbnails) pile into the same few keys — measured
+    * 652M candidate pairs at sf10 with one 16,744-doc bucket before
+    * this cap. Buckets above the cap are dropped from candidate
+    * generation; with a 4×16-bit keyspace the post-cap candidate
+    * volume has a HARD ceiling of #buckets·cap²/2 ≈ 5·10⁸ at ANY
+    * corpus size (the keyspace is finite), and in practice is tiny.
+    * The recall trade is declared, like every cap in the near-dup
+    * family.
+    */
+  private[graft] val dhashBandCap = 64
+
   /** 64 dHash bits of a 9×8 grayscale grid (row-major, w=9), bit k =
     * [gray(x,y) > gray(x+1,y)] for k = 8y+x — returned as two 32-bit
     * halves in non-negative longs (the SimHash sign-bit convention).
@@ -439,7 +453,11 @@ object MultimodalOps {
     * (byte-level decode has no DuckDB twin); MultimodalSpec pins the
     * hash on hand-built rasters and asserts perturbation monotonicity.
     */
-  def q_media_dhash(s: SparkSession, dir: String): DataFrame = {
+  /** The banded signature frame (doc_id, dh_hi, dh_lo, band, key) —
+    * shared by [[q_media_dhash]] and the bucket-skew diagnostic.
+    */
+  private[graft] def dhashBandedForDiag(s: SparkSession, dir: String)
+    : DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val wrapped = mediaTable(s, dir)
@@ -450,13 +468,25 @@ object MultimodalOps {
       })
       .toDF("doc_id", "content")
     val sig = dhashFrame(wrapped)
-    val banded = sig.select(col("doc_id"), col("dh_hi"), col("dh_lo"),
+    sig.select(col("doc_id"), col("dh_hi"), col("dh_lo"),
       posexplode(array(
         col("dh_lo").bitwiseAND(lit(0xffffL)),
         shiftright(col("dh_lo"), 16).bitwiseAND(lit(0xffffL)),
         col("dh_hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("dh_hi"), 16).bitwiseAND(lit(0xffffL))))
         .as(Seq("band", "key")))
+  }
+
+  def q_media_dhash(s: SparkSession, dir: String): DataFrame = {
+    // bucket-size prune BEFORE the self-join ([[dhashBandCap]]): a
+    // window count keeps the a/b sides' plans identical, so Spark's
+    // exchange reuse still decodes the corpus once, not twice
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key")
+    val banded = dhashBandedForDiag(s, dir)
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= dhashBandCap)
+      .drop("__bsz")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
