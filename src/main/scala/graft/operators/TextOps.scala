@@ -2692,9 +2692,12 @@ object TextOps {
   private[graft] val cmsProbeTopN = 30
 
   /** Bucket of token `tok` in CMS row `i`: first two hex chars of
-    * md5("i:tok") as an integer 0..255.
+    * md5("i:tok") as an integer 0..255. Shared with the streaming
+    * sketch twin (Streams.cmsCounters) — one bucket function, so the
+    * batch and streaming sketches are cellwise-mergeable with each
+    * other, not just with themselves.
     */
-  private def cmsBucket(i: Int, tok: Column): Column =
+  private[graft] def cmsBucket(i: Int, tok: Column): Column =
     conv(substring(md5(concat(lit(s"$i:"), tok)), 1, 2), 16, 10)
       .cast("long")
 

@@ -115,6 +115,26 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming count-min sketch over event types — the streaming twin
+    * of batch q_cms_err's counter build, and the operator that makes
+    * the CMS's POINT scale: a plain streaming aggregation over (i,
+    * bucket) keys whose state is AT MOST d×256 = 1024 rows forever,
+    * regardless of stream length or event-type cardinality (contrast
+    * frequentItems' per-key Misra-Gries state). Partial-combining
+    * makes each micro-batch's contribution a map-side 1024-row merge;
+    * the same cellwise addition merges this sketch with the BATCH
+    * sketch (shared TextOps.cmsBucket hash), which is the lambda-
+    * architecture property the spec pins: complete-mode counters over
+    * any micro-batch split ≡ the batch aggregation over the same rows.
+    */
+  def cmsCounters(events: DataFrame): DataFrame =
+    events.select(posexplode(array(
+        (0 until graft.operators.TextOps.cmsDepth)
+          .map(i => graft.operators.TextOps.cmsBucket(i, col("event_type"))): _*))
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket")
+      .agg(count(lit(1)).as("c"))
+
   /** Sliding DISTINCT-user counts (6-hour window every hour) — the
     * streaming twin of batch q_sliding_uniques, with the honest
     * streaming trade stated in the operator: exact distinct needs a

@@ -647,4 +647,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(k <= 16, s"$key state grew past the bin bound")
     }
   }
+
+  test("streaming count-min sketch over two micro-batches equals the " +
+    "batch sketch over the same rows (cellwise mergeability), with " +
+    "state bounded by the d x 256 geometry") {
+    val d = Files.createTempDirectory("events_cms")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_cms").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_cms").toString
+    val q = Streams.cmsCounters(raw)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val batch = Streams.cmsCounters(ev).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed == batch,
+      "streamed counters diverge from the batch sketch")
+    // state bound: at most d x 256 counter cells, ever
+    assert(streamed.size <= graft.operators.TextOps.cmsDepth * 256)
+    // each of the d rows accounts for every event exactly once
+    val evCount = ev.count()
+    (0 until graft.operators.TextOps.cmsDepth).foreach { i =>
+      assert(streamed.collect { case ((r, _), c) if r == i => c }.sum
+        == evCount, s"row $i does not partition the stream")
+    }
+  }
 }
