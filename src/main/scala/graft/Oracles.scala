@@ -2014,6 +2014,29 @@ object Oracles {
          |ORDER BY cos DESC, ia, ib""".stripMargin
     },
 
+    // embedding covariance matrix (VectorOps.q_vec_cov): identical
+    // float → DOUBLE → DECIMAL(20,8) element casts, exact
+    // DECIMAL(38,16) product sums, one double division; + 0.0
+    // canonicalizes −0.0 on both sides
+    "q_vec_cov" -> {
+      val d = graft.operators.VectorOps.vecDim
+      s"""WITH x AS (SELECT vec_id, i,
+         |    CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,8)) AS v
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range($d)) AS i)),
+         |cells AS (SELECT a.i AS i, b.i AS j,
+         |    sum(CAST(a.v * b.v AS DECIMAL(38,16))) AS spp,
+         |    count(*) AS n
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY a.i, b.i),
+         |m AS (SELECT i, sum(v) AS sv FROM x GROUP BY i)
+         |SELECT c.i, c.j,
+         |  round((CAST(c.n AS DOUBLE) * CAST(c.spp AS DOUBLE)
+         |      - CAST(ma.sv AS DOUBLE) * CAST(mb.sv AS DOUBLE))
+         |    / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)), 6) + 0.0 AS cov
+         |FROM cells c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
+         |ORDER BY c.i, c.j""".stripMargin
+    },
+
     // calibration/reliability table (Relational.q_calibration):
     // fixed-width binning of the declared linear price score,
     // DECIMAL(18,6)-exact mean-prediction sum

@@ -201,6 +201,8 @@ object SparkEntry {
     "q_media_frames" -> (MultimodalOps.q_media_frames _),
     "q_media_features" -> (MultimodalOps.q_media_features _),
     "q_media_dhash" -> (MultimodalOps.q_media_dhash _),
+    "q_vec_cov" -> (VectorOps.q_vec_cov _),
+    "q_vec_pca" -> (VectorOps.q_vec_pca _),
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),
     "q_triangles" -> (GraphOps.q_triangles _),

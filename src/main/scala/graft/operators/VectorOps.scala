@@ -715,4 +715,185 @@ object VectorOps {
       round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
       .orderBy("qid", "step")
   }
+
+  // ── covariance matrix + PCA (the whitening / drift-axis pair) ──────
+
+  /** Fixture embedding dimensionality (validated in VectorOpsSpec).
+    * The covariance aggregate's cell count is d(d+1)/2 = 2080 — the
+    * corpus collapses to a constant-size summary regardless of rows.
+    */
+  private[graft] val vecDim = 64
+
+  /** Exact upper-triangle second-moment cells + per-dim sums for the
+    * embedding covariance: ONE generator pass emits the d(d+1)/2
+    * products per vector MAP-SIDE (no self-join — the pair structure
+    * is within each row's own array), then a partial-combining
+    * aggregate leaves ≤ 2080 cells per mapper on the shuffle. Element
+    * values go through the proven float → DOUBLE → DECIMAL(20,8)
+    * cast (the labelCentroids discipline), products are exact
+    * DECIMAL(38,16), sums exact — both engines agree bit-for-bit
+    * before the one double division at the end.
+    */
+  private[graft] def covCells(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val prods = e.select(expr(
+      """explode(flatten(transform(embedding, (vi, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i), (vj, k) ->
+        |    struct(CAST(i AS BIGINT) AS i, CAST(i + k AS BIGINT) AS j,
+        |      CAST(CAST(CAST(vi AS DOUBLE) AS DECIMAL(20,8))
+        |        * CAST(CAST(vj AS DOUBLE) AS DECIMAL(20,8))
+        |        AS DECIMAL(38,16)) AS p)))))""".stripMargin).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("spp"), count(lit(1)).as("n"))
+    val sums = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum(col("x").cast("double").cast("decimal(20,8)")).as("sv"))
+    prods
+      .join(broadcast(sums.select(col("pos").as("i"), col("sv").as("si"))), "i")
+      .join(broadcast(sums.select(col("pos").as("j"), col("sv").as("sj"))), "j")
+      .select("i", "j", "spp", "n", "si", "sj")
+  }
+
+  /** Declared covariance-matrix query: all d(d+1)/2 upper-triangle
+    * cells of the embedding covariance, cov = (n·Σxy − Σx·Σy)/n² from
+    * the exact-decimal moments of [[covCells]] — the d=64
+    * generalization of q_corr_matrix's one-pass moment discipline,
+    * and the distributed half of PCA (the eigen step runs on this
+    * 2080-cell summary, not on the corpus).
+    *
+    * Honest scale note: this pass is corpus×d²/2 work by definition
+    * (measured 8.9×/decade, linear in vectors). At 100 TB you run it
+    * on a deterministic hash-sample of the vectors — covariance
+    * estimator error shrinks as 1/√n, so full-corpus exactness buys
+    * nothing there; the declared exact full form is the
+    * oracle-gateable correctness anchor the sampled variant is
+    * validated against.
+    */
+  def q_vec_cov(s: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    covCells(s, dir)
+      .select(col("i"), col("j"),
+        // + 0.0 canonicalizes IEEE −0.0 (the q_vec_project /
+        // q_dedup_semantic precedent) — mirrored in the oracle
+        (round((d("n") * d("spp") - d("si") * d("sj"))
+          / (d("n") * d("n")), 6) + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix:
+    * [[pcaSweeps]] fixed full sweeps in deterministic (p,q) order —
+    * no convergence threshold, so the op sequence (and result) is
+    * identical on every run and every machine. Returns
+    * (eigenvalues, eigenvectors as rows), sorted descending.
+    * Driver-side by design: the input is the BOUNDED d² covariance
+    * summary (the k-means-codebook precedent), never corpus data.
+    */
+  private[graft] val pcaSweeps = 16
+
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+    : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    for (_ <- 1 to pcaSweeps; p <- 0 until d - 1; q <- p + 1 until d) {
+      val apq = a(p)(q)
+      if (apq != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - sn * akq
+          a(k)(q) = sn * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - sn * aqk
+          a(q)(k) = sn * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - sn * vkq
+          v(k)(q) = sn * vkp + c * vkq
+        }
+      }
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** Number of principal components the declared query projects onto. */
+  private[graft] val pcaTopK = 2
+
+  /** Declared rows-only query: PCA projection profile — per label, the
+    * population and mean/stddev of the projections onto the top-2
+    * principal components (the drift-axis readout: which classes
+    * separate along the corpus's dominant variance directions). Shape
+    * at 100 TB: the corpus collapses to the 2080-cell exact covariance
+    * summary ([[covCells]], one generator + one partial-combining
+    * aggregate); the eigen step is driver-side on that BOUNDED d×d
+    * summary ([[jacobiEigen]], fixed-sweep deterministic); the
+    * projection pass is map-side (PCs ride as literals), one 10-group
+    * aggregate. Rows-only by §2.12 (no DuckDB eigen twin); the
+    * covariance HALF is hash-gated through q_vec_cov, and
+    * VectorOpsSpec pins orthonormality, trace preservation, descending
+    * eigenvalues, and projection variance ≡ eigenvalue.
+    */
+  def q_vec_pca(s: SparkSession, dir: String): DataFrame = {
+    val cells = covCells(s, dir).collect()
+    val d = vecDim
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val n = r.getLong(3).toDouble
+      val c = (n * r.getDecimal(2).doubleValue() -
+        r.getDecimal(4).doubleValue() * r.getDecimal(5).doubleValue()) / (n * n)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (ev, vecs) = jacobiEigen(cov)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val pcCols = (0 until pcaTopK).map { k =>
+      val pc = vecs(k)
+      // deterministic sign convention: largest-|loading| positive
+      val lead = pc.indices.maxBy(i => (math.abs(pc(i)), -i))
+      val sgn = if (pc(lead) < 0) -1.0 else 1.0
+      val arr = array(pc.map(x => lit(x * sgn)): _*)
+      // projection double, then the exact-moment discipline: rounded
+      // to DECIMAL(20,8) so group sums are order-independent under
+      // any partitioning (rows-only queries are still bound by the
+      // DeterminismSpec partition-invariance rule)
+      aggregate(zip_with(col("embedding"), arr,
+          (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+        .cast("decimal(20,8)").as(s"p$k")
+    }
+    val e = t(s, dir, "embeddings")
+      .select(Seq(col("label")) ++ pcCols: _*)
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val aggs = (0 until pcaTopK).flatMap { k =>
+      Seq(sum(col(s"p$k")).as(s"sx$k"),
+        sum((col(s"p$k") * col(s"p$k")).cast("decimal(38,16)")).as(s"sxx$k"))
+    }
+    val evCols = (0 until pcaTopK).flatMap { k =>
+      Seq(lit(math.rint(ev(k) * 1e6) / 1e6).as(s"ev$k"),
+        lit(math.rint(ev(k) / trace * 1e6) / 1e6).as(s"ev${k}_ratio"))
+    }
+    val allAggs = Seq(count(lit(1)).as("n")) ++ aggs
+    e.groupBy("label")
+      .agg(allAggs.head, allAggs.tail: _*)
+      .select(Seq(col("label"), col("n")) ++
+        (0 until pcaTopK).flatMap { k =>
+          Seq(round(dd(col(s"sx$k")) / dd(col("n")), 6).as(s"mean_p$k"),
+            round(sqrt((dd(col("n")) * dd(col(s"sxx$k"))
+              - dd(col(s"sx$k")) * dd(col(s"sx$k")))
+              / (dd(col("n")) * dd(col("n")))), 6).as(s"sd_p$k"))
+        } ++ evCols: _*)
+      .orderBy("label")
+  }
 }

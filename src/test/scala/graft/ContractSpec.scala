@@ -33,7 +33,11 @@ class ContractSpec extends AnyFunSuite {
     "q_media_features",
     // perceptual image hashing rides the same decode boundary;
     // MultimodalSpec pins the dHash bits and banding guarantees
-    "q_media_dhash")
+    "q_media_dhash",
+    // the eigen step has no DuckDB twin; the covariance HALF is
+    // hash-gated (q_vec_cov) and VectorOpsSpec pins orthonormality,
+    // trace preservation, and projection-variance ≡ eigenvalue
+    "q_vec_pca")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

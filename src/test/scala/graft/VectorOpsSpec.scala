@@ -389,4 +389,68 @@ class VectorOpsSpec extends AnyFunSuite {
     val meanMse = codes.map(_._3).sum / codes.length
     assert(meanMse < 1.0 / 64, s"mean MSE $meanMse not below 1/64")
   }
+
+  test("jacobiEigen: recovers a known spectrum exactly enough, " +
+    "eigenvectors orthonormal, eigenvalues descending, trace preserved") {
+    // D = diag(5, 2, 1) rotated by a fixed orthogonal basis
+    val c = math.cos(0.7); val sn = math.sin(0.7)
+    val r = Array(
+      Array(c, -sn, 0.0), Array(sn, c, 0.0), Array(0.0, 0.0, 1.0))
+    val diag = Array(5.0, 2.0, 1.0)
+    val m = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => r(i)(k) * diag(k) * r(j)(k)).sum)
+    val (ev, vecs) = VectorOps.jacobiEigen(m)
+    assert(ev.zip(Array(5.0, 2.0, 1.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 }, ev.toSeq.toString)
+    assert(ev.sliding(2).forall(p => p(0) >= p(1)))
+    assert(math.abs(ev.sum - (m(0)(0) + m(1)(1) + m(2)(2))) < 1e-12)
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until 3).map(k => vecs(a)(k) * vecs(b)(k)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-12,
+        s"vec $a . vec $b = $dot")
+    }
+    // determinism: bit-identical on a second run
+    val (ev2, vecs2) = VectorOps.jacobiEigen(m)
+    assert(ev.toSeq == ev2.toSeq && vecs.map(_.toSeq).toSeq == vecs2.map(_.toSeq).toSeq)
+  }
+
+  test("q_vec_cov is symmetric-complete and its diagonal is the " +
+    "per-dimension variance; q_vec_pca projection variance matches " +
+    "the top eigenvalues of that matrix") {
+    val cells = VectorOps.q_vec_cov(spark, dir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    val d = VectorOps.vecDim
+    assert(cells.size == d * (d + 1) / 2)
+    cells.foreach { case ((i, j), _) => assert(i <= j) }
+    (0 until d).foreach(i => assert(cells((i, i)) >= 0.0,
+      s"negative variance at $i"))
+    // PCA: eigen of the full matrix, compare against the query's
+    // pooled projection variance (law of total variance across the
+    // per-label groups the query reports)
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach { case ((i, j), v) => cov(i)(j) = v; cov(j)(i) = v }
+    val (ev, _) = VectorOps.jacobiEigen(cov)
+    val rows = VectorOps.q_vec_pca(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTot = rows.map(_.getLong(1)).sum.toDouble
+    (0 until VectorOps.pcaTopK).foreach { k =>
+      val (mCol, sCol) = (2 + 2 * k, 3 + 2 * k)
+      val gm = rows.map(r => r.getLong(1) * r.getDouble(mCol)).sum / nTot
+      val pooled = rows.map { r =>
+        val n = r.getLong(1).toDouble
+        val m = r.getDouble(mCol); val sd = r.getDouble(sCol)
+        n * (sd * sd + (m - gm) * (m - gm))
+      }.sum / nTot
+      val evK = rows.head.getDouble(rows.head.schema.fieldIndex(s"ev$k"))
+      assert(math.abs(pooled - evK) < 1e-3,
+        s"PC$k pooled variance $pooled vs eigenvalue $evK")
+      assert(evK > 0.0)
+    }
+    // explained ratios descending and within (0, 1]
+    val r0 = rows.head.getDouble(rows.head.schema.fieldIndex("ev0_ratio"))
+    val r1 = rows.head.getDouble(rows.head.schema.fieldIndex("ev1_ratio"))
+    assert(r0 >= r1 && r1 > 0.0 && r0 <= 1.0)
+    graft.Caches.releaseAll()
+  }
 }
