@@ -1941,6 +1941,29 @@ object Oracles {
          |FROM m""".stripMargin
     },
 
+    // mixture-sample materialization (TextOps.q_mixture_sample):
+    // identical md5(doc_id)-rank selection, integer ceil-divisions,
+    // and the selected set pinned by exact id-sum/min/max checksums
+    "q_mixture_sample" -> {
+      val den = graft.operators.TextOps.mixSampleDen
+      s"""WITH t AS (SELECT count(*) AS n, count(DISTINCT source) AS k
+         |  FROM documents),
+         |p AS (SELECT CAST((((n + ${den - 1}) // $den) + k - 1) // k
+         |    AS BIGINT) AS per FROM t),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, count(*) AS n_avail, min(per) AS quota,
+         |  CAST(sum(CASE WHEN rk <= per THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_taken,
+         |  CAST(sum(CASE WHEN rk <= per THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS id_sum,
+         |  min(CASE WHEN rk <= per THEN doc_id END) AS id_min,
+         |  max(CASE WHEN rk <= per THEN doc_id END) AS id_max
+         |FROM r CROSS JOIN p GROUP BY source ORDER BY source""".stripMargin
+    },
+
     // count-min sketch audit (TextOps.q_cms_err): geometry (depth,
     // probe-N) interpolated from TextOps so the two engines' sketches
     // cannot desynchronize; bucket = first two md5 hex chars of

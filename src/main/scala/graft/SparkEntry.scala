@@ -253,6 +253,7 @@ object SparkEntry {
     "q_zipf" -> (TextOps.q_zipf _),
     "q_cms_err" -> (TextOps.q_cms_err _),
     "q_sparse_sim" -> (TextOps.q_sparse_sim _),
+    "q_mixture_sample" -> (TextOps.q_mixture_sample _),
     "q_topic_terms" -> (TextOps.q_topic_terms _),
     "q_hamming_hist" -> (TextOps.q_hamming_hist _),
     "q_degree_dist" -> (TextOps.q_degree_dist _),

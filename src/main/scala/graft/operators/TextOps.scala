@@ -1482,6 +1482,52 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Target corpus fraction for [[q_mixture_sample]] (denominator —
+    * the sample keeps ⌈N/4⌉ docs), shared with the oracle.
+    */
+  private[graft] val mixSampleDen = 4
+
+  /** Mixture-sample materialization — the operator that EXECUTES the
+    * weights q_mixture_weights computes: build a balanced training
+    * mix of ⌈N/[[mixSampleDen]]⌉ docs with exact per-source quotas
+    * (equal shares, capped by availability — a short source
+    * contributes all it has, the cap is observable per row).
+    * Selection within a source is by md5(doc_id) rank — deterministic
+    * shuffle-free "randomness", the q_sample_hash discipline, so two
+    * engines (and two runs) pick the SAME docs. Output is the bounded
+    * per-source audit: availability, quota, taken, and the selected
+    * set pinned by exact id-sum/min/max checksums — the selection is
+    * hash-gated without shipping the sample itself through the
+    * comparator. Scale: one count aggregate, then a per-source
+    * row_number window (partitioned sort; source cardinality bounds
+    * parallelism like q_decile_bands — the ScalableRank trade
+    * documented there applies verbatim when sources are few and
+    * huge), then a k-row aggregate.
+    */
+  def q_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val tot = broadcast(docs.agg(
+      count(lit(1)).as("__n"),
+      countDistinct(col("source")).as("__k")))
+    // totalTarget = ceil(N/den); per-source share = ceil(target/k) —
+    // integer `div` (Spark `/` on longs is a DOUBLE division)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.crossJoin(tot)
+      .withColumn("__per", expr(
+        s"(((__n + ${mixSampleDen - 1}) div $mixSampleDen) + __k - 1) div __k"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("take", col("rk") <= col("__per"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_avail"),
+        min(col("__per")).as("quota"),
+        sum(when(col("take"), 1L).otherwise(0L)).as("n_taken"),
+        sum(when(col("take"), col("doc_id")).otherwise(0L)).as("id_sum"),
+        min(when(col("take"), col("doc_id"))).as("id_min"),
+        max(when(col("take"), col("doc_id"))).as("id_max"))
+      .orderBy("source")
+  }
+
   /** Context-window size (tokens) for [[q_chunk]]. */
   val chunkSize = 32
 

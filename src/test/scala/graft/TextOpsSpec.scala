@@ -886,6 +886,29 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_mixture_sample: quotas hit the ceil targets, short sources " +
+    "cap at availability, selection is deterministic and within range") {
+    val rows = TextOps.q_mixture_sample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val n = Tables(spark, dir, "documents").count()
+    val k = rows.length.toLong
+    val per = (((n + TextOps.mixSampleDen - 1) / TextOps.mixSampleDen)
+      + k - 1) / k
+    rows.foreach { case (src, nAvail, quota, nTaken, idSum, idMin, idMax) =>
+      assert(quota == per, s"$src quota $quota != $per")
+      assert(nTaken == math.min(nAvail, quota), s"$src cap violated")
+      assert(idMin <= idMax && idSum >= idMin && idSum <= nTaken * idMax)
+    }
+    // determinism: a second evaluation picks the identical sets
+    val again = TextOps.q_mixture_sample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap
+    rows.foreach { case (src, _, _, _, idSum, _, _) =>
+      assert(again(src) == idSum, s"$src selection not deterministic")
+    }
+  }
+
   test("q_sparse_sim: ia<ib and cosine within [tau,1] on the fixture") {
     val got = TextOps.q_sparse_sim(spark, dir).collect()
     got.foreach { r =>
