@@ -1794,6 +1794,28 @@ object Oracles {
          |SELECT doc_id, cluster_id FROM assign
          |ORDER BY doc_id""".stripMargin,
 
+    // canonical-representative selection (TextOps.q_dedup_canonical):
+    // the same recursive component assignment, keeper = highest
+    // q_quality_score (shared scoreSql), ties to lowest doc_id;
+    // dropped set pinned by exact id-sum
+    "q_dedup_canonical" ->
+      s"""$clusterAssignCte,
+         |sc AS (SELECT doc_id, $scoreSql AS score FROM documents),
+         |m AS (SELECT cluster_id, count(*) AS csize FROM assign
+         |  GROUP BY cluster_id HAVING count(*) > 1),
+         |r AS (SELECT a.cluster_id, m.csize, a.doc_id, sc.score,
+         |    row_number() OVER (PARTITION BY a.cluster_id
+         |      ORDER BY sc.score DESC, a.doc_id) AS rn
+         |  FROM assign a
+         |  JOIN m ON a.cluster_id = m.cluster_id
+         |  JOIN sc ON a.doc_id = sc.doc_id)
+         |SELECT cluster_id, min(csize) AS csize,
+         |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |  min(CASE WHEN rn = 1 THEN score END) AS keep_score,
+         |  CAST(sum(CASE WHEN rn > 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS dropped_id_sum
+         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     // cluster size histogram (TextOps.q_cluster_stats): the same
     // recursive component assignment, two aggregates deeper
     "q_cluster_stats" ->

@@ -895,6 +895,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical-representative selection — the "which copy survives"
+    * policy the dedup pass ends with: per multi-doc near-dup cluster
+    * (the SAME MinHash components as q_dedup_cluster — one definition
+    * of cluster membership), keep the HIGHEST-quality member (the
+    * q_quality_score scorer, ties to the lowest doc_id) instead of
+    * the naive min-id keeper. Output is the bounded per-cluster
+    * audit: size, keeper id + score, and the dropped set pinned by
+    * its exact id-sum (the q_mixture_sample checksum trick). Shape:
+    * the shared cached component labels + one score scan + one
+    * per-cluster window on the multi-doc subset (cluster sizes are
+    * candidate-capped upstream) + one aggregate.
+    */
+  def q_dedup_canonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+      .withColumnRenamed("id", "doc_id")
+    val assign = t(s, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val multi = assign.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize")).filter(col("csize") > 1)
+    val scored = withToks(t(s, dir, "documents"), col("doc_id"),
+        nospaceC.as("__nospace"))
+      .select(col("doc_id"),
+        scoreOf(col("__toks"), col("__nospace")).as("score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    assign.join(multi, "cluster_id")
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(min(col("csize")).as("csize"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("rn") === 1, col("score"))).as("keep_score"),
+        sum(when(col("rn") > 1, col("doc_id")).otherwise(0L))
+          .as("dropped_id_sum"))
+      .orderBy("cluster_id")
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────
 
   /** Hamming verify threshold. With `nBlocks - threshold` blocks per

@@ -909,6 +909,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_canonical: clusters match q_dedup_cluster's multi-doc " +
+    "groups, the keeper is the true quality argmax, dropped checksum " +
+    "accounts for everyone else") {
+    val assign = TextOps.q_dedup_cluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val scores = TextOps.q_quality_score(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val groups = assign.groupBy(_._2).filter(_._2.length > 1)
+    val rows = TextOps.q_dedup_canonical(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows.keySet == groups.keySet, "cluster universes differ")
+    groups.foreach { case (cid, members) =>
+      val ids = members.map(_._1)
+      val (csize, keepId, keepScore, droppedSum) = rows(cid)
+      assert(csize == ids.length)
+      val expectKeep = ids.minBy(id => (-scores(id), id))
+      assert(keepId == expectKeep, s"cluster $cid keeper $keepId")
+      assert(keepScore == scores(expectKeep))
+      assert(droppedSum == ids.filter(_ != expectKeep).sum)
+    }
+    Caches.releaseAll()
+  }
+
   test("q_sparse_sim: ia<ib and cosine within [tau,1] on the fixture") {
     val got = TextOps.q_sparse_sim(spark, dir).collect()
     got.foreach { r =>
