@@ -2082,6 +2082,33 @@ object Oracles {
          |ORDER BY c.i, c.j""".stripMargin
     },
 
+    // Poisson bootstrap (Relational.q_bootstrap): identical md5-slice
+    // uniform, identical scaled-CDF integer thresholds (interpolated
+    // from the shared constants), exact decimal sums
+    "q_bootstrap" -> {
+      val nb = graft.operators.Relational.bootstrapB
+      val cdf = graft.operators.Relational.bootstrapCdf
+      def hd(i: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val u = (1 to 8).map(i => s"${hd(i)}*${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      val w = cdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+         |    unnest(range($nb)) AS b
+         |  FROM orders),
+         |hh AS (SELECT b, x,
+         |    md5(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))
+         |      AS h FROM e),
+         |uu AS (SELECT b, x, CAST($u AS BIGINT) AS u FROM hh),
+         |wgt AS (SELECT b, x, $w AS w FROM uu)
+         |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  round(CAST(sum(CAST(x * w AS DECIMAL(38,2))) AS DOUBLE)
+         |    / CAST(sum(w) AS DOUBLE), 6) AS mean_b
+         |FROM wgt GROUP BY b ORDER BY b""".stripMargin
+    },
+
     // calibration/reliability table (Relational.q_calibration):
     // fixed-width binning of the declared linear price score,
     // DECIMAL(18,6)-exact mean-prediction sum

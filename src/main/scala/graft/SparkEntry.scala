@@ -237,6 +237,7 @@ object SparkEntry {
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_calibration" -> (Relational.q_calibration _),
+    "q_bootstrap" -> (Relational.q_bootstrap _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),
     "q_decile_bands" -> (Relational.q_decile_bands _),
     "q_mmr" -> (VectorOps.q_mmr _),

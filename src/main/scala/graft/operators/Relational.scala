@@ -3077,6 +3077,53 @@ object Relational {
     * key, §2.12 NULL rule). Mean span is sum/count of exact BIGINTs
     * — one shared IEEE division, not avg()'s engine-internal fold.
     */
+  /** Poisson-bootstrap geometry, shared verbatim with the oracle:
+    * [[bootstrapB]] replicas; per (replica, row) the resample weight
+    * is Poisson(1), drawn DETERMINISTICALLY by comparing the row's
+    * 32-bit md5 slice against the fixed scaled CDF thresholds
+    * ⌈CDF_Pois(1)(k)·2³²⌉ below (k = 0..7 covers 1−10⁻⁵ of the mass;
+    * the tail is clamped to 8). Everything is integer compares on
+    * identical md5 values — both engines draw the SAME weights.
+    */
+  private[graft] val bootstrapB = 32
+  private[graft] val bootstrapCdf = Seq(1580030169L, 3160060337L,
+    3950075422L, 4213413783L, 4279248374L, 4292415292L, 4294609778L,
+    4294923276L)
+
+  /** Poisson bootstrap of the mean order value — the resampling
+    * technique that actually works at 100 TB: classic bootstrap needs
+    * a GLOBAL sample-with-replacement (a coordinated shuffle per
+    * replica); the Poisson approximation gives every row an
+    * independent Poisson(1) multiplicity per replica, so all
+    * [[bootstrapB]] replicas are computed in ONE map-side pass
+    * (generator: B weight rows per order) and one B-group
+    * partial-combining aggregate — no resample shuffle exists at all
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012). Weights are hash-deterministic (above),
+    * sums are exact DECIMAL — the replica means are hash-gated
+    * bit-for-bit; q_jackknife is the delete-group complement (its SE
+    * agreement is spec'd in AnalyticsSpec).
+    */
+  def q_bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+      col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+    val wExpr = bootstrapCdf.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(u >= t, 1L).otherwise(0L)
+    }
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("x"),
+        explode(sequence(lit(0), lit(bootstrapB - 1))).as("b"))
+      .select(col("b").cast("long").as("b"), col("x"), wExpr.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum((col("x") * col("w")).cast("decimal(38,2)")).as("sx"))
+      .select(col("b"), col("n_eff"),
+        round(col("sx").cast("double") / col("n_eff").cast("double"), 6)
+          .as("mean_b"))
+      .orderBy("b")
+  }
+
   /** Model-calibration (reliability) table — the eval-metrics row
     * every scoring pipeline needs next to q_ndcg/q_forecast_eval/
     * q_ab_test: bucket a [0,1] predicted score into 10 fixed-width

@@ -413,4 +413,36 @@ class AnalyticsSpec extends AnyFunSuite {
     // n2 total reconciles
     assert(out.map(_._4).sum == orders.count(_._2 < c2).toLong)
   }
+
+  test("q_bootstrap: Poisson replicas have ~N effective rows, the " +
+    "bootstrap SE agrees with the analytic sigma/sqrt(n), and the " +
+    "draw is deterministic") {
+    val out = Relational.q_bootstrap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == Relational.bootstrapB)
+    assert(out.map(_._1).toSeq == (0L until Relational.bootstrapB).toSeq)
+    val xs = Tables(spark, dir, "orders")
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val n = xs.length.toDouble
+    // Poisson(1) multiplicities: replica size is N +- ~3 sqrt(N)
+    out.foreach { case (b, nEff, _) =>
+      assert(math.abs(nEff - n) <= 4 * math.sqrt(n),
+        s"replica $b n_eff $nEff vs N $n")
+    }
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+    val analytic = sd / math.sqrt(n)
+    val bm = out.map(_._3)
+    val bMean = bm.sum / bm.length
+    val bootSe = math.sqrt(bm.map(m => (m - bMean) * (m - bMean)).sum
+      / (bm.length - 1))
+    assert(bootSe > analytic / 2 && bootSe < analytic * 2,
+      s"bootstrap SE $bootSe vs analytic $analytic")
+    // replica means straddle the sample mean
+    assert(math.abs(bMean - mean) < 4 * analytic)
+    // determinism
+    val again = Relational.q_bootstrap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
