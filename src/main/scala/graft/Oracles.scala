@@ -1794,6 +1794,38 @@ object Oracles {
          |SELECT doc_id, cluster_id FROM assign
          |ORDER BY doc_id""".stripMargin,
 
+    // one-way ANOVA across sources (TextOps.q_anova): shared scorer,
+    // exact decimal moments, per-group sx²/n rounded to 6dp before
+    // the exact k-row sum (the q_kl_mixture fold rule), F from the
+    // same rounded MSB/MSW in both engines
+    "q_anova" ->
+      s"""WITH sc AS (SELECT source,
+         |    CAST($scoreSql AS DECIMAL(18,6)) AS x FROM documents),
+         |g AS (SELECT source, count(*) AS n, sum(x) AS sx,
+         |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+         |  FROM sc GROUP BY source),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sx) AS sxt,
+         |    sum(CAST(sxx AS DECIMAL(38,12))) AS sxxt, count(*) AS k
+         |  FROM g),
+         |q AS (SELECT sum(CAST(round(
+         |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE),
+         |    6) AS DECIMAL(38,12))) AS sqn FROM g)
+         |SELECT g.source, g.n,
+         |  round(CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+         |    AS mean_score,
+         |  round((CAST(sqn AS DOUBLE)
+         |      - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)
+         |        / CAST(nt AS DOUBLE)) / (k - 1), 6) AS msb,
+         |  round((CAST(sxxt AS DOUBLE) - CAST(sqn AS DOUBLE))
+         |    / (nt - k), 6) AS msw,
+         |  round(
+         |    round((CAST(sqn AS DOUBLE)
+         |        - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)
+         |          / CAST(nt AS DOUBLE)) / (k - 1), 6)
+         |    / round((CAST(sxxt AS DOUBLE) - CAST(sqn AS DOUBLE))
+         |        / (nt - k), 6), 4) AS f_stat
+         |FROM g CROSS JOIN t CROSS JOIN q ORDER BY source""".stripMargin,
+
     // canonical-representative selection (TextOps.q_dedup_canonical):
     // the same recursive component assignment, keeper = highest
     // q_quality_score (shared scoreSql), ties to lowest doc_id;

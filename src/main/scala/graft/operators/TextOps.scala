@@ -895,6 +895,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One-way ANOVA of the quality score across sources — the
+    * stats-test family member (q_ks_drift two-sample, q_ab_test
+    * two-group, q_contingency categorical, q_jackknife/q_bootstrap
+    * resampling) for the k-group "does source explain quality?"
+    * question a mixture audit asks. All moments are exact decimals
+    * (the scorer emits halves, exactly representable): per-source
+    * (n, Σx, Σx²) from ONE map-side-combined aggregate, the F-stat's
+    * SSB/SSW derived from the k-row summary with doubles only in the
+    * final divisions. Output: one row per source (group means) plus
+    * the grand F/df readout repeated — flat scalar columns, k rows.
+    */
+  def q_anova(s: SparkSession, dir: String): DataFrame = {
+    val scored = withToks(t(s, dir, "documents"), col("source"),
+        nospaceC.as("__nospace"))
+      .select(col("source"),
+        scoreOf(col("__toks"), col("__nospace"))
+          .cast("decimal(18,6)").as("x"))
+    val g = scored.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"))
+    val tot = broadcast(g.agg(
+      sum(col("n")).as("__nt"), sum(col("sx")).as("__sxt"),
+      sum(col("sxx").cast("decimal(38,12)")).as("__sxxt"),
+      count(lit(1)).as("__k")))
+    def d(c: String) = col(c).cast("double")
+    // SSB = Σ sx_g²/n_g − sxt²/nt ; SSW = total SS − Σ sx_g²/n_g.
+    // The per-group double sx²/n is identical in both engines (exact
+    // operands, one IEEE division), rounded to 6dp BEFORE the exact
+    // decimal sum so the k-row fold is order-free (q_kl_mixture rule)
+    val withTot = g.crossJoin(tot)
+    val sums = withTot.agg(
+      sum(round(d("sx") * d("sx") / d("n"), 6)
+        .cast("decimal(38,12)")).as("sqn"))
+    withTot.crossJoin(broadcast(sums))
+      .select(col("source"), col("n"),
+        round(d("sx") / d("n"), 6).as("mean_score"),
+        round((d("sqn") - d("__sxt") * d("__sxt") / d("__nt"))
+          / (d("__k") - 1), 6).as("msb"),
+        round((d("__sxxt") - d("sqn")) / (d("__nt") - d("__k")), 6)
+          .as("msw"),
+        (round((d("sqn") - d("__sxt") * d("__sxt") / d("__nt"))
+          / (d("__k") - 1), 6) /
+          round((d("__sxxt") - d("sqn")) / (d("__nt") - d("__k")), 6))
+          .as("__f"))
+      .select(col("source"), col("n"), col("mean_score"),
+        col("msb"), col("msw"), round(col("__f"), 4).as("f_stat"))
+      .orderBy("source")
+  }
+
   /** Canonical-representative selection — the "which copy survives"
     * policy the dedup pass ends with: per multi-doc near-dup cluster
     * (the SAME MinHash components as q_dedup_cluster — one definition

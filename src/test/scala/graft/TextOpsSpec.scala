@@ -909,6 +909,37 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_anova: F-statistic matches a driver-side brute-force " +
+    "recompute; MSB/MSW are non-negative; group means within [0,1]") {
+    val rows = TextOps.q_anova(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val scores = TextOps.q_quality_score(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .select("source", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = scores.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nt = scores.length.toDouble
+    val k = groups.size.toDouble
+    val grand = scores.map(_._2).sum / nt
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (nt - k))
+    rows.foreach { case (src, n, mean, msb, msw, fs) =>
+      assert(n == groups(src).length)
+      assert(math.abs(mean - groups(src).sum / n) < 1e-6)
+      assert(mean >= 0.0 && mean <= 1.0)
+      assert(msb >= 0.0 && msw >= 0.0)
+      assert(math.abs(fs - f) < 1e-2, s"F $fs vs brute $f")
+    }
+  }
+
   test("q_dedup_canonical: clusters match q_dedup_cluster's multi-doc " +
     "groups, the keeper is the true quality argmax, dropped checksum " +
     "accounts for everyone else") {
