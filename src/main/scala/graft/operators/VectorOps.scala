@@ -749,10 +749,13 @@ object VectorOps {
     val sums = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos").cast("long").as("pos"))
       .agg(sum(col("x").cast("double").cast("decimal(20,8)")).as("sv"))
-    prods
+    // registered shared cache: q_vec_cov and q_vec_pca both consume
+    // this 2080-row summary — CacheManager plan-dedup gives the two
+    // queries ONE covariance pass per session (the docTokens rule)
+    graft.Caches.cached(prods
       .join(broadcast(sums.select(col("pos").as("i"), col("sv").as("si"))), "i")
       .join(broadcast(sums.select(col("pos").as("j"), col("sv").as("sj"))), "j")
-      .select("i", "j", "spp", "n", "si", "sj")
+      .select("i", "j", "spp", "n", "si", "sj"))
   }
 
   /** Declared covariance-matrix query: all d(d+1)/2 upper-triangle
