@@ -1794,6 +1794,25 @@ object Oracles {
          |SELECT doc_id, cluster_id FROM assign
          |ORDER BY doc_id""".stripMargin,
 
+    // lang-id confusion matrix (TextOps.q_langid_eval): shared
+    // predLang heuristic, bounded (langs x 2) cells with per-truth
+    // recall
+    "q_langid_eval" ->
+      s"""WITH per AS (SELECT lang, $predLangSql AS pred_lang
+         |  FROM documents),
+         |cells AS (SELECT lang, pred_lang, count(*) AS n
+         |  FROM per GROUP BY lang, pred_lang),
+         |truth AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_truth
+         |  FROM cells GROUP BY lang)
+         |SELECT c.lang, c.pred_lang, c.n, t.n_truth,
+         |  round(CAST(c.n AS DOUBLE) / CAST(t.n_truth AS DOUBLE), 6)
+         |    AS cell_rate,
+         |  CAST(CASE WHEN c.lang = c.pred_lang
+         |      OR (c.lang <> 'en' AND c.pred_lang = 'unk')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS acceptable
+         |FROM cells c JOIN truth t ON c.lang = t.lang
+         |ORDER BY c.lang, c.pred_lang""".stripMargin,
+
     // one-way ANOVA across sources (TextOps.q_anova): shared scorer,
     // exact decimal moments, per-group sx²/n rounded to 6dp before
     // the exact k-row sum (the q_kl_mixture fold rule), F from the

@@ -257,6 +257,7 @@ object SparkEntry {
     "q_mixture_sample" -> (TextOps.q_mixture_sample _),
     "q_dedup_canonical" -> (TextOps.q_dedup_canonical _),
     "q_anova" -> (TextOps.q_anova _),
+    "q_langid_eval" -> (TextOps.q_langid_eval _),
     "q_topic_terms" -> (TextOps.q_topic_terms _),
     "q_hamming_hist" -> (TextOps.q_hamming_hist _),
     "q_degree_dist" -> (TextOps.q_degree_dist _),

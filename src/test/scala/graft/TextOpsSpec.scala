@@ -909,6 +909,27 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_langid_eval: cells partition the corpus, per-truth rates " +
+    "sum to 1, and cells agree with a q_lang_id recount") {
+    val rows = TextOps.q_langid_eval(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+    val n = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._2._1).sum == n, "cells do not partition the corpus")
+    rows.groupBy(_._1._1).foreach { case (lang, cs) =>
+      assert(math.abs(cs.map(_._2._3).sum - 1.0) < 1e-4,
+        s"$lang rates do not sum to 1")
+      assert(cs.map(_._2._2).toSet.size == 1)
+    }
+    // recount from the per-doc q_lang_id output
+    val recount = TextOps.q_lang_id(spark, dir).collect()
+      .map(r => (r.getString(4), r.getString(3)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (key, (cn, _, _, _)) =>
+      assert(recount(key) == cn, s"cell $key $cn vs recount ${recount(key)}")
+    }
+  }
+
   test("q_anova: F-statistic matches a driver-side brute-force " +
     "recompute; MSB/MSW are non-negative; group means within [0,1]") {
     val rows = TextOps.q_anova(spark, dir).collect()
