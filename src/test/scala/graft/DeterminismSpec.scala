@@ -26,7 +26,14 @@ class DeterminismSpec extends AnyFunSuite {
     // decimal-summed BM25 contributions must not depend on addition
     // order; postings arrays come from collect_list, whose raw order
     // IS partition-dependent — sort_array must canonicalize it
-    "q_bm25", "q_postings")
+    "q_bm25", "q_postings",
+    // r6s3 families: generator-explode decimal moments (q_vec_cov),
+    // map-carried vector dot folds (q_sparse_sim), hash-drawn
+    // replica weights + decimal sums (q_bootstrap), driver-side
+    // eigen over a collected summary + decimal projection moments
+    // (q_vec_pca — the collect must see the same cells regardless
+    // of partitioning)
+    "q_vec_cov", "q_sparse_sim", "q_bootstrap", "q_vec_pca")
 
   test("declared outputs are identical under 3 vs 7 shuffle partitions") {
     val conf = spark.conf
