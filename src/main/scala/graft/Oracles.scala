@@ -1794,6 +1794,20 @@ object Oracles {
          |SELECT doc_id, cluster_id FROM assign
          |ORDER BY doc_id""".stripMargin,
 
+    // streaming per-type top-k (Streams.q_stream_topk): the bounded
+    // state machine must reproduce the global ranking window's head
+    // under the identical (value desc, event_id asc) total order
+    "q_stream_topk" -> {
+      val k = graft.streaming.Streams.streamTopK
+      s"""WITH r AS (SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id) AS rk
+         |  FROM events)
+         |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, value
+         |FROM r WHERE rk <= $k
+         |ORDER BY event_type, rk""".stripMargin
+    },
+
     // lang-id confusion matrix (TextOps.q_langid_eval): shared
     // predLang heuristic, bounded (langs x 2) cells with per-truth
     // recall

@@ -272,7 +272,8 @@ object SparkEntry {
     "q_stream_paths" -> (streaming.Streams.q_stream_paths _),
     "q_stream_sessionize" -> (streaming.Streams.q_stream_sessionize _),
     "q_stream_windowed" -> (streaming.Streams.q_stream_windowed _),
-    "q_stream_lww" -> (streaming.Streams.q_stream_lww _)
+    "q_stream_lww" -> (streaming.Streams.q_stream_lww _),
+    "q_stream_topk" -> (streaming.Streams.q_stream_topk _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

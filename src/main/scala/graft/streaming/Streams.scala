@@ -968,6 +968,62 @@ object Streams {
     * across type rows. Oracle = batch q_window_dedup_lww's ranking
     * CTE aggregated to the same shape.
     */
+  /** Streaming per-key top-k: state = the CURRENT top-[[streamTopK]]
+    * (value desc, event_id asc) list per event type plus a monotone
+    * processed-count — the TopKAgg bounded-state discipline lifted
+    * into mapGroupsWithState (state is k tuples per key FOREVER,
+    * independent of stream length). Each micro-batch folds its rows
+    * into the list and re-emits it with the count; the max-count
+    * emission per key is the final answer (the frequentItems rule).
+    */
+  val streamTopK = 3
+
+  def topkPerType(spark: SparkSession, events: DataFrame)
+    : Dataset[(String, Long, Seq[(Double, Long)])] = {
+    import spark.implicits._
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EventRow],
+         st: GroupState[(Seq[(Double, Long)], Long)]) =>
+          val (top0, n0) = st.getOption.getOrElse((Seq.empty, 0L))
+          var n = n0
+          val merged = rows.foldLeft(top0) { (acc, e) =>
+            n += 1
+            ((e.value, e.event_id) +: acc)
+              .sortWith(better).take(streamTopK)
+          }
+          st.update((merged, n))
+          (key, n, merged)
+      }
+  }
+
+  /** Declared query: [[topkPerType]] drained end-to-end, final
+    * emission per type flattened to (event_type, rk, event_id,
+    * value). Oracle = the batch ranking window with the identical
+    * (value desc, event_id asc) total order — the bounded state
+    * machine must reproduce the global sort's head exactly.
+    */
+  def q_stream_topk(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, topkPerType(s, events),
+      OutputMode.Update, "stream_topk") { sink =>
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy("_1").orderBy(col("_2").desc)
+      sink.withColumn("rn", row_number().over(byType))
+        .filter(col("rn") === 1)
+        .select(col("_1").as("event_type"), posexplode(col("_3"))
+          .as(Seq("rk0", "p")))
+        .select(col("event_type"),
+          (col("rk0") + 1).cast("long").as("rk"),
+          col("p._2").as("event_id"), col("p._1").as("value"))
+        .orderBy("event_type", "rk")
+    }
+  }
+
   def q_stream_lww(s: SparkSession, dir: String): DataFrame = {
     val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
     drainAndProject(s, statefulLww(s, events),

@@ -648,6 +648,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming top-k over two micro-batches converges to the batch " +
+    "ranking head, with state bounded at k tuples per type") {
+    val d = Files.createTempDirectory("events_topk")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_tk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_topk").toString
+    val q = Streams.topkPerType(spark, raw)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tk_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    // final emission per type = the max-count row (the declared rule)
+    val fin = spark.table("tk_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+        .map(p => (p.getDouble(0), p.getLong(1)))))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)._3).toMap
+    // batch truth: global (value desc, event_id asc) head per type
+    val truth = ev.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq
+        .sortBy(t => (-t._2, t._3)).take(Streams.streamTopK)
+        .map(t => (t._2, t._3))).toMap
+    assert(fin.keySet == truth.keySet)
+    fin.foreach { case (et, top) =>
+      assert(top.length <= Streams.streamTopK)
+      assert(top == truth(et), s"$et: $top vs ${truth(et)}")
+    }
+  }
+
   test("streaming count-min sketch over two micro-batches equals the " +
     "batch sketch over the same rows (cellwise mergeability), with " +
     "state bounded by the d x 256 geometry") {
