@@ -238,6 +238,7 @@ object SparkEntry {
     "q_window_nav" -> (Relational.q_window_nav _),
     "q_calibration" -> (Relational.q_calibration _),
     "q_bootstrap" -> (Relational.q_bootstrap _),
+    "q_hll_overlap" -> (Relational.q_hll_overlap _),
     "q_pii_scan" -> (TextOps.q_pii_scan _),
     "q_decile_bands" -> (Relational.q_decile_bands _),
     "q_mmr" -> (VectorOps.q_mmr _),

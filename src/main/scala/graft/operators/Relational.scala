@@ -3077,6 +3077,49 @@ object Relational {
     * key, §2.12 NULL rule). Mean span is sum/count of exact BIGINTs
     * — one shared IEEE division, not avg()'s engine-internal fold.
     */
+  /** HLL audience-overlap matrix — pairwise distinct-user
+    * intersection between event types by inclusion–exclusion on
+    * HyperLogLog sketches: |A∩B| ≈ |A| + |B| − |A∪B|, each term an
+    * approx_count_distinct. The exact form (q_source_overlap's shape)
+    * shuffles the full (user, type) universe per pair; the sketch
+    * form's per-pair state is a CONSTANT-size HLL regardless of
+    * audience size — the mergeable-summary shape again (the CMS/HLL
+    * family). Each event row fans to its k−1 pairs map-side (bounded
+    * by the type universe, not rows). Spark's HLL hash is fixed, so
+    * the estimates are deterministic and partition-invariant —
+    * rows-only by §2.12 (no DuckDB HLL twin); AnalyticsSpec pins
+    * every estimate within the configured rsd envelope of the exact
+    * intersection.
+    */
+  val hllOverlapRsd = 0.02
+
+  def q_hll_overlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_type", "user_id")
+    val types = ev.select("event_type").distinct()
+    val perType = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), hllOverlapRsd).as("n"))
+    val pairs = broadcast(types.as("a").join(types.as("b"),
+      col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb")))
+    // each row joins to the bounded pair list on either side: the
+    // fan-out per row is (k-1), k = |event types|
+    val unions = ev.join(pairs,
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy("ta", "tb")
+      .agg(approx_count_distinct(col("user_id"), hllOverlapRsd)
+        .as("n_union"))
+    unions
+      .join(perType.select(col("event_type").as("ta"), col("n").as("n_a")), "ta")
+      .join(perType.select(col("event_type").as("tb"), col("n").as("n_b")), "tb")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_union"),
+        greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L))
+          .as("n_inter_est"),
+        round(greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L))
+          .cast("double") / col("n_union").cast("double"), 4)
+          .as("jaccard_est"))
+      .orderBy("ta", "tb")
+  }
+
   /** Poisson-bootstrap geometry, shared verbatim with the oracle:
     * [[bootstrapB]] replicas; per (replica, row) the resample weight
     * is Poisson(1), drawn DETERMINISTICALLY by comparing the row's

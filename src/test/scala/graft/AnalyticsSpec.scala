@@ -414,6 +414,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(_._4).sum == orders.count(_._2 < c2).toLong)
   }
 
+  test("q_hll_overlap: every sketch estimate within the rsd envelope " +
+    "of the exact intersection; jaccard within [0,1]; pair universe " +
+    "complete") {
+    val rows = Relational.q_hll_overlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))))
+    val users = Tables(spark, dir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = users.keySet.toSeq.sorted
+    val expectPairs = (for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j))).toSet
+    assert(rows.map(_._1).toSet == expectPairs, "pair universe incomplete")
+    // approx_count_distinct's rsd is a 1-sigma bound; allow 5 sigma
+    val tol = 5 * Relational.hllOverlapRsd
+    rows.foreach { case ((ta, tb), (na, nb, nu, ni, jac)) =>
+      val (sa, sb) = (users(ta), users(tb))
+      val exactU = (sa ++ sb).size.toDouble
+      val exactI = (sa & sb).size.toDouble
+      assert(math.abs(na - sa.size) <= tol * sa.size + 1)
+      assert(math.abs(nb - sb.size) <= tol * sb.size + 1)
+      assert(math.abs(nu - exactU) <= tol * exactU + 1)
+      // intersection error compounds three sketches
+      assert(math.abs(ni - exactI) <= 3 * tol * exactU + 1,
+        s"($ta,$tb) inter est $ni vs exact $exactI")
+      assert(jac >= 0.0 && jac <= 1.0)
+    }
+  }
+
   test("q_bootstrap: Poisson replicas have ~N effective rows, the " +
     "bootstrap SE agrees with the analytic sigma/sqrt(n), and the " +
     "draw is deterministic") {

@@ -37,7 +37,10 @@ class ContractSpec extends AnyFunSuite {
     // the eigen step has no DuckDB twin; the covariance HALF is
     // hash-gated (q_vec_cov) and VectorOpsSpec pins orthonormality,
     // trace preservation, and projection-variance ≡ eigenvalue
-    "q_vec_pca")
+    "q_vec_pca",
+    // HLL sketches have no DuckDB twin; AnalyticsSpec pins every
+    // estimate within the rsd envelope of the exact intersection
+    "q_hll_overlap")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
