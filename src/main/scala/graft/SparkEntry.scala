@@ -72,6 +72,7 @@ object SparkEntry {
     "q_recursive_decay" -> (Relational.q_recursive_decay _),
     "q_join_range_auto" -> (Relational.q_join_range_auto _),
     "q_join_asof" -> (AsOfJoin.q_join_asof _),
+    "q_join_asof_native" -> (AsOfJoin.q_join_asof_native _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_bloom" -> (operators.BloomJoin.q_join_bloom _),
     "q_join_salted" -> (Relational.q_join_salted _),

@@ -76,4 +76,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(plain.map(_.toString) == salted.map(_.toString), s"join type $jt")
     }
   }
+
+  test("native AsOfJoinExec reproduces the composition form exactly " +
+    "and plans ONE exchange+sort per side feeding the custom operator") {
+    val native = AsOfJoin.q_join_asof_native(spark, dir)
+    val composed = AsOfJoin.q_join_asof(spark, dir)
+    val a = native.collect().map(_.toString).toSeq
+    val b = composed.collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b,
+      s"native (${a.length} rows) diverges from composition (${b.length})")
+    val phys = native.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), s"custom exec not planned:\n$phys")
+    // the native plan replaces the composition's union + running-last
+    // machinery wholesale: no window operator, no union, no fallback
+    // join may survive (the AQE plan string repeats exchange nodes,
+    // so the count itself is not a stable pin — absence is)
+    assert(!phys.contains("Window"), "window machinery leaked into the native plan")
+    assert(!phys.contains("Union"), "union inflation leaked into the native plan")
+    assert(!phys.contains("NestedLoop"), "nested-loop fallback planned")
+  }
+
+  test("native as-of join: constructed edge cases — no match before, " +
+    "exact-ts tie, multiple rights at equal ts (max tie wins)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // before any right → null
+      (1L, 200L, 11L), // exact-ts match (right at 200)
+      (1L, 300L, 12L), // picks max-tie of the two rights at 250
+      (2L, 500L, 13L)  // key with no rights at all → null
+    ).toDF("k", "t", "id").select(col("k"),
+      col("t").cast("timestamp").as("t"), col("id"))
+    val right = Seq(
+      (1L, 200L, 21L), (1L, 250L, 22L), (1L, 250L, 23L)
+    ).toDF("k", "t", "id").select(col("k"),
+      col("t").cast("timestamp").as("t"), col("id"))
+    val out = graft.plans.AsOfJoinNative
+      .asofJoinNative(left, right, "k", "t", "id", payload = "id")
+      .orderBy("id")
+      .select("id", "asof_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq == Seq((10L, -1L), (11L, 21L), (12L, 23L), (13L, -1L)))
+  }
 }
