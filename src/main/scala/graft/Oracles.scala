@@ -588,6 +588,19 @@ object Oracles {
         |      WHERE event_type = 'error') e
         |ORDER BY event_id""".stripMargin,
 
+    // streaming as-of enrichment (Streams.asofEnrich): the THIRD
+    // implementation sharing this oracle — composition, native
+    // physical operator, and streaming state machine must all agree
+    "q_stream_asof" ->
+      """SELECT event_id, coalesce((
+        |    SELECT p.event_id FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |      AND p.ts <= e.ts
+        |    ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1) AS prev_purchase_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error') e
+        |ORDER BY event_id""".stripMargin,
+
     // native physical as-of join (plans/AsOfJoinExec): SAME oracle as
     // the composition form — the custom operator must be invisible in
     // the values

@@ -275,7 +275,8 @@ object SparkEntry {
     "q_stream_sessionize" -> (streaming.Streams.q_stream_sessionize _),
     "q_stream_windowed" -> (streaming.Streams.q_stream_windowed _),
     "q_stream_lww" -> (streaming.Streams.q_stream_lww _),
-    "q_stream_topk" -> (streaming.Streams.q_stream_topk _)
+    "q_stream_topk" -> (streaming.Streams.q_stream_topk _),
+    "q_stream_asof" -> (streaming.Streams.q_stream_asof _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

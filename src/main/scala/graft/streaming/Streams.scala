@@ -968,6 +968,65 @@ object Streams {
     * across type rows. Oracle = batch q_window_dedup_lww's ranking
     * CTE aggregated to the same shape.
     */
+  /** Streaming as-of enrichment — the streaming twin of q_join_asof
+    * (and of the native AsOfJoinExec): state = ONE row per user (the
+    * max-(ts, event_id) purchase seen so far); each error event
+    * emits with the current match. Within a micro-batch each user's
+    * rows are sorted by (ts, side, id) — purchases before errors at
+    * equal ts, the batch tie rule — so the machine is order-robust
+    * per batch; across batches the per-user in-order delivery
+    * contract applies (the markovTransitions deployment shape). An
+    * error can only ever match a purchase with ts ≤ its own, so
+    * in-order batches make the streaming result ≡ the batch as-of
+    * join exactly.
+    */
+  case class AsOfMatch(event_id: Long, prev_purchase_id: Long)
+
+  def asofEnrich(spark: SparkSession, events: DataFrame): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(col("event_type").isin("error", "purchase"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[EventRow],
+         st: GroupState[(Long, Long)]) => // (ts-micros, purchase id)
+          // micros: getTime carries the millis, getNanos carries the
+          // FULL fraction (millis included) — combine without
+          // double-counting
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val ordered = rows.toSeq.sortBy(e =>
+            (micros(e.ts),
+              if (e.event_type == "purchase") 0 else 1, e.event_id))
+          var cur = st.getOption
+          val out = ordered.flatMap { e =>
+            val tsMicros = micros(e.ts)
+            if (e.event_type == "purchase") {
+              if (cur.forall(c => tsMicros > c._1 ||
+                  (tsMicros == c._1 && e.event_id > c._2)))
+                cur = Some((tsMicros, e.event_id))
+              None
+            } else Some(AsOfMatch(e.event_id, cur.map(_._2).getOrElse(-1L)))
+          }
+          cur.foreach(st.update)
+          out.iterator
+      }
+  }
+
+  /** Declared query: [[asofEnrich]] drained end-to-end — shares
+    * q_join_asof's oracle verbatim: the streaming state machine, the
+    * union + running-last composition, and the native physical
+    * operator must all agree bit-for-bit.
+    */
+  def q_stream_asof(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, asofEnrich(s, events),
+      OutputMode.Append, "stream_asof") { sink =>
+      sink.select("event_id", "prev_purchase_id").orderBy("event_id")
+    }
+  }
+
   /** Streaming per-key top-k: state = the CURRENT top-[[streamTopK]]
     * (value desc, event_id asc) list per event type plus a monotone
     * processed-count — the TopKAgg bounded-state discipline lifted

@@ -648,6 +648,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming as-of enrichment over two in-order batches equals " +
+    "batch q_join_asof — cross-batch matches ride the per-user state") {
+    val d = Files.createTempDirectory("events_asof")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage_ao").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, d.resolve(name))
+    }
+    stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_asof").toString
+    val q = Streams.asofEnrich(spark, raw)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ao_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stage(ev.filter(col("ts").cast("long") >= median), "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ao_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val batch = graft.operators.AsOfJoin.q_join_asof(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // the split must actually exercise cross-batch state: at least
+    // one batch-2 error matches a batch-1 purchase
+    val purch1 = ev.filter(col("event_type") === "purchase" &&
+      col("ts").cast("long") < median)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val err2 = ev.filter(col("event_type") === "error" &&
+      col("ts").cast("long") >= median)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.exists { case (e, p) => err2(e) && purch1(p) },
+      "split produced no cross-batch match — the state path went untested")
+  }
+
   test("streaming top-k over two micro-batches converges to the batch " +
     "ranking head, with state bounded at k tuples per type") {
     val d = Files.createTempDirectory("events_topk")
