@@ -588,6 +588,47 @@ object Oracles {
         |      WHERE event_type = 'error') e
         |ORDER BY event_id""".stripMargin,
 
+    // forward as-of (AsOfJoin.q_join_asof_fwd): first purchase at or
+    // after — min (ts, event_id)
+    "q_join_asof_fwd" ->
+      """SELECT event_id, coalesce((
+        |    SELECT p.event_id FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |      AND p.ts >= e.ts
+        |    ORDER BY p.ts ASC, p.event_id ASC LIMIT 1), -1) AS next_purchase_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error') e
+        |ORDER BY event_id""".stripMargin,
+
+    // nearest as-of (AsOfJoin.q_join_asof_nearest): the same
+    // backward/forward subqueries CASE-chosen by exact micros
+    // distance, ties to backward — mirrors the Spark composition
+    "q_join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+        |    WHERE event_type = 'error'),
+        |m AS (SELECT e.event_id, e.ts,
+        |  (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = e.user_id AND p.ts <= e.ts
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS bts,
+        |  (SELECT p.event_id FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = e.user_id AND p.ts <= e.ts
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS bid,
+        |  (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = e.user_id AND p.ts >= e.ts
+        |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS fts,
+        |  (SELECT p.event_id FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = e.user_id AND p.ts >= e.ts
+        |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS fid
+        |  FROM e)
+        |SELECT event_id,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN -1
+        |       WHEN bts IS NULL THEN fid
+        |       WHEN fts IS NULL THEN bid
+        |       WHEN epoch_us(ts) - epoch_us(bts)
+        |            <= epoch_us(fts) - epoch_us(ts) THEN bid
+        |       ELSE fid END AS nearest_purchase_id
+        |FROM m ORDER BY event_id""".stripMargin,
+
     // streaming as-of enrichment (Streams.asofEnrich): the THIRD
     // implementation sharing this oracle — composition, native
     // physical operator, and streaming state machine must all agree

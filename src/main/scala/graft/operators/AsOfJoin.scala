@@ -58,6 +58,80 @@ object AsOfJoin {
       Seq(key, ts, tie), "inner")
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` (pandas merge_asof direction='forward').
+    * Same union + running-last machinery as [[asofJoin]], walked in
+    * DESCENDING (ts, tie) order: the last right consumed at-or-after
+    * the left row is the min-(ts, tie) forward match; rights still
+    * sort before lefts at equal ts, so an exact-ts right matches.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+    ts: String, tie: String, payload: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(right.schema(payload).dataType))
+    val r = right.select(col(key), col(ts), col(tie), col(payload).as("__payload"))
+      .withColumn("__side", lit(0))
+    val unioned = l.select(col(key), col(ts), col(tie), col("__side"), col("__payload"))
+      .unionByName(r)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("__side"), col(tie).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn(s"asof_$payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__payload")
+    left.join(matched.select(col(key), col(ts), col(tie), col(s"asof_$payload")),
+      Seq(key, ts, tie), "inner")
+  }
+
+  /** Declared query: forward direction — for each `error` event, the
+    * event_id of that user's FIRST `purchase` at or after it.
+    */
+  def q_join_asof_fwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    asofJoinForward(errors, purchases, "user_id", "ts", "event_id",
+        payload = "event_id")
+      .select(col("event_id"),
+        coalesce(col("asof_event_id"), lit(-1L)).as("next_purchase_id"))
+      .orderBy("event_id")
+  }
+
+  /** Declared query: nearest direction (pandas direction='nearest') —
+    * backward and forward matches computed with their own tie rules
+    * (backward: max (ts, tie) at-or-before; forward: min (ts, tie)
+    * at-or-after), then the closer by exact micros distance wins,
+    * ties to backward. The payload rides as a STRUCT (match ts + id)
+    * so each direction stays ONE window pass; the oracle mirrors the
+    * same two-subquery CASE exactly.
+    */
+  def q_join_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        struct(col("ts").as("pts"), col("event_id").as("pid")).as("pay"))
+    val back = asofJoin(errors, purchases, "user_id", "ts", "event_id",
+      payload = "pay")
+    val fwd = asofJoinForward(errors, purchases, "user_id", "ts", "event_id",
+      payload = "pay")
+    val dB = unix_micros(col("ts")) - unix_micros(col("b.pts"))
+    val dF = unix_micros(col("f.pts")) - unix_micros(col("ts"))
+    back.select(col("event_id"), col("ts"), col("asof_pay").as("b"))
+      .join(fwd.select(col("event_id"), col("asof_pay").as("f")), "event_id")
+      .select(col("event_id"),
+        when(col("b").isNull && col("f").isNull, lit(-1L))
+          .when(col("b").isNull, col("f.pid"))
+          .when(col("f").isNull, col("b.pid"))
+          .when(dB <= dF, col("b.pid"))
+          .otherwise(col("f.pid")).as("nearest_purchase_id"))
+      .orderBy("event_id")
+  }
+
   /** Declared query: [[q_join_asof]]'s exact shape executed by the
     * NATIVE physical operator ([[graft.plans.AsOfJoinExec]] via the
     * custom logical node + planner strategy — §2.9 rung (c) complete)

@@ -96,6 +96,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!phys.contains("NestedLoop"), "nested-loop fallback planned")
   }
 
+  test("forward/nearest directions: constructed cases — forward takes " +
+    "min (ts,tie) at-or-after, nearest picks the closer side with " +
+    "ties to backward") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, Long)], tpe: String) =
+      rows.toDF("user_id", "t", "event_id")
+        .select(col("user_id"), col("t").cast("timestamp").as("ts"),
+          col("event_id"), org.apache.spark.sql.functions.lit(tpe).as("event_type"),
+          org.apache.spark.sql.functions.lit(0.0).as("value"))
+    // errors at t=100 (fwd-only), 250 (equidistant 200/300 → backward),
+    // 320 (closer to 300), 500 (back-only)
+    val errors = mk(Seq((1L, 100L, 10L), (1L, 250L, 11L),
+      (1L, 320L, 12L), (1L, 500L, 13L)), "error")
+    val purchases = mk(Seq((1L, 200L, 21L), (1L, 300L, 22L),
+      (1L, 300L, 23L)), "purchase")
+    val ev = errors.unionByName(purchases)
+    val errSel = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val purSel = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val fwd = AsOfJoin.asofJoinForward(errSel, purSel,
+        "user_id", "ts", "event_id", payload = "event_id")
+      .select("event_id", "asof_event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // forward: min (ts, tie) at-or-after — the equal-ts 300-pair
+    // resolves to the LOWER tie (22); errors after every purchase
+    // (320, 500) have no forward match
+    assert(fwd == Map(10L -> 21L, 11L -> 22L, 12L -> -1L, 13L -> -1L),
+      fwd.toString)
+    // nearest arithmetic pins: 250 is equidistant to 200 and 300 →
+    // the rule says backward (21) wins over forward (22); 320 has
+    // only a backward side, whose equal-ts rule takes the MAX tie (23)
+    val back = AsOfJoin.asofJoin(errSel, purSel,
+        "user_id", "ts", "event_id", payload = "event_id")
+      .select("event_id", "asof_event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(back(11L) == 21L && fwd(11L) == 22L) // the equidistant pair
+    assert(back(12L) == 23L && fwd(12L) == -1L) // back-only, max tie
+  }
+
   test("native as-of join: constructed edge cases — no match before, " +
     "exact-ts tie, multiple rights at equal ts (max tie wins)") {
     import spark.implicits._
