@@ -440,19 +440,6 @@ object MultimodalOps {
       }.toDF("doc_id", "dh_hi", "dh_lo")
   }
 
-  /** Declared rows-only query: perceptual image near-dup — the
-    * multimodal member of the near-dup family (n-gram/MinHash/SimHash
-    * for text, cosine for embeddings, dHash for images). The fixture
-    * payloads are wrapped into REAL BMPs map-side (like
-    * [[q_media_features]]) so the real decode → resize → hash path
-    * runs at every scale; then the pair search is pure DataFrame LSH:
-    * 4×16-bit band buckets → self-join on (band, key) → exact
-    * hamming via bit_count(xor) — payload bytes never shuffle, only
-    * (id, 2×long) signatures do, and the band join is bucket-bounded
-    * exactly like the SimHash text geometry. Rows-only by §2.12
-    * (byte-level decode has no DuckDB twin); MultimodalSpec pins the
-    * hash on hand-built rasters and asserts perturbation monotonicity.
-    */
   /** The banded signature frame (doc_id, dh_hi, dh_lo, band, key) —
     * shared by [[q_media_dhash]] and the bucket-skew diagnostic.
     */
@@ -477,6 +464,19 @@ object MultimodalOps {
         .as(Seq("band", "key")))
   }
 
+  /** Declared rows-only query: perceptual image near-dup — the
+    * multimodal member of the near-dup family (n-gram/MinHash/SimHash
+    * for text, cosine for embeddings, dHash for images). The fixture
+    * payloads are wrapped into REAL BMPs map-side (like
+    * [[q_media_features]]) so the real decode → resize → hash path
+    * runs at every scale; then the pair search is pure DataFrame LSH:
+    * 4×16-bit band buckets → bucket-size prune ([[dhashBandCap]]) →
+    * self-join on (band, key) → exact hamming via bit_count(xor) —
+    * payload bytes never shuffle, only (id, 2×long) signatures do.
+    * Rows-only by §2.12 (byte-level decode has no DuckDB twin);
+    * MultimodalSpec pins the hash bits on hand-built rasters and the
+    * identical-payload banding guarantee.
+    */
   def q_media_dhash(s: SparkSession, dir: String): DataFrame = {
     // bucket-size prune BEFORE the self-join ([[dhashBandCap]]): a
     // window count keeps the a/b sides' plans identical, so Spark's

@@ -3098,25 +3098,33 @@ object Relational {
     val types = ev.select("event_type").distinct()
     val perType = ev.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), hllOverlapRsd).as("n"))
-    val pairs = broadcast(types.as("a").join(types.as("b"),
+    val pairs = types.as("a").join(types.as("b"),
       col("a.event_type") < col("b.event_type"))
-      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb")))
-    // each row joins to the bounded pair list on either side: the
-    // fan-out per row is (k-1), k = |event types|
-    val unions = ev.join(pairs,
-        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    // pair membership EXPANDED to (member, ta, tb) rows so the fan-out
+    // join is a broadcast EQUI-join (hash lookup, codegen'd) — the
+    // OR-predicate form planned a BroadcastNestedLoopJoin testing
+    // every row against all C(k,2) pairs. Fan-out per row stays (k−1).
+    val members = broadcast(pairs.select(
+      explode(array(col("ta"), col("tb"))).as("event_type"),
+      col("ta"), col("tb")))
+    val unions = ev.join(members, "event_type")
       .groupBy("ta", "tb")
       .agg(approx_count_distinct(col("user_id"), hllOverlapRsd)
         .as("n_union"))
+    // inclusion–exclusion on three independent sketches can land
+    // outside the feasible region — clamp the intersection into
+    // [0, min(n_a, n_b)] and the ratio into [0, 1] (its own spec'd
+    // contract; unclamped, near-identical audiences can read 1.0x+)
+    val interRaw = greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L))
+    val inter = least(interRaw, least(col("n_a"), col("n_b")))
     unions
       .join(perType.select(col("event_type").as("ta"), col("n").as("n_a")), "ta")
       .join(perType.select(col("event_type").as("tb"), col("n").as("n_b")), "tb")
       .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_union"),
-        greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L))
-          .as("n_inter_est"),
-        round(greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L))
-          .cast("double") / col("n_union").cast("double"), 4)
-          .as("jaccard_est"))
+        inter.as("n_inter_est"),
+        least(round(inter.cast("double") / col("n_union").cast("double"), 4),
+          lit(1.0)).as("jaccard_est"))
       .orderBy("ta", "tb")
   }
 

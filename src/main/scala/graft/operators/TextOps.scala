@@ -943,9 +943,12 @@ object TextOps {
       .select(col("source"),
         scoreOf(col("__toks"), col("__nospace"))
           .cast("decimal(18,6)").as("x"))
-    val g = scored.groupBy("source")
+    // the k-row summary feeds three consumers (tot, sums, the final
+    // select) — cache it or the corpus tokenize+score aggregate runs
+    // three times (the covCells rule)
+    val g = cached(scored.groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"))
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx")))
     val tot = broadcast(g.agg(
       sum(col("n")).as("__nt"), sum(col("sx")).as("__sxt"),
       sum(col("sxx").cast("decimal(38,12)")).as("__sxxt"),

@@ -148,9 +148,15 @@ object AsOfJoinNative {
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
     ts: String, tie: String, payload: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // idempotent session-global registration (the strategy is a pure
+    // pattern-match, inert for every other query); synchronized so
+    // concurrent builders can't race the read-modify-write of the
+    // whole extraStrategies Seq
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.select(col(key), col(ts), col(tie), col(payload))
       .queryExecution.analyzed

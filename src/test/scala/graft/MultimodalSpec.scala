@@ -793,6 +793,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("q_media_dhash: pairs are ordered and hamming is within the " +
     "declared cap on the fixture") {
     val rows = MultimodalOps.q_media_dhash(spark, dir).collect()
+    assert(rows.nonEmpty, "vacuous: the fixture must yield near-dup pairs")
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       val h = r.getLong(2)

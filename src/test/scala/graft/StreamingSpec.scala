@@ -13,6 +13,24 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
   private val dir = TestSpark.sf0001
 
+  /** Shared two-batch scaffolding: every in-order split test stages
+    * single-file parquet batches into a landing dir and cuts the
+    * fixture at the event-time median. One definition — a staging
+    * change (e.g. multi-part outputs) lands everywhere at once.
+    */
+  private def stageParquet(d: java.nio.file.Path,
+    df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val tmp = Files.createTempDirectory("stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    Files.move(part, d.resolve(name))
+  }
+
+  private def tsMedian(ev: org.apache.spark.sql.DataFrame): Double =
+    ev.selectExpr("percentile(cast(ts as long), 0.5)")
+      .first().getDouble(0)
+
   /** File stream sources need a directory — stage the single events
     * parquet file into one (the streaming landing-zone layout).
     */
@@ -126,17 +144,11 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_retention")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
+    val median = tsMedian(ev)
     val lateHalf = ev.filter(col("ts").cast("long") >= median)
     val earlyHalf = ev.filter(col("ts").cast("long") < median)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(lateHalf, "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_retention").toString
@@ -380,15 +392,9 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_markov")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_mk").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_markov").toString
@@ -415,15 +421,9 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_paths")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_pt").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_paths").toString
@@ -451,15 +451,9 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_sess")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_ss").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     // the ts-median split necessarily cuts many users' open sessions
     // across the batch boundary — the re-emission path under test
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
@@ -593,15 +587,9 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(r => (r._2, math.floor(r._3 / binW).toLong))
       .view.mapValues(_.length.toLong).toMap
     // stage two in-order halves
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_psi").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_psi").toString
@@ -653,15 +641,9 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_asof")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_ao").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_asof").toString
@@ -696,15 +678,9 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_topk")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_tk").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_topk").toString
@@ -741,15 +717,9 @@ class StreamingSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("events_cms")
     val ev = Tables(spark, dir, "events").select("event_id", "ts",
       "user_id", "event_type", "value")
-    val median = ev.selectExpr("percentile(cast(ts as long), 0.5)")
-      .first().getDouble(0)
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("stage_cms").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      Files.move(part, d.resolve(name))
-    }
+    val median = tsMedian(ev)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageParquet(d, df, name)
     stage(ev.filter(col("ts").cast("long") < median), "batch1.parquet")
     val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
     val ck = Files.createTempDirectory("ck_cms").toString
