@@ -588,6 +588,40 @@ object Oracles {
         |      WHERE event_type = 'error') e
         |ORDER BY event_id""".stripMargin,
 
+    // exact audience-overlap matrix (Relational.q_user_overlap): the
+    // ground-truth twin of the HLL sketch form
+    "q_user_overlap" ->
+      """WITH t AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |pu AS (SELECT DISTINCT p.ta, p.tb, e.user_id, e.event_type
+        |  FROM events e JOIN pairs p
+        |    ON e.event_type = p.ta OR e.event_type = p.tb),
+        |su AS (SELECT ta, tb, user_id, count(*) AS sides
+        |  FROM pu GROUP BY ta, tb, user_id)
+        |SELECT ta, tb, count(*) AS n_union,
+        |  CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inter,
+        |  round(CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS jaccard
+        |FROM su GROUP BY ta, tb ORDER BY ta, tb""".stripMargin,
+
+    // tolerance as-of (AsOfJoin.q_join_asof_tol): the backward match
+    // is discarded when older than the shared tolerance
+    "q_join_asof_tol" -> {
+      val tol = graft.operators.AsOfJoin.asofTolSecs
+      s"""SELECT event_id, coalesce((
+         |    SELECT p.event_id FROM events p
+         |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+         |      AND p.ts <= e.ts
+         |      AND epoch_us(e.ts) - epoch_us(p.ts) <= ${tol}000000
+         |    ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1)
+         |  AS prev_purchase_id_tol
+         |FROM (SELECT user_id, ts, event_id FROM events
+         |      WHERE event_type = 'error') e
+         |ORDER BY event_id""".stripMargin
+    },
+
     // forward as-of (AsOfJoin.q_join_asof_fwd): first purchase at or
     // after — min (ts, event_id)
     "q_join_asof_fwd" ->

@@ -75,6 +75,8 @@ object SparkEntry {
     "q_join_asof_native" -> (AsOfJoin.q_join_asof_native _),
     "q_join_asof_fwd" -> (AsOfJoin.q_join_asof_fwd _),
     "q_join_asof_nearest" -> (AsOfJoin.q_join_asof_nearest _),
+    "q_join_asof_tol" -> (AsOfJoin.q_join_asof_tol _),
+    "q_user_overlap" -> (Relational.q_user_overlap _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_bloom" -> (operators.BloomJoin.q_join_bloom _),
     "q_join_salted" -> (Relational.q_join_salted _),

@@ -132,6 +132,37 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Tolerance bound for [[q_join_asof_tol]] (pandas merge_asof
+    * `tolerance`): a backward match further than this many seconds
+    * behind the probe row is discarded. Shared with the oracle.
+    */
+  private[graft] val asofTolSecs = 7L * 24 * 3600
+
+  /** Declared query: backward as-of WITH tolerance — the match must
+    * lie within [[asofTolSecs]] of the error event or it is dropped
+    * to −1 (stale dimension data must not enrich, the
+    * point-in-time-correctness rule feature stores enforce). The
+    * payload rides as a STRUCT (ts + id) so the tolerance check is a
+    * post-projection on the same single window pass; completes
+    * pandas merge_asof parity (backward/forward/nearest/tolerance).
+    */
+  def q_join_asof_tol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        struct(col("ts").as("pts"), col("event_id").as("pid")).as("pay"))
+    asofJoin(errors, purchases, "user_id", "ts", "event_id", payload = "pay")
+      .select(col("event_id"),
+        when(col("asof_pay").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof_pay.pts"))
+            <= asofTolSecs * 1000000L,
+          col("asof_pay.pid")).otherwise(lit(-1L))
+          .as("prev_purchase_id_tol"))
+      .orderBy("event_id")
+  }
+
   /** Declared query: [[q_join_asof]]'s exact shape executed by the
     * NATIVE physical operator ([[graft.plans.AsOfJoinExec]] via the
     * custom logical node + planner strategy — §2.9 rung (c) complete)

@@ -3128,6 +3128,38 @@ object Relational {
       .orderBy("ta", "tb")
   }
 
+  /** Exact audience-overlap matrix — the ground-truth twin of
+    * [[q_hll_overlap]] under the oracle gate (the agg_distinct /
+    * approx_distinct pairing applied to pairwise intersections): the
+    * same exploded pair membership, but exact per-pair
+    * (user, ta, tb)-distinct counts. The cost contrast IS the point:
+    * this form shuffles the distinct (user, pair) universe (rows ×
+    * (k−1) before dedup) where the sketch form's per-pair state is
+    * constant — at 100 TB you run the sketch and calibrate it against
+    * this exact form on a sample, exactly what AnalyticsSpec does.
+    */
+  def q_user_overlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_type", "user_id")
+    val types = ev.select("event_type").distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    val members = broadcast(pairs.select(
+      explode(array(col("ta"), col("tb"))).as("event_type"),
+      col("ta"), col("tb")))
+    val perUser = ev.join(members, "event_type")
+      .select("ta", "tb", "user_id", "event_type").distinct()
+    perUser.groupBy("ta", "tb", "user_id")
+      .agg(count(lit(1)).as("sides"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("n_inter"))
+      .select(col("ta"), col("tb"), col("n_union"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("ta", "tb")
+  }
+
   /** Poisson-bootstrap geometry, shared verbatim with the oracle:
     * [[bootstrapB]] replicas; per (replica, row) the resample weight
     * is Poisson(1), drawn DETERMINISTICALLY by comparing the row's

@@ -446,6 +446,48 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_user_overlap is the exact truth the HLL form calibrates " +
+    "against: same pair universe, sketch within envelope of exact") {
+    val exact = Relational.q_user_overlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val approx = Relational.q_hll_overlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(4), r.getLong(5)))).toMap
+    assert(exact.keySet == approx.keySet)
+    val tol = 5 * Relational.hllOverlapRsd
+    exact.foreach { case (k, (u, i)) =>
+      val (au, ai) = approx(k)
+      assert(math.abs(au - u) <= tol * u + 1, s"$k union $au vs $u")
+      assert(math.abs(ai - i) <= 3 * tol * u + 1, s"$k inter $ai vs $i")
+    }
+  }
+
+  test("q_join_asof_tol: every row equals the untolerance answer, or " +
+    "is -1 exactly when that answer is genuinely older than the bound") {
+    val tol = graft.operators.AsOfJoin.asofTolSecs * 1000000L
+    val plain = graft.operators.AsOfJoin.q_join_asof(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tolled = graft.operators.AsOfJoin.q_join_asof_tol(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain.keySet == tolled.keySet)
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1).getTime / 1000 * 1000000L +
+          r.getTimestamp(1).getNanos / 1000)).toMap
+    var dropped = 0
+    plain.foreach { case (e, p) =>
+      if (p == -1L) assert(tolled(e) == -1L)
+      else {
+        val gap = ev(e) - ev(p)
+        if (gap <= tol) assert(tolled(e) == p, s"error $e kept-match")
+        else { assert(tolled(e) == -1L, s"error $e stale-match"); dropped += 1 }
+      }
+    }
+    assert(dropped > 0, "fixture never exercised the tolerance drop")
+  }
+
   test("q_bootstrap: Poisson replicas have ~N effective rows, the " +
     "bootstrap SE agrees with the analytic sigma/sqrt(n), and the " +
     "draw is deterministic") {
