@@ -565,12 +565,27 @@ object Relational {
     * asserts no BroadcastNestedLoopJoin survives in THIS query's
     * physical plan. The oracle is the same naive SQL: the rewrite
     * must be invisible in the values.
+    *
+    * The rule + width conf live on an ISOLATED child session
+    * (`newSession()`: own SessionState/conf/experimental, shared
+    * SparkContext and cache), NOT the caller's: a session-global
+    * registration would silently rewrite every later Long-bounded
+    * inner join in the session, and a user interval much wider than
+    * the 3600 width would explode `sequence()` per build row in an
+    * unrelated query. One child session is memoized per parent so
+    * repeated bench/verify invocations don't pile up SessionStates.
     */
-  def q_join_range_auto(s: SparkSession, dir: String): DataFrame = {
-    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
-    s.conf.set(graft.plans.RangeJoinRule.widthKey, "3600")
+  private val rangeAutoSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  def q_join_range_auto(s0: SparkSession, dir: String): DataFrame = {
+    val s = rangeAutoSessions.computeIfAbsent(s0, { parent =>
+      val child = parent.newSession()
+      child.experimental.extraOptimizations =
+        child.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+      child.conf.set(graft.plans.RangeJoinRule.widthKey, "3600")
+      child
+    })
     val evs = t(s, dir, "events").select(col("ts").cast("long").as("ts_s"))
     val hot = t(s, dir, "events")
       .groupBy((col("ts").cast("long")

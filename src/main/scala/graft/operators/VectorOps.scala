@@ -848,8 +848,21 @@ object VectorOps {
     * VectorOpsSpec pins orthonormality, trace preservation, descending
     * eigenvalues, and projection variance ≡ eigenvalue.
     */
+  /** Collected 2080-cell covariance summaries, memoized per data dir
+    * (the fixture dirs are immutable): q_vec_pca needs the cells on
+    * the DRIVER for the eigen step, but paying a corpus pass at
+    * DataFrame-CONSTRUCTION time on every invocation broke the
+    * "construction is analysis-only" assumption the plan-shape/
+    * schema test loops rely on — each ContractSpec/PlanSpec iteration
+    * was re-running the covariance job. One pass per dir per JVM.
+    */
+  private val covCellsCollected = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
   def q_vec_pca(s: SparkSession, dir: String): DataFrame = {
-    val cells = covCells(s, dir).collect()
+    val cells = covCellsCollected.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => covCells(s, dir).collect())
     val d = vecDim
     val cov = Array.ofDim[Double](d, d)
     cells.foreach { r =>

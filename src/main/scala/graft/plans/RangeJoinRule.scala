@@ -58,10 +58,18 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private case class Bound(v: Expression, bound: Expression, lower: Boolean)
 
   /** `a >= b` / `a <= b` in either attribute order, normalized to
-    * which side holds the probe value and which the bound.
+    * which side holds the probe value and which the bound. Every
+    * comparison of two one-sided Longs admits BOTH readings ("a is
+    * the value" / "b is the value"), and which one is right depends
+    * on the OTHER conjunct — `lo <= v AND v <= hi` spells both
+    * bounds value-second — so this returns both and lets the
+    * lower/upper pairing below select the consistent one (it
+    * requires the two bounds to share a value expression and to
+    * bound it from the opposite side, which kills the three wrong
+    * combinations).
     */
-  private def asBound(e: Expression, left: LogicalPlan,
-    right: LogicalPlan): Option[Bound] = {
+  private def asBounds(e: Expression, left: LogicalPlan,
+    right: LogicalPlan): Seq[Bound] = {
     def oneSide(x: Expression): Option[Boolean] = {
       val refs = x.references
       if (refs.isEmpty) None
@@ -79,14 +87,14 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     e match {
       // v >= lo  |  hi >= v
-      case GreaterThanOrEqual(a, b) => mk(a, b, lowerIfAIsValue = true)
-        .orElse(mk(b, a, lowerIfAIsValue = false).map(x =>
-          Bound(x.v, x.bound, lower = false)))
+      case GreaterThanOrEqual(a, b) =>
+        mk(a, b, lowerIfAIsValue = true).toSeq ++
+          mk(b, a, lowerIfAIsValue = false)
       // v <= hi  |  lo <= v
-      case LessThanOrEqual(a, b) => mk(a, b, lowerIfAIsValue = false)
-        .orElse(mk(b, a, lowerIfAIsValue = true).map(x =>
-          Bound(x.v, x.bound, lower = true)))
-      case _ => None
+      case LessThanOrEqual(a, b) =>
+        mk(a, b, lowerIfAIsValue = false).toSeq ++
+          mk(b, a, lowerIfAIsValue = true)
+      case _ => Nil
     }
   }
 
@@ -113,7 +121,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           }
         } => {
         val conjuncts = splitConjunctivePredicates(cond)
-        val bounds = conjuncts.flatMap(asBound(_, left, right))
+        val bounds = conjuncts.flatMap(asBounds(_, left, right))
         // a usable pair: one lower + one upper bound over the SAME
         // value expression, bounds living on the value's other side
         val pair = (for {

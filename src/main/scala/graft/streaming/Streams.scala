@@ -566,6 +566,19 @@ object Streams {
       }
   }
 
+  /** Dead-letter counter for [[sessionSnapshots]]' straggler-drop
+    * path, memoized per SparkContext (named, so it also shows in the
+    * UI/status APIs). Zero after a drain ⇔ the per-user in-order
+    * delivery contract held; a positive count is the observable
+    * signal that session splits downstream may be wrong.
+    */
+  private val dropAccs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
+
+  def sessionizeDrops(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    dropAccs.computeIfAbsent(spark.sparkContext,
+      _.longAccumulator("graft.sessionize.stragglerDrops"))
+
   /** Streaming sessionization — the stateful twin of batch
     * q_sessionize's gap rule (a ≥ 30-minute pause in floor-epoch-
     * seconds starts a new session). State is ONE open session per
@@ -584,12 +597,16 @@ object Streams {
     * drained AvailableNow run. Re-emission needs no flush; the last
     * revision per (user, session) IS the closed session. Same
     * in-order contract as [[markovTransitions]]: per-user (ts,
-    * event_id) order across batches, stragglers older than the
-    * user's stored last key are dropped detectably.
+    * event_id) order across batches; stragglers older than the
+    * user's stored last key are dropped AND counted in the
+    * [[sessionizeDrops]] accumulator, so a violated delivery
+    * contract is observable (non-zero drop count) instead of only
+    * inferable from wrong session splits downstream.
     */
   def sessionSnapshots(spark: SparkSession,
     events: DataFrame): Dataset[SessionSnap] = {
     import spark.implicits._
+    val drops = sessionizeDrops(spark)
     def key(e: EventRow): (Long, Int, Long) =
       (e.ts.getTime, e.ts.getNanos, e.event_id)
     // state: (sid, start_s, lastMs, lastNanos, lastId, n, rev)
@@ -617,7 +634,10 @@ object Streams {
               }
               n += 1; lastMs = k._1; lastNanos = k._2; lastId = k._3
               touched(sid) = SessionSnap(uid, sid, startS, sec, n, rev + 1)
-            } // older than the stored last: contract violation, drop
+            } else drops.add(1L) // older than the stored last:
+            // contract violation — drop, but observably (dead-letter
+            // counter; a re-executed task may double-count, which is
+            // fine for a violation DETECTOR: zero still means clean)
           }
           if (touched.nonEmpty) {
             rev += 1
@@ -793,16 +813,25 @@ object Streams {
 
   /** File-source streams need a directory; the driver fixtures are
     * single files at small SF and part-file directories from ScaleGen
-    * — symlink the single-file case into a temp landing dir.
+    * — symlink the single-file case into a temp landing dir. Landing
+    * dirs are memoized per resolved source path: a fresh dir per
+    * invocation leaked one temp dir per declared-query call across
+    * repeated bench/oracle passes (the checkpoint dirs, by contrast,
+    * are deleted after each drain).
     */
+  private val landingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def streamableDir(eventsPath: String): String = {
     val p = Paths.get(eventsPath)
     if (Files.isDirectory(p)) eventsPath
-    else {
-      val d = Files.createTempDirectory("graft_stream_events")
-      Files.createSymbolicLink(d.resolve("events.parquet"), p.toAbsolutePath)
-      d.toString
-    }
+    else landingDirs.computeIfAbsent(
+      p.toAbsolutePath.normalize.toString, { resolved =>
+        val d = Files.createTempDirectory("graft_stream_events")
+        Files.createSymbolicLink(d.resolve("events.parquet"),
+          Paths.get(resolved))
+        d.toString
+      })
   }
 
   /** Drain one streaming Dataset to completion (AvailableNow) into a

@@ -72,6 +72,32 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(!plain.exists(_._1 == 5L) && !plain.exists(_._1 == 7L))
   }
 
+  test("bound-first spellings fire too: `lo <= v AND v <= hi` is the " +
+    "same rewrite as the BETWEEN desugaring (ADVICE: asBound must " +
+    "consider both readings of each comparison)") {
+    val boundFirst = points(ruled).join(intervals(ruled),
+      col("lo") <= col("v") && col("v") <= col("hi"))
+      .select("id", "v")
+    val p = boundFirst.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_range_bucket"), p.take(1500))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(boundFirst) == rows(naive(spark)))
+  }
+
+  test("the declared q_join_range_auto leaves its caller session " +
+    "untouched: no rule registration, no width conf (ADVICE: scope " +
+    "the session-global rewrite)") {
+    val s = spark.newSession()
+    graft.operators.Relational.q_join_range_auto(s, TestSpark.sf0001)
+    assert(!s.experimental.extraOptimizations.contains(RangeJoinRule))
+    assert(s.conf.getOption(RangeJoinRule.widthKey).isEmpty)
+    // an unrelated naive BETWEEN join in the CALLER session still
+    // plans as stock Spark (no bucket rewrite leaked in)
+    val p = naive(s).queryExecution.executedPlan.toString
+    assert(!p.contains("__graft_range_bucket"), p.take(1500))
+  }
+
   test("guards: a cross-side equality conjunct disables the rewrite " +
     "(Spark already hash-joins), and width unset is a strict no-op") {
     import ruled.implicits._

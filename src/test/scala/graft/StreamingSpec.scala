@@ -486,6 +486,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionSnapshots counts out-of-order straggler drops in the " +
+    "sessionizeDrops accumulator — a violated delivery contract is " +
+    "observable, not a silent wrong split") {
+    val d = Files.createTempDirectory("events_sess_ooo")
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = tsMedian(ev)
+    // adversarial order: the NEWER half arrives first, so every
+    // older-half event of an already-seen user is a straggler
+    stageParquet(d, ev.filter(col("ts").cast("long") >= median),
+      "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_sess_ooo").toString
+    val acc = Streams.sessionizeDrops(spark)
+    val before = acc.value
+    val q = Streams.sessionSnapshots(spark, raw)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ss_ooo_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    // batch 1 is in-order within itself (fresh state, sorted in-call)
+    val afterClean = acc.value
+    stageParquet(d, ev.filter(col("ts").cast("long") < median),
+      "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    assert(afterClean == before,
+      "a clean in-order batch must not count drops")
+    assert(acc.value > before,
+      "stragglers must surface as a non-zero drop count")
+  }
+
   test("streaming anomaly flags vs a static hour-of-day baseline " +
     "equal the batch recompute; decisions are integer-exact") {
     val ev = Tables(spark, dir, "events")
