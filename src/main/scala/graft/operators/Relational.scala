@@ -3193,16 +3193,47 @@ object Relational {
     * a GLOBAL sample-with-replacement (a coordinated shuffle per
     * replica); the Poisson approximation gives every row an
     * independent Poisson(1) multiplicity per replica, so all
-    * [[bootstrapB]] replicas are computed in ONE map-side pass
-    * (generator: B weight rows per order) and one B-group
-    * partial-combining aggregate — no resample shuffle exists at all
-    * (Chamandy et al., "Estimating Uncertainty for Massive Data
-    * Streams", Google 2012). Weights are hash-deterministic (above),
-    * sums are exact DECIMAL — the replica means are hash-gated
-    * bit-for-bit; q_jackknife is the delete-group complement (its SE
-    * agreement is spec'd in AnalyticsSpec).
+    * [[bootstrapB]] replicas fold in ONE pass (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    *
+    * Single-pass typed-Aggregator form ([[graft.functions
+    * .BootstrapAgg]]): each input row folds its B deterministic
+    * weights directly into a fixed 2×B-long buffer — the earlier
+    * `explode(sequence(0, B−1))` generator materialized a 32× row
+    * fan-out through the aggregate (11.9×/decade at sf10, 79.9 s,
+    * the suite's second-slowest query) for state that was always
+    * just 2×B numbers. Weights are hash-deterministic (md5 scaled-CDF
+    * above, bit-identical in the Aggregator), sums are exact integer
+    * cents — the replica means stay hash-gated against the SAME
+    * DuckDB oracle; [[bootstrapExploded]] keeps the generator
+    * formulation as the in-repo cross-check (AnalyticsSpec pins
+    * equality). q_jackknife is the delete-group complement.
     */
   def q_bootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.BootstrapAgg(
+      bootstrapB, bootstrapCdf.toArray)
+    val rows = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .as[(Long, Long)]
+    rows.select(agg.toColumn)
+      .flatMap(identity(_))
+      .toDF("b", "n_eff", "sx_cents")
+      // cents → dollars through DECIMAL (exact; scale ≥ 2 keeps every
+      // cent), then the oracle's double division + round
+      .select(col("b"), col("n_eff"),
+        round((col("sx_cents").cast("decimal(38,2)") / 100).cast("double")
+          / col("n_eff").cast("double"), 6).as("mean_b"))
+      .orderBy("b")
+  }
+
+  /** The generator formulation q_bootstrap replaced — kept as the
+    * independent in-repo derivation of the same draws (spec-pinned
+    * equal to the Aggregator form; the DuckDB oracle is the third).
+    */
+  private[graft] def bootstrapExploded(s: SparkSession, dir: String): DataFrame = {
     val u = conv(substring(md5(concat(col("b").cast("string"), lit(":"),
       col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
     val wExpr = bootstrapCdf.foldLeft(lit(0L)) { (acc, t) =>

@@ -519,4 +519,14 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("q_bootstrap's single-pass Aggregator form equals the exploded " +
+    "generator formulation bit-for-bit (same md5 draws, same exact " +
+    "sums) - the 32x row fan-out was pure overhead") {
+    val fast = Relational.q_bootstrap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val slow = Relational.bootstrapExploded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fast == slow)
+  }
 }
