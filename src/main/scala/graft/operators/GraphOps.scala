@@ -238,6 +238,31 @@ object GraphOps {
     * factored for fixture specs. Returns (node, lbl) after `iters`
     * rounds.
     */
+  /** One synchronous vote round restricted to `edges`: majority
+    * neighbor label with smallest-label tie-break, as count +
+    * struct-min hash aggregates. One exchange: hash(dst) satisfies
+    * BOTH downstream clusterings — (dst, lbl) for the count (subset
+    * rule) and (dst) for the argmax. The struct-min argmax
+    * (min((−c, lbl)) = max count then min label) partial-combines
+    * map-side; a window row_number here sorted every (dst, lbl)
+    * partition — measured 23.5 s vs q_pagerank's 4.0 s at sf1.0 on
+    * the same joins. The oracle keeps the row_number formulation —
+    * an independent derivation of the same total order.
+    */
+  private def lpVote(edges: DataFrame, lbl: DataFrame): DataFrame =
+    // shuffle_hash, not sort-merge: the label side is |V| rows (the
+    // per-partition hash build is small) while SMJ would re-SORT the
+    // |E| edge side every round — with the edge cache pre-partitioned
+    // on src the hash join touches the big side exchange-free and
+    // sort-free. (Broadcast is the sf≤1 winner but |V| outgrows any
+    // broadcast threshold; shuffle-hash is the shape that survives.)
+    edges.join(lbl.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      .repartition(col("dst"))
+      .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
+      .groupBy("dst")
+      .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+      .select(col("dst").as("node"), col("m.lbl").as("lbl"))
+
   private[graft] def labelPropagate(e: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "LPA needs at least one round")
     // round 1 specialization: against the identity seed every
@@ -248,34 +273,142 @@ object GraphOps {
     // the count frame exactly |E| rows).
     var lbl = e.groupBy(col("dst").as("node"))
       .agg(min(col("src")).as("lbl"))
-    for (_ <- 2 to iters) {
-      // one exchange per round: hash(dst) satisfies BOTH downstream
-      // clusterings — (dst, lbl) for the count (subset rule) and
-      // (dst) for the argmax — so neither aggregate adds a shuffle
-      val counts = e.join(lbl.withColumnRenamed("node", "src"), "src")
-        .repartition(col("dst"))
-        .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
-      // argmax-by-(c DESC, lbl ASC) as ONE struct-min hash aggregate:
-      // min((−c, lbl)) picks max count then min label. A window
-      // row_number here sorts every (dst, lbl) partition — measured
-      // 23.5 s vs q_pagerank's 4.0 s at sf1.0 on the same joins; the
-      // struct-min is partial-combining map-side like any agg. The
-      // oracle keeps the row_number formulation — an independent
-      // derivation of the same total order.
-      lbl = counts
-        .groupBy("dst")
-        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
-        .select(col("dst").as("node"), col("m.lbl").as("lbl"))
+    if (iters == 1) return lbl
+    // The canonical Pregel round shape: the caller hands edges
+    // cached PARTITIONED on the join key (coEdgesEnc), so each round
+    // ships only the LABEL frame (|V| ≪ |E|; shuffle-hash build, or
+    // AQE broadcast at small SF) and pays exactly ONE |E| exchange
+    // (the vote's hash(dst) repartition). The unpartitioned string
+    // form shuffled the full edge list TWICE per round (sort-merge
+    // join + repartition) — the round-6 scale watch (12.5×/decade
+    // at sf10).
+    //
+    // Delta-propagation (the q_bfs frontier discipline) was measured
+    // and REJECTED for this graph: synchronous LPA on a bipartite
+    // edge list oscillates — every node's label flips prefix side
+    // every round (round-r labels of s-nodes are p-labels for even
+    // r, s-labels for odd, by induction on the two-coloring), so the
+    // changed set is 100% of V at every round (LpDiag at sf1.0:
+    // changed=210000/210000, edges-into-affected=100% of E, all
+    // rounds) and a frontier restriction adds pure overhead
+    // (measured 14.0 s vs 6.9 s at sf1.0). [[labelPropagateDelta]]
+    // keeps the frontier form for graphs that do converge.
+    for (_ <- 2 to iters) lbl = lpVote(e, lbl)
+    lbl
+  }
+
+  /** Frontier-restricted LPA — re-votes only nodes with ≥ 1 changed
+    * in-neighbor, carrying everyone else forward (exact: a
+    * synchronous round is a function of the neighbor multiset only).
+    * Worth it ONLY on graphs whose churn actually decays; on the
+    * declared bipartite co-purchase graph churn is structurally 100%
+    * per round (see [[labelPropagate]]), so the default path stays
+    * the full vote. GraphSpec pins delta ≡ full at every depth on
+    * both converging fixtures and the oscillating real graph.
+    */
+  private[graft] def labelPropagateDelta(e: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "LPA needs at least one round")
+    var prev = e.groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("lbl"))
+    if (iters == 1) return prev
+    prev = prev.localCheckpoint(false)
+    var lbl = lpVote(e, prev).localCheckpoint(false)
+    for (_ <- 3 to iters) {
+      val delta = lbl.join(prev.withColumnRenamed("lbl", "plbl"), "node")
+        .filter(col("lbl") =!= col("plbl"))
+        .select(col("node").as("src"))
+      val affected = e.join(delta, "src")
+        .select(col("dst")).distinct()
+        .localCheckpoint(false)
+      val revoted = lpVote(e.join(affected, "dst"), lbl)
+      val next = revoted.unionByName(
+        lbl.join(affected.withColumnRenamed("dst", "node"),
+          Seq("node"), "left_anti"))
+        .localCheckpoint(false)
+      prev = lbl
+      lbl = next
     }
     lbl
   }
 
+  /** Order-isomorphic LONG encoding of the co-purchase node strings
+    * ("s<key>" / "p<key>") — the label rounds shuffle |E| (dst, lbl)
+    * records three times, and doing that over two ~8-char strings
+    * (~2× the bytes of two longs, plus string hashing/compares in
+    * every aggregate) was most of q_label_prop's remaining sf10
+    * cost. The vote's ONLY order-sensitive operation is the
+    * min-label tie-break, which both engines take in STRING order,
+    * so the encoding must be an order-isomorphism onto that string
+    * order, not just an injection:
+    *
+    *   enc("s<d>") = S_BIT + leftAlign(d)·16 + len(d)
+    *   enc("p<d>") = leftAlign(d)·16 + len(d),  leftAlign(d) = d·10^(17−len(d))
+    *
+    *  - 'p' < 's' in ASCII ⇔ the S_BIT (4·10^18) term;
+    *  - equal-length digit strings: left-aligned numeric order ≡ lex
+    *    order; unequal length: the aligned values agree exactly on a
+    *    shared prefix ("1" vs "10" both align to 10…0) and '0' is the
+    *    least digit, so lex order is prefix-first — the +len term;
+    *    any other first difference already decides both orders.
+    *  - Bounds: d < 10^17 (far beyond any key domain; 10^k is exact
+    *    in double for k ≤ 22 so the BIGINT cast is exact), max enc
+    *    = 4e18 + 1.6e18 < Long.Max.
+    *
+    * Counts/grouping are injection-invariant, so the whole vote runs
+    * on longs; the decode (inverse arithmetic) touches only the
+    * final top-20 rows. GraphSpec pins encoded ≡ string-path output
+    * on the real graph, and the DuckDB oracle (all-string) stays
+    * verbatim.
+    */
+  private val lpSBit = 4000000000000000000L
+
+  private[graft] def lpEnc(key: org.apache.spark.sql.Column, isS: Boolean)
+    : org.apache.spark.sql.Column = {
+    val len = length(key.cast("string")).cast("long")
+    // 10^k is exact in double for k ≤ 22, so the BIGINT cast is exact
+    val aligned = key.cast("long") *
+      pow(lit(10.0), lit(17L) - len).cast("long")
+    // ·16 + len as shifts: Spark's `/` on longs is DOUBLE division
+    // (unsafe past 2^53), so the decode must be bit-exact shifts
+    val body = shiftleft(aligned, 4) + len
+    if (isS) body + lpSBit else body
+  }
+
+  private[graft] def lpDecode(enc: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column = {
+    val isS = enc >= lpSBit
+    val body = when(isS, enc - lpSBit).otherwise(enc)
+    val len = body.bitwiseAND(15L).cast("int")
+    // aligned = d·10^(17−len) prints as d's `len` digits then zeros
+    // (d ≥ 1 ⇒ exactly 17 digits; d = 0 ⇒ "0") — take the digit
+    // prefix instead of dividing, which stays integer-exact
+    val d = shiftright(body, 4).cast("string").substr(lit(1), len)
+    concat(when(isS, lit("s")).otherwise(lit("p")), d)
+  }
+
+  /** coEdges' twin on encoded longs (own registered cache; built
+    * straight from lineitem so node strings are never materialized,
+    * and pre-partitioned on src — the one-time exchange every vote
+    * round's join reuses).
+    */
+  private def coEdgesEnc(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    cached(
+      li.select(lpEnc(col("l_suppkey"), isS = true).as("src"),
+        lpEnc(col("l_partkey"), isS = false).as("dst"))
+        .union(li.select(lpEnc(col("l_partkey"), isS = false).as("src"),
+          lpEnc(col("l_suppkey"), isS = true).as("dst")))
+        .repartition(col("src")))
+  }
+
   def q_label_prop(s: SparkSession, dir: String): DataFrame =
-    labelPropagate(coEdges(s, dir), lpIters)
-      .groupBy(col("lbl").as("community"))
+    labelPropagate(coEdgesEnc(s, dir), lpIters)
+      .groupBy(col("lbl"))
       .agg(count(lit(1)).as("size"))
-      .orderBy(col("size").desc, col("community"))
+      .orderBy(col("size").desc, col("lbl"))
       .limit(20)
+      .select(lpDecode(col("lbl")).as("community"), col("size"))
 
   /** k-core parameters — shared verbatim with the oracle (the SQL
     * twin unrolls exactly [[kcoreMaxPeels]] peel rounds; the Spark

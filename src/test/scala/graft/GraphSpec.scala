@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.GraphOps
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q_pagerank vs a driver-side reference implementation of the SAME
@@ -135,6 +136,35 @@ class GraphSpec extends AnyFunSuite {
     assert(out2.size == 6 && out2.values.toSet.subsetOf(out2.keySet))
   }
 
+  test("delta-propagation LPA equals the full per-round recompute " +
+    "node-for-node: synthetic fixtures and the real co-purchase " +
+    "graph, at every round depth") {
+    import spark.implicits._
+    def sym(pairs: Seq[(String, String)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // bridged triangles + a path + a star: changed sets shrink at
+    // different speeds, exercising the frontier restriction
+    val g = sym(Seq(("a1","a2"),("a2","a3"),("a1","a3"),
+      ("b1","b2"),("b2","b3"),("b1","b3"),("a3","b1"),
+      ("c1","c2"),("c2","c3"),("c3","c4"),("c4","c5"),
+      ("h","x1"),("h","x2"),("h","x3"),("h","x4")))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    for (iters <- 1 to 4)
+      assert(labels(GraphOps.labelPropagateDelta(g, iters)) ==
+        labels(GraphOps.labelPropagate(g, iters)),
+        s"delta != full at iters=$iters")
+    // the real bipartite co-purchase edge shape (q_label_prop's input)
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val co = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .union(li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")))
+    assert(labels(GraphOps.labelPropagateDelta(co, GraphOps.lpIters)) ==
+      labels(GraphOps.labelPropagate(co, GraphOps.lpIters)))
+  }
+
   test("q_label_prop: community sizes are positive and labels are " +
     "graph nodes") {
     val out = GraphOps.q_label_prop(spark, TestSpark.sf0001).collect()
@@ -143,6 +173,47 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getLong(1) > 0)
       assert(r.getString(0).matches("[sp][0-9]+"))
     }
+  }
+
+  test("lpEnc is an order-isomorphism onto node-STRING order (the " +
+    "min-label tie-break both engines take) and lpDecode inverts it " +
+    "exactly, across digit-length boundaries and both sides") {
+    import spark.implicits._
+    val keys = Seq(0L, 1L, 2L, 9L, 10L, 11L, 12L, 19L, 20L, 99L, 100L,
+      101L, 199L, 200L, 999L, 1000L, 10000L, 123456789L, 999999999L,
+      1000000000L, 99999999999L)
+    def frame(isS: Boolean) = keys.toDF("k").select(
+      GraphOps.lpEnc(col("k"), isS).as("enc"),
+      concat(lit(if (isS) "s" else "p"), col("k").cast("string")).as("node"))
+    val got = frame(true).union(frame(false))
+      .select(col("node"), col("enc"),
+        GraphOps.lpDecode(col("enc")).as("dec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    got.foreach { case (node, _, dec) =>
+      assert(dec == node, s"decode($node) -> $dec") }
+    assert(got.map(_._2).distinct.length == got.length, "not injective")
+    assert(got.sortBy(_._2).map(_._1).toSeq == got.map(_._1).sorted.toSeq,
+      "long order != string order")
+  }
+
+  test("q_label_prop's encoded rounds equal the string-path recompute " +
+    "end-to-end on the real co-purchase graph") {
+    import spark.implicits._
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val co = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .union(li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")))
+    val strTop = GraphOps.labelPropagate(co, GraphOps.lpIters)
+      .groupBy(col("lbl").as("community"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val encTop = GraphOps.q_label_prop(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(encTop == strTop)
   }
 
   test("kcore: K4-with-tail fixture peels to exactly the clique; a " +
