@@ -622,6 +622,36 @@ object Oracles {
          |ORDER BY event_id""".stripMargin
     },
 
+    // native-operator tolerance as-of: SAME oracle as the composed
+    // q_join_asof_tol — the in-merge staleness check must be
+    // invisible in the values
+    "q_join_asof_tol_native" -> {
+      val tol = graft.operators.AsOfJoin.asofTolSecs
+      s"""SELECT event_id, coalesce((
+         |    SELECT p.event_id FROM events p
+         |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+         |      AND p.ts <= e.ts
+         |      AND epoch_us(e.ts) - epoch_us(p.ts) <= ${tol}000000
+         |    ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1)
+         |  AS prev_purchase_id_tol
+         |FROM (SELECT user_id, ts, event_id FROM events
+         |      WHERE event_type = 'error') e
+         |ORDER BY event_id""".stripMargin
+    },
+
+    // native-operator forward as-of: SAME oracle as the composed
+    // q_join_asof_fwd — the reverse-order merge must be invisible in
+    // the values
+    "q_join_asof_fwd_native" ->
+      """SELECT event_id, coalesce((
+        |    SELECT p.event_id FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |      AND p.ts >= e.ts
+        |    ORDER BY p.ts ASC, p.event_id ASC LIMIT 1), -1) AS next_purchase_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error') e
+        |ORDER BY event_id""".stripMargin,
+
     // forward as-of (AsOfJoin.q_join_asof_fwd): first purchase at or
     // after — min (ts, event_id)
     "q_join_asof_fwd" ->

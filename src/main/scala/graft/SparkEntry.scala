@@ -74,6 +74,8 @@ object SparkEntry {
     "q_join_asof" -> (AsOfJoin.q_join_asof _),
     "q_join_asof_native" -> (AsOfJoin.q_join_asof_native _),
     "q_join_asof_fwd" -> (AsOfJoin.q_join_asof_fwd _),
+    "q_join_asof_fwd_native" -> (AsOfJoin.q_join_asof_fwd_native _),
+    "q_join_asof_tol_native" -> (AsOfJoin.q_join_asof_tol_native _),
     "q_join_asof_nearest" -> (AsOfJoin.q_join_asof_nearest _),
     "q_join_asof_tol" -> (AsOfJoin.q_join_asof_tol _),
     "q_user_overlap" -> (Relational.q_user_overlap _),

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
-  Attribute, AttributeReference, BindReferences, Expression,
+  Attribute, AttributeReference, BindReferences, Descending, Expression,
   GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode,
   LogicalPlan, Project}
@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions.col
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   leftKey: Expression, leftTs: Expression, leftTie: Expression,
   rightKey: Expression, rightTs: Expression, rightTie: Expression,
-  payload: Expression, payloadOut: AttributeReference)
+  payload: Expression, payloadOut: AttributeReference,
+  forward: Boolean = false, tolMicros: Option[Long] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ payloadOut
   // the payload attribute is MINTED here, not inherited — without
@@ -54,11 +55,23 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * `(rKey, rTs) ≤ (lKey, lTs)`; the LAST right consumed for the
   * current key is by construction the max-(ts, tie) match — the
   * probe never buffers more than one right row.
+  *
+  * `forward = true` is the SAME merge walked in reverse event-time
+  * order: both sides sort (key ASC, ts DESC, tie DESC), rights are
+  * consumed while `rTs ≥ lTs`, and the last right consumed is the
+  * MIN-(ts, tie) at-or-after match — pandas merge_asof
+  * direction='forward' with the composition form's exact tie rule.
+  * `tolMicros` post-checks the match distance inside the merge
+  * (pandas `tolerance`): a match further than the bound from the
+  * probe row emits NULL instead — the match CHOICE is unchanged
+  * (latest-before / earliest-after first, then the staleness check),
+  * which is the point-in-time-correctness rule feature stores apply.
   */
 case class AsOfJoinExec(
   leftKey: Expression, leftTs: Expression, leftTie: Expression,
   rightKey: Expression, rightTs: Expression, rightTie: Expression,
   payload: Expression, payloadOut: AttributeReference,
+  forward: Boolean, tolMicros: Option[Long],
   left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ payloadOut
@@ -70,11 +83,13 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  private def tsDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
-      SortOrder(leftTie, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
-      SortOrder(rightTie, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir),
+      SortOrder(leftTie, tsDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir),
+      SortOrder(rightTie, tsDir)))
 
   override def outputPartitioning = left.outputPartitioning
 
@@ -110,17 +125,29 @@ case class AsOfJoinExec(
       readRight()
       var matchKey = 0L
       var matchPay: Any = null
+      var matchTs = 0L
       var hasMatch = false
+      val fwd = forward
+      val tol = tolMicros.getOrElse(-1L)
       lIter.map { l =>
         val lk = lKeyB.eval(l).asInstanceOf[Long]
         val lt = lTsB.eval(l).asInstanceOf[Long]
-        // consume every right row at or before (lk, lt); the last one
-        // with rKey == lk is the max-(ts, tie) match by sort order
-        while (rValid && (rKeyV < lk || (rKeyV == lk && rTsV <= lt))) {
-          if (rKeyV == lk) { matchKey = lk; matchPay = rPayV; hasMatch = true }
+        // consume every right row at or before (lk, lt) in the walk
+        // order — event-time ascending (backward) or descending
+        // (forward); the last one with rKey == lk is the
+        // max-(ts, tie) ≤ lt (backward) / min-(ts, tie) ≥ lt
+        // (forward) match by sort order
+        while (rValid && (rKeyV < lk ||
+          (rKeyV == lk && (if (fwd) rTsV >= lt else rTsV <= lt)))) {
+          if (rKeyV == lk) {
+            matchKey = lk; matchPay = rPayV; matchTs = rTsV; hasMatch = true
+          }
           readRight()
         }
-        payRow.update(0, if (hasMatch && matchKey == lk) matchPay else null)
+        val withinTol = tol < 0L ||
+          (if (fwd) matchTs - lt else lt - matchTs) <= tol
+        payRow.update(0,
+          if (hasMatch && matchKey == lk && withinTol) matchPay else null)
         proj(joined(l, payRow))
       }
     }
@@ -132,6 +159,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKey, p.leftTs, p.leftTie,
         p.rightKey, p.rightTs, p.rightTie, p.payload, p.payloadOut,
+        p.forward, p.tolMicros,
         planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
@@ -146,7 +174,8 @@ object AsOfJoinNative {
     * no conflicting attribute ids into the custom node.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
-    ts: String, tie: String, payload: String): DataFrame = {
+    ts: String, tie: String, payload: String,
+    forward: Boolean = false, tolMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // idempotent session-global registration (the strategy is a pure
     // pattern-match, inert for every other query); synchronized so
@@ -169,6 +198,7 @@ object AsOfJoinNative {
       rAttr(3).dataType, nullable = true)()
     GraftSqlShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       lAttr(key), lAttr(ts), lAttr(tie),
-      rAttr(0), rAttr(1), rAttr(2), rAttr(3), payloadOut))
+      rAttr(0), rAttr(1), rAttr(2), rAttr(3), payloadOut,
+      forward, tolMicros))
   }
 }

@@ -138,6 +138,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(back(12L) == 23L && fwd(12L) == -1L) // back-only, max tie
   }
 
+  test("native forward/tolerance variants reproduce their composed " +
+    "forms exactly on the real fixture and plan the custom exec") {
+    val pairs = Seq(
+      (AsOfJoin.q_join_asof_fwd_native(spark, dir),
+        AsOfJoin.q_join_asof_fwd(spark, dir), "fwd"),
+      (AsOfJoin.q_join_asof_tol_native(spark, dir),
+        AsOfJoin.q_join_asof_tol(spark, dir), "tol"))
+    pairs.foreach { case (native, composed, tag) =>
+      val a = native.collect().map(_.toString).toSeq
+      val b = composed.collect().map(_.toString).toSeq
+      assert(a.nonEmpty && a == b,
+        s"$tag: native (${a.length}) diverges from composed (${b.length})")
+      val phys = native.queryExecution.executedPlan.toString
+      assert(phys.contains("AsOfJoin"), s"$tag: custom exec not planned")
+      assert(!phys.contains("Window") && !phys.contains("Union"),
+        s"$tag: composition machinery leaked into the native plan")
+    }
+  }
+
+  test("native forward/tolerance: constructed edge cases — forward " +
+    "equal-ts takes MIN tie, stale backward match nulls out under " +
+    "tolerance while the in-tolerance one survives") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // fwd: match at 200; back+tol: nothing before
+      (1L, 250L, 11L), // fwd: equal-ts rights at 250 → min tie
+      (1L, 400L, 12L), // fwd: none after; back+tol: 250 within 100s? no (150 > 100) → null
+      (1L, 300L, 13L)  // back+tol: 250 within 100s → match (max tie)
+    ).toDF("k", "t", "id").select(col("k"),
+      col("t").cast("timestamp").as("t"), col("id"))
+    val right = Seq(
+      (1L, 200L, 21L), (1L, 250L, 22L), (1L, 250L, 23L)
+    ).toDF("k", "t", "id").select(col("k"),
+      col("t").cast("timestamp").as("t"), col("id"))
+    def run(fwd: Boolean, tol: Option[Long]) = graft.plans.AsOfJoinNative
+      .asofJoinNative(left, right, "k", "t", "id", payload = "id",
+        forward = fwd, tolMicros = tol)
+      .select("id", "asof_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val fwd = run(fwd = true, tol = None)
+    assert(fwd == Map(10L -> 21L, 11L -> 22L, 12L -> -1L, 13L -> -1L),
+      s"forward: $fwd")
+    val tol = run(fwd = false, tol = Some(100L * 1000000L))
+    assert(tol == Map(10L -> -1L, 11L -> 23L, 12L -> -1L, 13L -> 23L),
+      s"tolerance: $tol")
+    // forward + tolerance compose: 100's match at 200 is 100s away
+    // (within), 11's equal-ts match is 0s away, nothing else matches
+    val ft = run(fwd = true, tol = Some(100L * 1000000L))
+    assert(ft == Map(10L -> 21L, 11L -> 22L, 12L -> -1L, 13L -> -1L),
+      s"fwd+tol: $ft")
+  }
+
   test("native as-of join: constructed edge cases — no match before, " +
     "exact-ts tie, multiple rights at equal ts (max tie wins)") {
     import spark.implicits._
