@@ -2278,6 +2278,32 @@ object Oracles {
          |ORDER BY c.i, c.j""".stripMargin
     },
 
+    // sampled covariance (VectorOps.q_vec_cov_sample): the SAME
+    // exact-decimal moment pipeline over the SAME deterministic md5
+    // hash-sample (threshold interpolated from the shared constant) —
+    // the sampled estimator is hash-gated, not just error-bounded
+    "q_vec_cov_sample" -> {
+      val d = graft.operators.VectorOps.vecDim
+      val lt = graft.operators.VectorOps.covSampleHexLt
+      s"""WITH e AS (SELECT * FROM embeddings
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '$lt'),
+         |x AS (SELECT vec_id, i,
+         |    CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,8)) AS v
+         |  FROM e CROSS JOIN (SELECT unnest(range($d)) AS i)),
+         |cells AS (SELECT a.i AS i, b.i AS j,
+         |    sum(CAST(a.v * b.v AS DECIMAL(38,16))) AS spp,
+         |    count(*) AS n
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY a.i, b.i),
+         |m AS (SELECT i, sum(v) AS sv FROM x GROUP BY i)
+         |SELECT c.i, c.j,
+         |  round((CAST(c.n AS DOUBLE) * CAST(c.spp AS DOUBLE)
+         |      - CAST(ma.sv AS DOUBLE) * CAST(mb.sv AS DOUBLE))
+         |    / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)), 6) + 0.0 AS cov
+         |FROM cells c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
+         |ORDER BY c.i, c.j""".stripMargin
+    },
+
     // Poisson bootstrap (Relational.q_bootstrap): identical md5-slice
     // uniform, identical scaled-CDF integer thresholds (interpolated
     // from the shared constants), exact decimal sums

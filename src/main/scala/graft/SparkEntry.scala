@@ -209,6 +209,7 @@ object SparkEntry {
     "q_media_features" -> (MultimodalOps.q_media_features _),
     "q_media_dhash" -> (MultimodalOps.q_media_dhash _),
     "q_vec_cov" -> (VectorOps.q_vec_cov _),
+    "q_vec_cov_sample" -> (VectorOps.q_vec_cov_sample _),
     "q_vec_pca" -> (VectorOps.q_vec_pca _),
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),

@@ -453,4 +453,34 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r0 >= r1 && r1 > 0.0 && r0 <= 1.0)
     graft.Caches.releaseAll()
   }
+
+  test("q_vec_cov_sample: the deterministic 25% hash-sample estimator " +
+    "tracks the exact covariance within the delta-method 1/sqrt(n) " +
+    "envelope in every cell - the declared 100 TB sampling path is " +
+    "quantified, not asserted") {
+    val exact = VectorOps.q_vec_cov(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sampled = VectorOps.q_vec_cov_sample(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sampled.keySet == exact.keySet, "sample lost cells")
+    val nS = Tables(spark, dir, "embeddings")
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 2)
+        < VectorOps.covSampleHexLt).count()
+    val nAll = Tables(spark, dir, "embeddings").count()
+    // the md5 keep-rate is itself ~Binomial(n, 1/4)
+    assert(math.abs(nS.toDouble / nAll - 0.25)
+      <= 4 * math.sqrt(0.25 * 0.75 / nAll), s"keep rate ${nS}/${nAll}")
+    val diag = exact.collect { case ((i, j), c) if i == j => i -> c }
+    // delta-method SE of a sample covariance (near-gaussian):
+    // Var(c_ij) ~ (c_ii*c_jj + c_ij^2)/n. Expected max |z| over 2080
+    // cells ~ 3.5 sigma; 6 is a non-flaky envelope that still fails
+    // on any real estimator bug (wrong scaling shows up as z ~ 30+).
+    val worst = exact.map { case ((i, j), c) =>
+      val se = math.sqrt((diag(i) * diag(j) + c * c) / nS)
+      math.abs(sampled((i, j)) - c) / se
+    }.max
+    assert(worst <= 6.0,
+      f"worst |sampled-exact|/SE = $worst%.2f exceeds the 6-sigma envelope")
+    graft.Caches.releaseAll()
+  }
 }
