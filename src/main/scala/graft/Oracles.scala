@@ -799,6 +799,28 @@ object Oracles {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // streaming funnel (Streams.q_stream_funnel): SAME oracle as the
+    // batch form — an AvailableNow drain keeps every event inside the
+    // staleness horizon, so the state machine's stages must be exact
+    "q_stream_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |    JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |    JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |    GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+        |    (SELECT count(*) FROM c) AS nc,
+        |    (SELECT count(*) FROM p) AS np)
+        |SELECT '1_view' AS stage, nv AS users, CAST(1.0 AS DOUBLE) AS pct FROM n
+        |UNION ALL SELECT '2_click', nc, round(CAST(nc AS DOUBLE) / nv, 4) FROM n
+        |UNION ALL SELECT '3_purchase', np, round(CAST(np AS DOUBLE) / nv, 4) FROM n
+        |ORDER BY stage""".stripMargin,
+
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |    WHERE event_type = 'view' GROUP BY user_id),

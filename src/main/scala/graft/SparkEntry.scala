@@ -280,6 +280,7 @@ object SparkEntry {
     "q_stream_retention" -> (streaming.Streams.q_stream_retention _),
     "q_stream_paths" -> (streaming.Streams.q_stream_paths _),
     "q_stream_sessionize" -> (streaming.Streams.q_stream_sessionize _),
+    "q_stream_funnel" -> (streaming.Streams.q_stream_funnel _),
     "q_stream_windowed" -> (streaming.Streams.q_stream_windowed _),
     "q_stream_lww" -> (streaming.Streams.q_stream_lww _),
     "q_stream_topk" -> (streaming.Streams.q_stream_topk _),

@@ -647,6 +647,139 @@ object Streams {
       }
   }
 
+  case class FunnelSnap(user_id: Long, v: Long, c: Long, p: Long, rev: Long)
+
+  /** Dead-letter counter for [[funnelStages]]' beyond-horizon drop
+    * path (same contract as [[sessionizeDrops]]): zero after a drain
+    * ⇔ no event arrived more than the staleness horizon behind its
+    * user's frontier, i.e. the emitted stages are EXACT.
+    */
+  private val funnelDropAccs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
+
+  def funnelDrops(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    funnelDropAccs.computeIfAbsent(spark.sparkContext,
+      _.longAccumulator("graft.funnel.stragglerDrops"))
+
+  /** Default staleness horizon for the declared streaming funnel:
+    * 30 days of event time. */
+  private[graft] val funnelHorizonMicros: Long = 30L * 24 * 3600 * 1000000L
+
+  /** Streaming ordered funnel — the bounded approximation of batch
+    * q_funnel a practitioner actually deploys. The exact streaming
+    * funnel needs unbounded state: a click is only stage-2 if it
+    * falls strictly after the user's FIRST view, so a late view can
+    * re-qualify a click discarded arbitrarily long ago (the
+    * obstruction documented on [[retentionSnapshots]]). The bounded
+    * form keeps, per user:
+    *
+    *  - `cutoff` = (max event time seen) − `horizonMicros`;
+    *  - the FROZEN stage firsts (v, c, p in micros, −1 = unreached)
+    *    folded from events already evicted past the cutoff;
+    *  - a re-qualification BUFFER of the events still inside the
+    *    horizon (the state bound: events per user per horizon).
+    *
+    * Each batch inserts events at-or-after the cutoff (older ones
+    * are beyond-horizon stragglers: dropped + counted in
+    * [[funnelDrops]]), advances the cutoff, folds newly-evicted
+    * events into the frozen triple in event-time order, and emits an
+    * Update-mode snapshot of fold(frozen, buffer). Every buffered
+    * event is strictly newer than every evicted one, so within-
+    * horizon disorder is invisible: any arrival order whose lateness
+    * stays under the horizon yields EXACTLY batch q_funnel's stages
+    * (StreamingSpec pins both the exactness inside the horizon on an
+    * adversarially reversed split, and the measured divergence + drop
+    * count once the horizon is deliberately undersized). The stage
+    * fold itself is order-independent at equal timestamps because a
+    * qualifying event must be STRICTLY after the prior stage.
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+    horizonMicros: Long = funnelHorizonMicros): Dataset[FunnelSnap] = {
+    import spark.implicits._
+    val drops = funnelDrops(spark)
+    def micros(e: EventRow): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    // fold one event into a stage triple (ascending-ts discipline)
+    def fold(st: (Long, Long, Long), tpe: String, ts: Long)
+      : (Long, Long, Long) = {
+      val (v, c, p) = st
+      tpe match {
+        case "view" if v < 0 => (ts, c, p)
+        case "click" if v >= 0 && ts > v && c < 0 => (v, ts, p)
+        case "purchase" if c >= 0 && ts > c && p < 0 => (v, c, ts)
+        case _ => st
+      }
+    }
+    // state: (cutoff, frozen v, frozen c, frozen p, rev, buffer)
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+          st: GroupState[(Long, Long, Long, Long, Long, Seq[(Long, String)])]) =>
+          var (cutoff, fv, fc, fp, rev, buf) = st.getOption.getOrElse(
+            (Long.MinValue, -1L, -1L, -1L, 0L, Seq.empty[(Long, String)]))
+          val incoming = rows.map(e => (micros(e), e.event_type)).toSeq
+          val (fresh, stale) = incoming.partition(_._1 >= cutoff)
+          if (stale.nonEmpty) drops.add(stale.size.toLong)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val maxSeen = math.max(
+              if (cutoff == Long.MinValue) Long.MinValue
+              else cutoff + horizonMicros,
+              fresh.iterator.map(_._1).max)
+            // saturating subtraction: the first batch's cutoff must
+            // not wrap below MinValue
+            cutoff =
+              if (maxSeen < Long.MinValue + horizonMicros) Long.MinValue
+              else maxSeen - horizonMicros
+            val (evict, keep) = (buf ++ fresh).partition(_._1 < cutoff)
+            var frozen = (fv, fc, fp)
+            evict.sorted.foreach { case (ts, tpe) =>
+              frozen = fold(frozen, tpe, ts) }
+            buf = keep
+            rev += 1
+            st.update((cutoff, frozen._1, frozen._2, frozen._3, rev, buf))
+            var cur = frozen
+            buf.sorted.foreach { case (ts, tpe) => cur = fold(cur, tpe, ts) }
+            Iterator(FunnelSnap(uid, cur._1, cur._2, cur._3, rev))
+          }
+      }
+  }
+
+  /** Declared query: [[funnelStages]] drained end-to-end, the max-rev
+    * snapshot per user counted into batch q_funnel's exact 3-row
+    * output shape (stage, users, pct). Oracle = q_funnel's DuckDB
+    * twin verbatim: an AvailableNow drain is one micro-batch, where
+    * every event is inside the horizon and the emitted stages are
+    * exact by construction.
+    */
+  def q_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, funnelStages(s, events),
+      OutputMode.Update, "stream_funnel") { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("rev").desc)
+      val last = sink.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      last.agg(
+          sum(when(col("v") >= 0, 1L).otherwise(0L)).as("nv"),
+          sum(when(col("c") >= 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("p") >= 0, 1L).otherwise(0L)).as("np"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("nv").as("users"),
+            lit(1.0).as("pct")),
+          struct(lit("2_click").as("stage"), col("nc").as("users"),
+            round(col("nc").cast("double") / col("nv"), 4).as("pct")),
+          struct(lit("3_purchase").as("stage"), col("np").as("users"),
+            round(col("np").cast("double") / col("nv"), 4).as("pct"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.users").as("users"),
+          col("r.pct").as("pct"))
+        .orderBy("stage")
+    }
+  }
+
   /** foreachBatch LWW upsert sink over a parquet directory: merge the
     * micro-batch with existing state, keep the newest row per key
     * (`keyCol`, ordered by `orderCols` desc), atomically swap. The

@@ -519,6 +519,91 @@ class StreamingSpec extends AnyFunSuite {
       "stragglers must surface as a non-zero drop count")
   }
 
+  private def funnelFinal(snapDf: org.apache.spark.sql.DataFrame)
+    : (Long, Long, Long) = {
+    val last = snapDf.collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2),
+        r.getLong(3))))
+      .groupBy(_._1).map { case (_, rows) => rows.map(_._2).maxBy(_._1) }
+    (last.count(_._2 >= 0).toLong, last.count(_._3 >= 0).toLong,
+      last.count(_._4 >= 0).toLong)
+  }
+
+  private def batchFunnelCounts: (Long, Long, Long) = {
+    val rows = Relational.q_funnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (rows("1_view"), rows("2_click"), rows("3_purchase"))
+  }
+
+  private def runFunnel(first: org.apache.spark.sql.DataFrame,
+    second: org.apache.spark.sql.DataFrame, horizonMicros: Long,
+    tag: String): (Long, Long, Long) = {
+    val d = Files.createTempDirectory(s"events_funnel_$tag")
+    stageParquet(d, first, "batch1.parquet")
+    val raw = spark.readStream.schema(first.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory(s"ck_funnel_$tag").toString
+    val q = Streams.funnelStages(spark, raw, horizonMicros)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(s"funnel_$tag")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stageParquet(d, second, "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    funnelFinal(spark.table(s"funnel_$tag"))
+  }
+
+  test("streaming funnel: exact vs batch q_funnel under an in-order " +
+    "split, and exact under ADVERSARIAL disorder while lateness stays " +
+    "inside the horizon - the re-qualification buffer works") {
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = tsMedian(ev)
+    val older = ev.filter(col("ts").cast("long") < median)
+    val newer = ev.filter(col("ts").cast("long") >= median)
+    val batch = batchFunnelCounts
+    val drops = Streams.funnelDrops(spark)
+    val d0 = drops.value
+    assert(runFunnel(older, newer, Streams.funnelHorizonMicros,
+      "inorder") == batch, "in-order split diverged from batch")
+    // adversarial: the NEWER half arrives first; a horizon wider than
+    // the fixture's full time span keeps every straggler inside the
+    // buffer, so the result must STILL be exact
+    val spanMicros = ev.selectExpr(
+      "CAST((max(cast(ts AS DOUBLE)) - min(cast(ts AS DOUBLE))) " +
+        "* 1000000 AS BIGINT) AS s").first().getLong(0)
+    assert(runFunnel(newer, older, spanMicros + 1000000L,
+      "advwide") == batch, "within-horizon disorder changed the stages")
+    assert(drops.value == d0, "no event was beyond these horizons")
+  }
+
+  test("streaming funnel: an UNDERSIZED horizon under adversarial " +
+    "order degrades one-sidedly (never over-counts a stage) and the " +
+    "drops are observable in the funnelDrops accumulator") {
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val median = tsMedian(ev)
+    val older = ev.filter(col("ts").cast("long") < median)
+    val newer = ev.filter(col("ts").cast("long") >= median)
+    val batch = batchFunnelCounts
+    val drops = Streams.funnelDrops(spark)
+    val d0 = drops.value
+    // one-hour horizon, newest half first: the older half arrives
+    // mostly beyond-horizon for every user already seen
+    val approx = runFunnel(newer, older, 3600L * 1000000L, "advnarrow")
+    assert(drops.value > d0, "stragglers must surface in the counter")
+    // processed events are a subset, and v_approx >= v_true makes
+    // approx-qualification imply batch-qualification: each stage can
+    // only undershoot
+    assert(approx._1 <= batch._1 && approx._2 <= batch._2 &&
+      approx._3 <= batch._3, s"over-count: $approx vs $batch")
+    assert(approx != batch,
+      "fixture failed to exercise the divergence (horizon too wide?)")
+    info(s"measured divergence at 1h horizon: approx=$approx batch=$batch " +
+      s"drops=${drops.value - d0}")
+  }
+
   test("streaming anomaly flags vs a static hour-of-day baseline " +
     "equal the batch recompute; decisions are integer-exact") {
     val ev = Tables(spark, dir, "events")
