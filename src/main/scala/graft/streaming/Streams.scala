@@ -978,25 +978,46 @@ object Streams {
   private def drainAndProject[T](spark: SparkSession, stream: Dataset[T],
     mode: OutputMode, tag: String)(project: DataFrame => DataFrame)
     : DataFrame = {
-    val name = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ck = Files.createTempDirectory(s"ck_$tag")
-    val q = stream.writeStream
+    // Emissions land in a temp PARQUET dir via foreachBatch (which
+    // accepts every output mode), NOT a memory sink: the memory sink
+    // serializes EVERY emission to the driver, which is exactly the
+    // unbounded piece — measured at sf100, the 100M-transition drain
+    // died on spark.driver.maxResultSize (1 GiB) before the bounded
+    // projection ever ran. With a file landing zone the emissions
+    // stay on executors/disk and `project` runs as a distributed
+    // aggregation; only its bounded result is collected.
+    val land = Files.createTempDirectory(s"emit_$tag")
+    val emitSchema = stream.schema
+    val q = stream.toDF().writeStream
       .outputMode(mode)
-      .format("memory").queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(land.toString)
+      }
       .option("checkpointLocation", ck.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = project(spark.table(name))
+    val hasFiles = {
+      val ls = Files.list(land)
+      try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+    val emitted =
+      if (hasFiles) spark.read.schema(emitSchema).parquet(land.toString)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), emitSchema)
+    val out = project(emitted)
     val rows = java.util.Arrays.asList(out.collect(): _*)
     val schema = out.schema
-    spark.catalog.dropTempView(name)
-    // checkpoint is per-invocation scratch — drop it so repeated
-    // bench passes don't accumulate state dirs
-    val walk = Files.walk(ck)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
-    finally walk.close()
+    // checkpoint + landing dirs are per-invocation scratch — drop
+    // them so repeated bench passes don't accumulate state
+    Seq(ck, land).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
     spark.createDataFrame(rows, schema)
   }
 
