@@ -52,27 +52,15 @@ object GraphOps {
     * rank (nano-units rescaled to a double for readability — a
     * BIGINT/10⁹ division both engines compute identically in IEEE).
     */
-  /** Symmetric supplier↔part co-purchase edge list, cached — the
-    * shared substrate of q_pagerank and q_bfs (CacheManager dedups by
-    * logical plan, so both queries in one session read one
-    * materialization).
-    */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
-    // no outer distinct: the two branches are prefix-disjoint (src
-    // starts 's' in one, 'p' in the other) and each is distinct
-    // because li is — the dedup would be a pure extra shuffle over
-    // 2×|edges| rows paid by every graph query sharing this cache
-    cached(
-      li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-        .union(li.select(concat(lit("p"), col("l_partkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))))
-  }
-
   def q_pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(s, dir)
+    // encoded-long edge substrate (shared cache with q_bfs and
+    // q_label_prop): every iteration shuffles (node, rank) as two
+    // longs instead of an ~8-char string + long, and every
+    // join/aggregate hashes longs. The ORDER-ISOMORPHIC encoding
+    // ([[lpEnc]]) keeps the `node` tie-break of the final ordering
+    // identical to the oracle's string order; decode touches only
+    // the top-50 rows.
+    val edges = coEdgesEnc(s, dir)
     // stage degree ONTO the edge list once (cached): each iteration
     // is then one join + one hash aggregate instead of re-deriving
     // deg (an extra aggregate + join per iteration — the pre-fix
@@ -85,8 +73,11 @@ object GraphOps {
       .select(col("src").as("node"),
         expr(s"${prScale}L div __n").as("nr"))
     for (_ <- 1 to prIters) {
+      // shuffle_hash on the |V|-row rank side — an SMJ would re-sort
+      // the |E| edge side every iteration (the lpVote rule)
       val contrib = edgesDeg
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst"), expr("nr div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
       rank = contrib.crossJoin(n)
@@ -100,6 +91,8 @@ object GraphOps {
           .as("pagerank"))
       .orderBy(col("pagerank").desc, col("node"))
       .limit(50)
+      .select(lpDecode(col("node")).as("node"), col("deg"),
+        col("pagerank"))
   }
 
   /** BFS hop count for q_bfs — shared verbatim with the oracle. */
@@ -123,9 +116,14 @@ object GraphOps {
     * AQE broadcasts them into the edge join.
     */
   def q_bfs(s: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(s, dir)
+    // encoded-long substrate (shared cache with q_pagerank and
+    // q_label_prop); the seed "s1" is lpEnc(1, s-side). Frontier
+    // dedup/anti-joins hash longs; the final ORDER BY on the encoded
+    // node ≡ the oracle's string order (the [[lpEnc]] isomorphism),
+    // decode is the last projection.
+    val e = coEdgesEnc(s, dir)
     val seed = s.range(1)
-      .select(lit(bfsSeed).as("node"), lit(0L).as("dist"))
+      .select(lpEnc(lit(1L), isS = true).as("node"), lit(0L).as("dist"))
     var dist = seed
     var frontier = seed.select("node")
     for (i <- 1 to bfsHops) {
@@ -146,6 +144,7 @@ object GraphOps {
       frontier = novel.select("node")
     }
     dist.orderBy("node")
+      .select(lpDecode(col("node")).as("node"), col("dist"))
   }
 
   /** Per-node triangle counts + local clustering coefficient over an
