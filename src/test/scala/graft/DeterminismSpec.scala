@@ -33,7 +33,15 @@ class DeterminismSpec extends AnyFunSuite {
     // eigen over a collected summary + decimal projection moments
     // (q_vec_pca — the collect must see the same cells regardless
     // of partitioning)
-    "q_vec_cov", "q_sparse_sim", "q_bootstrap", "q_vec_pca")
+    "q_vec_cov", "q_sparse_sim", "q_bootstrap", "q_vec_pca",
+    // r7 families: BootstrapAgg's partial buffers merge in
+    // partition-dependent order (elementwise exact-integer adds must
+    // commute — q_bootstrap above now exercises the Aggregator
+    // form); encoded-long graph rounds (q_label_prop — struct-min
+    // argmax over long keys, decode of the top-20), md5-sampled
+    // covariance (q_vec_cov_sample), streaming drain through a
+    // parquet landing dir + stage fold (q_stream_funnel)
+    "q_label_prop", "q_vec_cov_sample", "q_stream_funnel")
 
   test("declared outputs are identical under 3 vs 7 shuffle partitions") {
     val conf = spark.conf
