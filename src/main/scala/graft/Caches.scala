@@ -47,6 +47,18 @@ object Caches {
         df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Permanent callbacks run on every [[releaseAll]] — for
+    * DRIVER-side memos that shadow a Spark cache (q_vec_pca's
+    * collected covariance summary): anything that invalidates the
+    * Spark caches (a partitioning change in DeterminismSpec, the end
+    * of a measured run) must drop those memos too, or a spec that
+    * re-runs the query compares the memo with itself.
+    */
+  private val releaseHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  def addReleaseHook(f: () => Unit): Unit = releaseHooks.add(f)
+
   /** Unpersist everything registered since the last call. Non-blocking
     * (the executors drop blocks asynchronously); NOT cascading — by
     * the time a run ends no dependent query is still executing.
@@ -57,5 +69,6 @@ object Caches {
       df.unpersist(blocking = false)
       df = registry.poll()
     }
+    releaseHooks.forEach(f => f())
   }
 }

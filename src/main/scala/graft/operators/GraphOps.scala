@@ -117,13 +117,16 @@ object GraphOps {
     */
   def q_bfs(s: SparkSession, dir: String): DataFrame = {
     // encoded-long substrate (shared cache with q_pagerank and
-    // q_label_prop); the seed "s1" is lpEnc(1, s-side). Frontier
-    // dedup/anti-joins hash longs; the final ORDER BY on the encoded
-    // node ≡ the oracle's string order (the [[lpEnc]] isomorphism),
-    // decode is the last projection.
+    // q_label_prop); the seed is PARSED from the shared bfsSeed
+    // constant (the oracle interpolates the same string and
+    // GraphSpec's reference BFS walks from it — one edit must move
+    // all three). Frontier dedup/anti-joins hash longs; the final
+    // ORDER BY on the encoded node ≡ the oracle's string order (the
+    // [[lpEnc]] isomorphism), decode is the last projection.
     val e = coEdgesEnc(s, dir)
     val seed = s.range(1)
-      .select(lpEnc(lit(1L), isS = true).as("node"), lit(0L).as("dist"))
+      .select(lpEnc(lit(bfsSeed.tail.toLong),
+        isS = bfsSeed.head == 's').as("node"), lit(0L).as("dist"))
     var dist = seed
     var frontier = seed.select("node")
     for (i <- 1 to bfsHops) {
@@ -248,7 +251,7 @@ object GraphOps {
     * the same joins. The oracle keeps the row_number formulation —
     * an independent derivation of the same total order.
     */
-  private def lpVote(edges: DataFrame, lbl: DataFrame): DataFrame =
+  private[graft] def lpVote(edges: DataFrame, lbl: DataFrame): DataFrame =
     // shuffle_hash, not sort-merge: the label side is |V| rows (the
     // per-partition hash build is small) while SMJ would re-SORT the
     // |E| edge side every round — with the edge cache pre-partitioned
@@ -349,9 +352,12 @@ object GraphOps {
     *    shared prefix ("1" vs "10" both align to 10…0) and '0' is the
     *    least digit, so lex order is prefix-first — the +len term;
     *    any other first difference already decides both orders.
-    *  - Bounds: d < 10^17 (far beyond any key domain; 10^k is exact
-    *    in double for k ≤ 22 so the BIGINT cast is exact), max enc
-    *    = 4e18 + 1.6e18 < Long.Max.
+    *  - Bounds: d < 10^15 — the length rides in a 4-bit nibble, so
+    *    len ≤ 15 is hard (a 16-digit key would carry into aligned's
+    *    low bit and corrupt both digits and ordering); lpEnc
+    *    raise_errors loudly past it (still far beyond any key
+    *    domain; 10^k is exact in double for k ≤ 22 so the BIGINT
+    *    cast is exact); max enc = 4e18 + 1.6e18 < Long.Max.
     *
     * Counts/grouping are injection-invariant, so the whole vote runs
     * on longs; the decode (inverse arithmetic) touches only the
@@ -368,8 +374,16 @@ object GraphOps {
     val aligned = key.cast("long") *
       pow(lit(10.0), lit(17L) - len).cast("long")
     // ·16 + len as shifts: Spark's `/` on longs is DOUBLE division
-    // (unsafe past 2^53), so the decode must be bit-exact shifts
-    val body = shiftleft(aligned, 4) + len
+    // (unsafe past 2^53), so the decode must be bit-exact shifts.
+    // The length rides in a 4-bit NIBBLE, so len ≤ 15 (key < 10^15)
+    // is a hard bound — at 16 digits the +len would carry into
+    // aligned's low bit and silently corrupt both the digits and the
+    // ordering, hence the loud guard instead (GraphSpec pins the
+    // 15-digit boundary and the 16-digit rejection).
+    val body = when(len <= 15L, shiftleft(aligned, 4) + len)
+      .otherwise(raise_error(concat(
+        lit("lpEnc: key exceeds the 15-digit bound: "),
+        key.cast("string"))))
     if (isS) body + lpSBit else body
   }
 
@@ -390,7 +404,7 @@ object GraphOps {
     * and pre-partitioned on src — the one-time exchange every vote
     * round's join reuses).
     */
-  private def coEdgesEnc(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coEdgesEnc(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey")).distinct()
     cached(

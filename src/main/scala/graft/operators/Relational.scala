@@ -567,25 +567,24 @@ object Relational {
     * must be invisible in the values.
     *
     * The rule + width conf live on an ISOLATED child session
-    * (`newSession()`: own SessionState/conf/experimental, shared
-    * SparkContext and cache), NOT the caller's: a session-global
-    * registration would silently rewrite every later Long-bounded
-    * inner join in the session, and a user interval much wider than
-    * the 3600 width would explode `sequence()` per build row in an
-    * unrelated query. One child session is memoized per parent so
-    * repeated bench/verify invocations don't pile up SessionStates.
+    * (`cloneSession()` via the sql shim: own SessionState/conf/
+    * experimental, shared SparkContext and cache), NOT the caller's:
+    * a session-global registration would silently rewrite every
+    * later Long-bounded inner join in the session, and a user
+    * interval much wider than the 3600 width would explode
+    * `sequence()` per build row in an unrelated query. Clone — not
+    * `newSession()` — and clone PER CALL: a new session starts from
+    * SparkConf defaults and a memoized child freezes them, so
+    * harness runtime conf (shuffle partitions, cache mode, AQE
+    * toggles) would silently stop applying to this one query; the
+    * clone inherits the caller's runtime conf at call time and is
+    * GC'd with the returned frame.
     */
-  private val rangeAutoSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-
   def q_join_range_auto(s0: SparkSession, dir: String): DataFrame = {
-    val s = rangeAutoSessions.computeIfAbsent(s0, { parent =>
-      val child = parent.newSession()
-      child.experimental.extraOptimizations =
-        child.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
-      child.conf.set(graft.plans.RangeJoinRule.widthKey, "3600")
-      child
-    })
+    val s = org.apache.spark.sql.GraftSqlShim.cloneSession(s0)
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    s.conf.set(graft.plans.RangeJoinRule.widthKey, "3600")
     val evs = t(s, dir, "events").select(col("ts").cast("long").as("ts_s"))
     val hot = t(s, dir, "events")
       .groupBy((col("ts").cast("long")

@@ -885,10 +885,14 @@ object VectorOps {
     * DataFrame-CONSTRUCTION time on every invocation broke the
     * "construction is analysis-only" assumption the plan-shape/
     * schema test loops rely on — each ContractSpec/PlanSpec iteration
-    * was re-running the covariance job. One pass per dir per JVM.
+    * was re-running the covariance job. Cleared by every
+    * Caches.releaseAll (the hook below): a driver memo that outlived
+    * the Spark caches would make DeterminismSpec's 3-vs-7-partition
+    * q_vec_pca runs compare the memo with itself.
     */
   private val covCellsCollected = new java.util.concurrent.ConcurrentHashMap[
     String, Array[org.apache.spark.sql.Row]]()
+  graft.Caches.addReleaseHook(() => covCellsCollected.clear())
 
   def q_vec_pca(s: SparkSession, dir: String): DataFrame = {
     val cells = covCellsCollected.computeIfAbsent(

@@ -634,10 +634,18 @@ object Streams {
               }
               n += 1; lastMs = k._1; lastNanos = k._2; lastId = k._3
               touched(sid) = SessionSnap(uid, sid, startS, sec, n, rev + 1)
-            } else drops.add(1L) // older than the stored last:
-            // contract violation — drop, but observably (dead-letter
-            // counter; a re-executed task may double-count, which is
-            // fine for a violation DETECTOR: zero still means clean)
+            } else if (Ordering[(Long, Int, Long)]
+              .lt(k, (lastMs, lastNanos, lastId))) {
+              // strictly OLDER than the stored last: contract
+              // violation — drop, but observably (dead-letter
+              // counter; a re-executed task may double-count, which
+              // is fine for a violation DETECTOR: zero still means
+              // clean). An EQUAL key is a benign at-least-once
+              // redelivery of the newest event: ignored silently, it
+              // changes no session split and must not trip the
+              // zero ⇔ contract-held invariant.
+              drops.add(1L)
+            }
           }
           if (touched.nonEmpty) {
             rev += 1
@@ -989,22 +997,36 @@ object Streams {
     // aggregation; only its bounded result is collected.
     val land = Files.createTempDirectory(s"emit_$tag")
     val emitSchema = stream.schema
+    // one OVERWRITTEN subdir per batchId: foreachBatch is
+    // at-least-once, so a replayed batch must land idempotently (a
+    // bare append would double-count its rows), and Complete mode
+    // re-emits the WHOLE aggregate each batch, so only the last
+    // batch's subdir may be read — the memory sink's skip-committed
+    // and truncate semantics, reproduced on files
     val q = stream.toDF().writeStream
       .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(land.toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$land/b${"%09d".format(id)}")
       }
       .option("checkpointLocation", ck.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val hasFiles = {
+    val batchDirs = {
       val ls = Files.list(land)
-      try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally ls.close()
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.filter(p => p.getFileName.toString.startsWith("b"))
+          .sorted().iterator().asScala.map(_.toString).toList
+      } finally ls.close()
     }
+    val readDirs =
+      if (mode == OutputMode.Complete()) batchDirs.takeRight(1)
+      else batchDirs
     val emitted =
-      if (hasFiles) spark.read.schema(emitSchema).parquet(land.toString)
+      if (readDirs.nonEmpty)
+        spark.read.schema(emitSchema).parquet(readDirs: _*)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), emitSchema)
     val out = project(emitted)

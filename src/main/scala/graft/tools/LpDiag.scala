@@ -2,12 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
 
 /** Diagnostic: per-round label-churn profile of the co-purchase LPA —
   * how many nodes change label in each synchronous round, and how
   * many nodes the next round's restricted re-vote would touch. This
-  * is the sizing fact the delta-propagation rewrite stands on (args:
-  * sfDir, [iters]).
+  * is the sizing fact the delta-propagation decision stands on (the
+  * r7 measurement: 100% churn at every round and scale — bipartite
+  * oscillation — so the frontier form was rejected for q_label_prop).
+  * Runs on the SHIPPED substrate and vote body (GraphOps.coEdgesEnc +
+  * GraphOps.lpVote) so the timings describe the production path and
+  * cannot drift from it. Args: sfDir, [iters].
   */
 object LpDiag {
   def main(args: Array[String]): Unit = {
@@ -24,13 +29,7 @@ object LpDiag {
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val li = graft.Tables(spark, sfDir, "lineitem")
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
-    val e = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-      .union(li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")))
-      .persist()
+    val e = GraphOps.coEdgesEnc(spark, sfDir)
     val nE = e.count()
     val nV = e.select("src").distinct().count()
     System.err.println(s"[lpdiag] |E|=$nE |V|=$nV")
@@ -38,13 +37,7 @@ object LpDiag {
       .agg(min(col("src")).as("lbl")).localCheckpoint()
     for (r <- 2 to iters) {
       val t0 = System.nanoTime()
-      val lbl = e.join(prev.withColumnRenamed("node", "src"), "src")
-        .repartition(col("dst"))
-        .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
-        .groupBy("dst")
-        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
-        .select(col("dst").as("node"), col("m.lbl").as("lbl"))
-        .localCheckpoint()
+      val lbl = GraphOps.lpVote(e, prev).localCheckpoint()
       val changed = lbl.join(prev.withColumnRenamed("lbl", "plbl"), "node")
         .filter(col("lbl") =!= col("plbl")).select(col("node").as("src"))
         .localCheckpoint()

@@ -181,7 +181,9 @@ class GraphSpec extends AnyFunSuite {
     import spark.implicits._
     val keys = Seq(0L, 1L, 2L, 9L, 10L, 11L, 12L, 19L, 20L, 99L, 100L,
       101L, 199L, 200L, 999L, 1000L, 10000L, 123456789L, 999999999L,
-      1000000000L, 99999999999L)
+      1000000000L, 99999999999L,
+      // the 15-digit NIBBLE boundary (len ≤ 15 is the hard bound)
+      100000000000000L, 999999999999999L)
     def frame(isS: Boolean) = keys.toDF("k").select(
       GraphOps.lpEnc(col("k"), isS).as("enc"),
       concat(lit(if (isS) "s" else "p"), col("k").cast("string")).as("node"))
@@ -194,6 +196,15 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length == got.length, "not injective")
     assert(got.sortBy(_._2).map(_._1).toSeq == got.map(_._1).sorted.toSeq,
       "long order != string order")
+    // past the nibble: a 16-digit key must FAIL LOUDLY, never
+    // silently corrupt the digits/ordering (the +len carry)
+    val ex = intercept[Exception] {
+      Seq(1000000000000000L).toDF("k")
+        .select(GraphOps.lpEnc(col("k"), isS = true)).collect()
+    }
+    assert(ex.getMessage.contains("15-digit") ||
+      Option(ex.getCause).exists(_.getMessage.contains("15-digit")),
+      s"wrong failure: $ex")
   }
 
   test("q_label_prop's encoded rounds equal the string-path recompute " +
