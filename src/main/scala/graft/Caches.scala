@@ -62,6 +62,13 @@ object Caches {
   /** Unpersist everything registered since the last call. Non-blocking
     * (the executors drop blocks asynchronously); NOT cascading — by
     * the time a run ends no dependent query is still executing.
+    *
+    * Every hook runs even if one throws: the caches are already
+    * drained by the time the hooks fire, so skipping the remaining
+    * hooks would leave driver memos (q_vec_pca's summary) outliving
+    * the Spark caches they shadow — exactly the staleness the hook
+    * mechanism exists to prevent. A failing hook is logged, never
+    * propagated.
     */
   def releaseAll(): Unit = {
     var df = registry.poll()
@@ -69,6 +76,11 @@ object Caches {
       df.unpersist(blocking = false)
       df = registry.poll()
     }
-    releaseHooks.forEach(f => f())
+    releaseHooks.forEach { f =>
+      try f()
+      catch { case t: Throwable =>
+        System.err.println(s"[graft.Caches] release hook failed: $t")
+      }
+    }
   }
 }

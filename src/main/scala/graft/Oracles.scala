@@ -2348,8 +2348,9 @@ object Oracles {
          |uu AS (SELECT b, x, CAST($u AS BIGINT) AS u FROM hh),
          |wgt AS (SELECT b, x, $w AS w FROM uu)
          |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
-         |  round(CAST(sum(CAST(x * w AS DECIMAL(38,2))) AS DOUBLE)
-         |    / CAST(sum(w) AS DOUBLE), 6) AS mean_b
+         |  CASE WHEN sum(w) > 0 THEN
+         |    round(CAST(sum(CAST(x * w AS DECIMAL(38,2))) AS DOUBLE)
+         |      / CAST(sum(w) AS DOUBLE), 6) END AS mean_b
          |FROM wgt GROUP BY b ORDER BY b""".stripMargin
     },
 

@@ -3221,10 +3221,16 @@ object Relational {
       .flatMap(identity(_))
       .toDF("b", "n_eff", "sx_cents")
       // cents → dollars through DECIMAL (exact; scale ≥ 2 keeps every
-      // cent), then the oracle's double division + round
+      // cent), then the oracle's double division + round. The n_eff>0
+      // guard (shared by the exploded form and the oracle's CASE)
+      // makes an all-zero replica a clear NULL instead of a 0/0 NaN —
+      // Poisson(1) over any fixture cardinality makes it practically
+      // impossible (p = (1−19/32·…)ⁿ ≈ e⁻ⁿ·ᶜ), but a NaN here would
+      // surface as a confusing gate diff rather than a readable row
       .select(col("b"), col("n_eff"),
-        round((col("sx_cents").cast("decimal(38,2)") / 100).cast("double")
-          / col("n_eff").cast("double"), 6).as("mean_b"))
+        when(col("n_eff") > 0,
+          round((col("sx_cents").cast("decimal(38,2)") / 100).cast("double")
+            / col("n_eff").cast("double"), 6)).as("mean_b"))
       .orderBy("b")
   }
 
@@ -3247,7 +3253,8 @@ object Relational {
       .agg(sum(col("w")).as("n_eff"),
         sum((col("x") * col("w")).cast("decimal(38,2)")).as("sx"))
       .select(col("b"), col("n_eff"),
-        round(col("sx").cast("double") / col("n_eff").cast("double"), 6)
+        when(col("n_eff") > 0,
+          round(col("sx").cast("double") / col("n_eff").cast("double"), 6))
           .as("mean_b"))
       .orderBy("b")
   }

@@ -566,6 +566,28 @@ object Streams {
       }
   }
 
+  /** Memoize a named LongAccumulator per SparkContext, EVICTING the
+    * entry when that context ends: without the listener, stopped
+    * contexts (and their accumulators) would be retained forever in a
+    * long-lived JVM that cycles sessions (the spec suites create and
+    * stop dozens). The listener is registered at most once per
+    * (map, context) because computeIfAbsent runs the factory exactly
+    * once per absent key.
+    */
+  private def contextAcc(
+    map: java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator],
+    sc: org.apache.spark.SparkContext,
+    name: String): org.apache.spark.util.LongAccumulator =
+    map.computeIfAbsent(sc, { c =>
+      c.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          map.remove(c)
+      })
+      c.longAccumulator(name)
+    })
+
   /** Dead-letter counter for [[sessionSnapshots]]' straggler-drop
     * path, memoized per SparkContext (named, so it also shows in the
     * UI/status APIs). Zero after a drain ⇔ the per-user in-order
@@ -576,8 +598,8 @@ object Streams {
     org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
 
   def sessionizeDrops(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    dropAccs.computeIfAbsent(spark.sparkContext,
-      _.longAccumulator("graft.sessionize.stragglerDrops"))
+    contextAcc(dropAccs, spark.sparkContext,
+      "graft.sessionize.stragglerDrops")
 
   /** Streaming sessionization — the stateful twin of batch
     * q_sessionize's gap rule (a ≥ 30-minute pause in floor-epoch-
@@ -666,8 +688,8 @@ object Streams {
     org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
 
   def funnelDrops(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    funnelDropAccs.computeIfAbsent(spark.sparkContext,
-      _.longAccumulator("graft.funnel.stragglerDrops"))
+    contextAcc(funnelDropAccs, spark.sparkContext,
+      "graft.funnel.stragglerDrops")
 
   /** Default staleness horizon for the declared streaming funnel:
     * 30 days of event time. */
@@ -741,15 +763,35 @@ object Streams {
             cutoff =
               if (maxSeen < Long.MinValue + horizonMicros) Long.MinValue
               else maxSeen - horizonMicros
-            val (evict, keep) = (buf ++ fresh).partition(_._1 < cutoff)
+            // the stored buffer is ALWAYS sorted (invariant below), so
+            // only the fresh slice pays a sort and the combined buffer
+            // comes from one linear merge — a hot user inside the
+            // horizon costs O(|fresh| log |fresh| + |buf|) per batch,
+            // not O(|buf| log |buf|) twice (the pre-fix shape re-sorted
+            // the whole buffer for eviction AND again for the snapshot)
+            val merged = {
+              val fs = fresh.sorted
+              val out = Vector.newBuilder[(Long, String)]
+              var i = 0
+              var j = 0
+              while (i < buf.length && j < fs.length) {
+                if (Ordering[(Long, String)].lteq(buf(i), fs(j))) {
+                  out += buf(i); i += 1
+                } else { out += fs(j); j += 1 }
+              }
+              while (i < buf.length) { out += buf(i); i += 1 }
+              while (j < fs.length) { out += fs(j); j += 1 }
+              out.result()
+            }
+            // sorted ⇒ the beyond-cutoff prefix IS the eviction set
+            val (evict, keep) = merged.span(_._1 < cutoff)
             var frozen = (fv, fc, fp)
-            evict.sorted.foreach { case (ts, tpe) =>
-              frozen = fold(frozen, tpe, ts) }
+            evict.foreach { case (ts, tpe) => frozen = fold(frozen, tpe, ts) }
             buf = keep
             rev += 1
             st.update((cutoff, frozen._1, frozen._2, frozen._3, rev, buf))
             var cur = frozen
-            buf.sorted.foreach { case (ts, tpe) => cur = fold(cur, tpe, ts) }
+            buf.foreach { case (ts, tpe) => cur = fold(cur, tpe, ts) }
             Iterator(FunnelSnap(uid, cur._1, cur._2, cur._3, rev))
           }
       }
