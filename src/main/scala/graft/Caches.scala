@@ -35,10 +35,17 @@ object Caches {
     */
   val modeKey = "spark.graft.cache.mode"
 
-  /** Persist per [[modeKey]] and remember for later release. */
+  /** Persist per [[modeKey]] and remember for later release.
+    * Idempotent on an already-persisted plan: `df.storageLevel`
+    * resolves through the CacheManager by PLAN, so a second DataFrame
+    * over the same logical plan (the graph substrate's repeated
+    * `s.table(...)` reads) neither re-persists nor double-registers —
+    * the original registration releases it.
+    */
   def cached(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(modeKey, "persist") match {
       case "none" => df
+      case _ if df.storageLevel != StorageLevel.NONE => df
       case "disk" =>
         registry.add(df)
         df.persist(StorageLevel.DISK_ONLY)

@@ -267,4 +267,46 @@ class GraphSpec extends AnyFunSuite {
     assert(out == refDeg, "engine 3-core differs from reference peel")
     Caches.releaseAll()
   }
+
+  test("edge substrate: one bucketed materialization per (session, dir) " +
+    "serves every graph op exchange-free on the bucket key, and " +
+    "survives a cache release") {
+    Caches.releaseAll()
+    val e1 = GraphOps.coEdgesEnc(spark, TestSpark.sf0001)
+    // the materialized table exists and the scan is bucketed
+    val tables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_edges_"))
+    assert(tables.nonEmpty, "substrate table missing from the catalog")
+    val scanPlan = e1.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("Bucketed: true"),
+      s"substrate scan is not bucketed:\n$scanPlan")
+    // hash(src) from the bucketed layout satisfies the degree
+    // aggregate's distribution: partial+final collapse to ONE
+    // exchange-free aggregate over the scan (the Pregel
+    // pre-partitioning requirement, from disk)
+    val degPlan = e1.groupBy("src")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+      .queryExecution.executedPlan.toString
+    assert(!degPlan.contains("Exchange"),
+      s"degree aggregate over the substrate plans an Exchange:\n$degPlan")
+    // releasing caches must NOT force a lineitem re-derive: the second
+    // read still resolves to the same bucketed table scan
+    Caches.releaseAll()
+    val e2 = GraphOps.coEdgesEnc(spark, TestSpark.sf0001)
+    val p2 = e2.queryExecution.executedPlan.toString
+    assert(p2.contains("Bucketed: true") && !p2.contains("lineitem"),
+      s"post-release substrate read re-derives from lineitem:\n$p2")
+    // and the substrate's content equals the direct string derivation
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val want = li.collect().flatMap { r =>
+      val (s, p) = ("s" + r.get(0), "p" + r.get(1))
+      Seq((s, p), (p, s))
+    }.toSet
+    val got = e2.select(GraphOps.lpDecode(col("src")),
+        GraphOps.lpDecode(col("dst")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, "substrate edge set differs from direct derivation")
+    Caches.releaseAll()
+  }
 }
