@@ -203,6 +203,9 @@ object Oracles {
     }.mkString(",\n  ")
 
   val sql: Map[String, String] = sqlBase ++ Map(
+    // the single-scan window rewrite must give the correlated form's
+    // answer exactly — one oracle, two independent Spark plans
+    "q_subquery_scalar_1scan" -> sqlBase("q_subquery_scalar"),
     // streaming fMGWS twins (Streams.q_stream_markov/_retention):
     // the state machine's final emissions must agree bit-for-bit with
     // the batch operator, so the oracle IS the batch twin's oracle

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_subquery_scalar" -> (Relational.q_subquery_scalar _),
+    "q_subquery_scalar_1scan" -> (Relational.q_subquery_scalar_1scan _),
     "q_subquery_exists" -> (Relational.q_subquery_exists _),
     "q_subquery_in" -> (Relational.q_subquery_in _),
     "q_lateral_topn" -> (Relational.q_lateral_topn _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (TextOps.q_heavy_hitters _),
     "q_group_topk" -> (TextOps.q_group_topk _),
     "q_lang_id" -> (TextOps.q_lang_id _),
+    "q_logreg" -> (TextOps.q_logreg _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
     "q_compress_ratio" -> (TextOps.q_compress_ratio _),

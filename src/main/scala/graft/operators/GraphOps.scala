@@ -61,24 +61,28 @@ object GraphOps {
     // identical to the oracle's string order; decode touches only
     // the top-50 rows.
     val edges = coEdgesEnc(s, dir)
-    // stage degree ONTO the edge list once (cached): each iteration
-    // is then one join + one hash aggregate instead of re-deriving
-    // deg (an extra aggregate + join per iteration — the pre-fix
-    // bench showed q_pagerank as the suite's slowest query at 6.3 s,
-    // with the duplicated deg subtree most of it)
+    // degree lives on the |V|-row side, never staged onto the edges:
+    // the earlier edgesDeg cache (edges ⋈ deg, materialized) built
+    // and held a second |E|-sized frame per session — at the fifth
+    // decade that's an extra ~24 GB cache whose build cost and memory
+    // pressure outweighed the join it saved. The per-edge message
+    // `nr div deg` is constant per src, so it's computed ONCE per
+    // node on the |V| frame and the edge join ships the finished
+    // message — same integer arithmetic, strictly less work.
     val deg = cached(edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val edgesDeg = cached(edges.join(deg, "src"))
     val n = broadcast(deg.agg(count(lit(1)).as("__n")))
     var rank = deg.crossJoin(n)
       .select(col("src").as("node"),
         expr(s"${prScale}L div __n").as("nr"))
     for (_ <- 1 to prIters) {
-      // shuffle_hash on the |V|-row rank side — an SMJ would re-sort
-      // the |E| edge side every iteration (the lpVote rule)
-      val contrib = edgesDeg
-        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"),
-          "src")
-        .select(col("dst"), expr("nr div deg").as("c"))
+      val msg = rank
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("src"), expr("nr div deg").as("m"))
+      // shuffle_hash on the |V|-row message side — an SMJ would
+      // re-sort the |E| edge side every iteration (the lpVote rule);
+      // the bucketed substrate side joins exchange-free
+      val contrib = edges.join(msg.hint("shuffle_hash"), "src")
+        .select(col("dst"), col("m").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
       rank = contrib.crossJoin(n)
         .select(col("dst").as("node"),

@@ -676,6 +676,41 @@ object Relational {
       |GROUP BY l.l_returnflag ORDER BY rflag""".stripMargin)
   }
 
+  /** The single-scan rewrite of [[q_subquery_scalar]] — same answer,
+    * same oracle, half the lineitem work. Catalyst decorrelates the
+    * correlated scalar subquery into a grouped aggregate + self-join:
+    * TWO lineitem scans and TWO shuffles on l_partkey (plus the
+    * join's sorts), measured 12.1×/decade into sf100 (173 s). The
+    * per-partkey total is a partition-wide WINDOW over one scan —
+    * `sum(l_quantity) over (partition by l_partkey)` — so the plan
+    * becomes one scan + ONE exchange + one partition sort, then the
+    * same filter and final aggregate. The q_snapshot_diff discipline
+    * (derive the threshold and consume it in one keyed pass instead
+    * of joining the table to its own aggregate); a grouped
+    * conditional aggregate alone cannot express this one because the
+    * threshold is only known after the group closes, which is exactly
+    * what the window frame provides.
+    *
+    * Exactness: identical arithmetic to the SQL form — l_quantity is
+    * integral so `l_quantity * 5 < tot` is exact, revenue follows the
+    * DECIMAL(18,4) sum discipline. Oracle: q_subquery_scalar's
+    * correlated SQL verbatim (DuckDB decorrelates its own way; the
+    * semantics must agree).
+    */
+  def q_subquery_scalar_1scan(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_partkey"))
+      .withColumn("tot", sum(col("l_quantity")).over(w))
+      .filter(col("l_quantity") * 5 < col("tot"))
+      .groupBy(col("l_returnflag").as("rflag"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 4).as("rev"))
+      .orderBy("rflag")
+  }
+
   /** J8b: EXISTS + NOT EXISTS — customers with at least one urgent
     * order and no finished one, profiled per segment. Catalyst
     * decorrelates the pair into one left-semi and one left-anti join

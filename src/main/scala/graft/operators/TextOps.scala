@@ -54,7 +54,7 @@ object TextOps {
     */
   private def cached(df: DataFrame): DataFrame = graft.Caches.cached(df)
 
-  private def docTokens(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docTokens(s: SparkSession, dir: String): DataFrame =
     cached(t(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
 
@@ -63,7 +63,7 @@ object TextOps {
     * branches of q_cooccur (cache-manager plan dedup gives all
     * consumers one materialization).
     */
-  private def docTokensDistinct(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docTokensDistinct(s: SparkSession, dir: String): DataFrame =
     cached(t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(TextFns.tokens(col("text")))).as("tok")))
@@ -2966,7 +2966,14 @@ object TextOps {
     * spec-testable on constructed corpora, which the fixtures can't
     * provide (their planted near-dups are perturbed, never identical).
     */
-  private[graft] def sparseSimFromTf(tf: DataFrame,
+  /** The prefix-filtered candidate-pair frame — factored so the
+    * linearity of |candidates| across decades is measurable on its
+    * own (tools.SparseSimDiag records the curve next to the timings
+    * in BENCH_SCALE; a superlinear bend here is the early warning
+    * that the prefix filter needs a bucket-size cap, the df-cap
+    * lesson).
+    */
+  private[graft] def sparseSimCandidates(tf: DataFrame,
     dfTok: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
     val post = tf.join(dfTok, "tok")
@@ -2974,11 +2981,16 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= sparseSimPrefix)
       .select("tok", "doc_id")
-    val cand = post.as("a").join(post.as("b"),
+    post.as("a").join(post.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
+  }
+
+  private[graft] def sparseSimFromTf(tf: DataFrame,
+    dfTok: DataFrame): DataFrame = {
+    val cand = sparseSimCandidates(tf, dfTok)
     val vecs = tf.groupBy("doc_id").agg(
       map_from_entries(collect_list(struct(col("tok"), col("tf"))))
         .as("vec"),
@@ -2999,6 +3011,143 @@ object TextOps {
           .as("cos"))
       .filter(col("cos") >= sparseSimTau)
       .orderBy(col("cos").desc, col("ia"), col("ib"))
+  }
+
+  // ── distributed iterative classifier training (L-family) ──────────
+
+  /** Training geometry, shared with the in-test reference
+    * (TextOpsSpec re-implements the loop independently and pins the
+    * weights EXACTLY): [[logregSteps]] full-batch gradient steps at
+    * rate [[logregEta]], weights held at [[logregScale]] decimal
+    * places between steps.
+    */
+  private[graft] val logregSteps = 20
+  private[graft] val logregEta = new java.math.BigDecimal("8.0")
+  private[graft] val logregScale = 12
+  private[graft] val logregFeatureNames =
+    Seq("bias", "n_tok100", "avg_tok_len10", "digit_ratio")
+
+  /** The labeled design matrix for [[q_logreg]]: DISTILL the
+    * rule-based quality gate into a trained classifier — label =
+    * [[scoreOf]] passes both bands, features = the raw statistics the
+    * gate thresholds (token count, average token length) plus a
+    * deliberately signal-free distractor (digit ratio) whose learned
+    * weight should shrink toward zero — the workflow every curation
+    * pipeline runs when it replaces hand rules with a model (the
+    * fixture corpus has no external labels; lang was measured
+    * label-independent of the text, so the gate is the one teacher
+    * with real signal). Features are O(1)-scaled so a fixed learning
+    * rate converges without per-feature schedules; every feature is a
+    * per-row expression rounded to 6 dp, so the matrix is
+    * deterministic under any partitioning.
+    */
+  private[graft] def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    withToks(t(s, dir, "documents"),
+      nospaceC.as("__nospace"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("__ndigit"),
+      length(col("text")).as("__nchar"))
+      .select(
+        when(scoreOf(col("__toks"), col("__nospace")) >= 1.0, 1.0)
+          .otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        round(size(col("__toks")).cast("double") / 100.0, 6).as("x1"),
+        round(col("__nospace").cast("double")
+          / greatest(size(col("__toks")), lit(1)) / 10.0, 6).as("x2"),
+        round(col("__ndigit").cast("double")
+          / greatest(col("__nchar"), lit(1)), 6).as("x3"))
+
+  /** md5-deterministic initial weights in [−0.05, 0.05): w_j(0) =
+    * (u_j/2³² − ½)/10 at [[logregScale]] dp, u_j = the first 4 bytes
+    * of md5("logreg:<j>") — the q_bootstrap draw discipline, so the
+    * init is reproducible in any engine or none.
+    */
+  private[graft] def logregInit(d: Int): Seq[java.math.BigDecimal] =
+    (0 until d).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"logreg:$j".getBytes("US-ASCII"))
+      val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      // u/2^32 is exact at 32 fractional bits; one explicit rounding
+      // to the weight scale keeps init on the shared decimal grid
+      java.math.BigDecimal.valueOf(u)
+        .divide(new java.math.BigDecimal(4294967296L), logregScale + 4,
+          java.math.RoundingMode.HALF_UP)
+        .subtract(new java.math.BigDecimal("0.5"))
+        .divide(java.math.BigDecimal.TEN, logregScale,
+          java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Full-batch logistic-regression training as `steps` unrolled
+    * deterministic gradient steps — the iterate-over-aggregates shape
+    * PageRank/BPE already exercise, now with a driver-held model:
+    * each step is ONE partial-combining aggregate over the feature
+    * frame (d exact-decimal gradient sums + the row count), the
+    * bounded d-vector comes back to the driver, and the update runs
+    * in BigDecimal at [[logregScale]] dp.
+    *
+    * Determinism contract (the q_kl_mixture rule): per-row doubles
+    * (margin, sigmoid, per-term gradient) are deterministic
+    * expressions; each gradient TERM is rounded to 9 dp and cast to
+    * DECIMAL(38,9) before the sum, so the fold is order-independent
+    * under any partitioning; the weight update is exact decimal
+    * arithmetic. Re-running on any cluster layout yields bit-equal
+    * weights (DeterminismSpec family).
+    *
+    * Scale shape: the feature frame is computed once (caller caches
+    * it); each step shuffles only d+1 aggregation buffers per
+    * partition, and the model that moves driver↔executors is d
+    * doubles — no per-row state, no driver-side data pass. 100 TB
+    * posture: identical, with the feature frame staged to the object
+    * store; k passes over the staged matrix are the textbook
+    * full-batch GD layout (per-worker partials, driver update).
+    */
+  private[graft] def logregTrain(feats: DataFrame, steps: Int)
+    : Seq[java.math.BigDecimal] = {
+    val d = logregFeatureNames.length
+    var w = logregInit(d)
+    for (_ <- 1 to steps) {
+      val margin = (0 until d)
+        .map(j => col(s"x$j") * lit(w(j).doubleValue)).reduce(_ + _)
+      val sig = lit(1.0) / (lit(1.0) + exp(-margin))
+      val gs = (0 until d).map(j =>
+        sum(round((sig - col("y")) * col(s"x$j"), 9)
+          .cast("decimal(38,9)")).as(s"g$j"))
+      val r = feats.agg(gs.head, (gs.tail :+ count(lit(1)).as("n")): _*)
+        .collect()(0)
+      val n = r.getLong(d)
+      require(n > 0, "q_logreg: empty training frame")
+      val nBd = java.math.BigDecimal.valueOf(n)
+      w = (0 until d).map { j =>
+        w(j).subtract(
+          logregEta.multiply(r.getDecimal(j))
+            .divide(nBd, logregScale, java.math.RoundingMode.HALF_UP))
+          .setScale(logregScale, java.math.RoundingMode.HALF_UP)
+      }
+    }
+    w
+  }
+
+  /** Declared query: train the classifier, report one row per
+    * coefficient plus the training-set decision-boundary accuracy
+    * (margin ≥ 0 ⇔ σ ≥ ½ — a sign test, no float threshold).
+    * Rows-only by design (§2.12): the sigmoid's IEEE exp has no
+    * faithful DuckDB twin; TextOpsSpec pins the weights bit-exactly
+    * against an independent in-test reference (the jacobiEigen
+    * precedent), monotone loss decrease, and an accuracy floor.
+    */
+  def q_logreg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = cached(logregFeatures(s, dir))
+    val w = logregTrain(feats, logregSteps)
+    val d = logregFeatureNames.length
+    val margin = (0 until d)
+      .map(j => col(s"x$j") * lit(w(j).doubleValue)).reduce(_ + _)
+    val acc = feats.agg(
+      round(sum(when((margin >= 0) === (col("y") === 1.0), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)), 6).as("train_acc"))
+    logregFeatureNames.zip(w.map(_.doubleValue)).toDF("feature", "weight")
+      .crossJoin(broadcast(acc))
+      .orderBy("feature")
   }
 
   def q_zipf(s: SparkSession, dir: String): DataFrame = {

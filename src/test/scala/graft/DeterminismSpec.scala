@@ -41,7 +41,13 @@ class DeterminismSpec extends AnyFunSuite {
     // argmax over long keys, decode of the top-20), md5-sampled
     // covariance (q_vec_cov_sample), streaming drain through a
     // parquet landing dir + stage fold (q_stream_funnel)
-    "q_label_prop", "q_vec_cov_sample", "q_stream_funnel")
+    "q_label_prop", "q_vec_cov_sample", "q_stream_funnel",
+    // r8 families: driver-held iterative model over exact-decimal
+    // gradient sums (q_logreg — each step's 9-dp-rounded decimal
+    // terms must fold to the same gradient under any partitioning,
+    // or the weights walk different paths), and the one-scan window
+    // rewrite of the correlated-scalar shape (q_subquery_scalar_1scan)
+    "q_logreg", "q_subquery_scalar_1scan")
 
   test("declared outputs are identical under 3 vs 7 shuffle partitions") {
     val conf = spark.conf

@@ -52,6 +52,15 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("q_subquery_scalar_1scan: the window rewrite scans lineitem " +
+    "ONCE and joins nothing — the decorrelated form's self-join is gone") {
+    val p = planOf(Relational.q_subquery_scalar_1scan(spark, dir))
+    assert(!p.contains("Join"), p.take(2000))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("q_join_range_auto: RangeJoinRule turns the declared naive " +
     "BETWEEN join into a bucketed equi-join in the real query path") {
     val p = planOf(Relational.q_join_range_auto(spark, dir))

@@ -1021,4 +1021,82 @@ class TextOpsSpec extends AnyFunSuite {
       .select("dot").as[Long].head()
     assert(dot12 == 14L)
   }
+
+  test("q_logreg: the distributed trainer matches an independent " +
+    "driver-side reference BIT-EXACTLY (weights, accuracy), and loss " +
+    "decreases from init to trained") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val scale = TextOps.logregScale
+    val d = TextOps.logregFeatureNames.length
+    // the design matrix itself is per-row deterministic, so collecting
+    // it is fair game; the TRAINING LOOP below is the independent
+    // derivation under test
+    val rows = TextOps.logregFeatures(spark, dir)
+      .collect()
+      .map(r => (r.getDouble(0),
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))))
+    assert(rows.nonEmpty)
+    // Spark's round(double, 9) + cast to DECIMAL(38,9), reproduced:
+    // HALF_UP at 9 dp, then the rounded double's canonical decimal
+    def term9(t: Double): JBD = JBD.valueOf(
+      JBD.valueOf(t).setScale(9, RM.HALF_UP).doubleValue)
+      .setScale(9, RM.HALF_UP)
+    def margin(w: Array[Double], x: Array[Double]): Double =
+      (0 until d).map(j => x(j) * w(j)).reduce(_ + _)
+    def step(w: Seq[JBD]): Seq[JBD] = {
+      val wd = w.map(_.doubleValue).toArray
+      val g = Array.fill(d)(JBD.ZERO)
+      rows.foreach { case (y, x) =>
+        val sig = 1.0 / (1.0 + math.exp(-margin(wd, x)))
+        for (j <- 0 until d) g(j) = g(j).add(term9((sig - y) * x(j)))
+      }
+      val n = JBD.valueOf(rows.length.toLong)
+      (0 until d).map(j => w(j)
+        .subtract(TextOps.logregEta.multiply(g(j))
+          .divide(n, scale, RM.HALF_UP))
+        .setScale(scale, RM.HALF_UP))
+    }
+    def loss(w: Seq[JBD]): Double = {
+      val wd = w.map(_.doubleValue).toArray
+      rows.map { case (y, x) =>
+        val sig = 1.0 / (1.0 + math.exp(-margin(wd, x)))
+        -(y * math.log(math.max(sig, 1e-15)) +
+          (1.0 - y) * math.log(math.max(1.0 - sig, 1e-15)))
+      }.sum / rows.length
+    }
+    var wRef = TextOps.logregInit(d)
+    val w0 = wRef
+    for (_ <- 1 to TextOps.logregSteps) wRef = step(wRef)
+    // 1. bit-exact weight agreement with the distributed trainer
+    val feats = TextOps.logregFeatures(spark, dir)
+    val wGot = TextOps.logregTrain(feats, TextOps.logregSteps)
+    assert(wGot.map(_.toPlainString) == wRef.map(_.toPlainString),
+      s"weights diverged: got=$wGot ref=$wRef")
+    // 2. training made progress: loss strictly decreased
+    assert(loss(wRef) < loss(w0),
+      s"loss did not decrease: ${loss(w0)} -> ${loss(wRef)}")
+    // 3. the declared query reports the same weights and the reference
+    // decision-boundary accuracy, above a useful floor
+    val out = TextOps.q_logreg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val wd = wRef.map(_.doubleValue).toArray
+    val accRef = JBD.valueOf(rows.count { case (y, x) =>
+      (margin(wd, x) >= 0) == (y == 1.0)
+    }.toDouble / rows.length).setScale(6, RM.HALF_UP).doubleValue
+    assert(out.map(_._1).toSeq == TextOps.logregFeatureNames.sorted)
+    val wByName = TextOps.logregFeatureNames.zip(wd).toMap
+    out.foreach { case (f, w, acc) =>
+      assert(w == wByName(f), s"$f: $w != ${wByName(f)}")
+      assert(acc == accRef, s"acc $acc != $accRef")
+    }
+    assert(accRef >= 0.9, s"boundary accuracy too weak: $accRef")
+    // 4. the signal-free distractor (digit_ratio) stays near its init
+    // while the real signal (n_tok100) dominates — the trainer learned
+    // the gate, not noise
+    assert(math.abs(wByName("digit_ratio")) <
+      math.abs(wByName("n_tok100")) / 4,
+      s"distractor weight did not shrink: $wByName")
+    Caches.releaseAll()
+  }
 }
