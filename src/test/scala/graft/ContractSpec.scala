@@ -40,7 +40,12 @@ class ContractSpec extends AnyFunSuite {
     "q_vec_pca",
     // HLL sketches have no DuckDB twin; AnalyticsSpec pins every
     // estimate within the rsd envelope of the exact intersection
-    "q_hll_overlap")
+    "q_hll_overlap",
+    // the sigmoid's IEEE exp has no faithful DuckDB twin; TextOpsSpec
+    // pins the trained weights BIT-EXACTLY against an independent
+    // in-test reference (the jacobiEigen precedent), monotone loss
+    // decrease, an accuracy floor, and distractor-weight shrinkage
+    "q_logreg")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
