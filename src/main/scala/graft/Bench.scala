@@ -112,6 +112,12 @@ object Bench {
         "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // visible in the artifact trail: an empty map here means the
+    // regression-triggered retries are OFF (baseline missing or
+    // unparseable), which must not masquerade as "no regressions"
+    System.err.println(
+      if (prior.isEmpty) "[bench] prior baseline UNAVAILABLE - regression retries disabled"
+      else s"[bench] prior baseline loaded: ${prior.size} queries")
     def stallSuspect(name: String, v: Double): Boolean =
       v >= retryThreshold ||
         prior.get(name).exists(p => p > 0 && v >= 1.4 * p && v - p >= 0.3)

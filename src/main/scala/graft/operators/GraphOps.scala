@@ -404,13 +404,22 @@ object GraphOps {
   }
 
   /** Table-name memo for the materialized edge substrate, one entry
-    * per (session, data dir). The value names a BUCKETED parquet
+    * per (CONTEXT, data dir). The value names a BUCKETED parquet
     * table (hash-partitioned AND sorted on `src`) written once per
-    * session — entries evict when the owning context ends (the
+    * context — entries evict when the owning context ends (the
     * accumulator-memo discipline in graft.streaming.Streams).
+    *
+    * Keyed by SparkContext, not SparkSession: `saveAsTable` registers
+    * in the context-SHARED external catalog (only temp views are
+    * per-session), so sibling sessions of one context see the same
+    * table. A session-keyed memo would make `newSession()` (the
+    * DeterminismSpec / RangeJoinRule pattern) re-materialize and
+    * DROP+delete the live table out from under the first session's
+    * cached scans — and would retain stopped sessions until context
+    * end.
     */
   private val substrateMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    (org.apache.spark.SparkContext, String), String]()
 
   /** The encoded-long co-purchase edge list, MATERIALIZED once per
     * (session, data dir) as a bucketed+sorted parquet table and read
@@ -448,7 +457,9 @@ object GraphOps {
     * one substrate per data dir ever exists on disk.
     */
   private[graft] def coEdgesEnc(s: SparkSession, dir: String): DataFrame = {
-    val name = substrateMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+    val name = substrateMemo.computeIfAbsent((s.sparkContext, dir), {
+      case (sc, d) =>
+      val ss = s
       val li = t(ss, d, "lineitem")
         .select(col("l_suppkey"), col("l_partkey")).distinct()
       val encS = lpEnc(col("l_suppkey"), isS = true)
@@ -469,15 +480,15 @@ object GraphOps {
       val loc = java.nio.file.Paths.get(
         ss.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:"), tbl).toString
-      deleteRecursively(java.nio.file.Paths.get(loc))
+      graft.sinks.Layout.deleteRecursively(java.nio.file.Paths.get(loc))
       // repartition on the bucket key first: bucketed writers emit one
       // file per (task, bucket), so without it every task sprays all
       // `buckets` files
       edges.repartition(buckets, col("src"))
         .write.mode("overwrite").format("parquet").option("path", loc)
         .bucketBy(buckets, "src").sortBy("src").saveAsTable(tbl)
-      val key = (ss, d)
-      ss.sparkContext.addSparkListener(
+      val key = (sc, d)
+      sc.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
@@ -491,13 +502,6 @@ object GraphOps {
     cached(s.table(name))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally walk.close()
-    }
 
   def q_label_prop(s: SparkSession, dir: String): DataFrame =
     labelPropagate(coEdgesEnc(s, dir), lpIters)

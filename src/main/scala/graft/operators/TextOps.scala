@@ -2960,12 +2960,6 @@ object TextOps {
       docTokensDistinct(s, dir)
         .groupBy("tok").agg(count(lit(1)).as("df")))
 
-  /** The pair search over a prepared (doc_id, tok, tf) frame and its
-    * (tok, df) document frequencies — separated so the completeness
-    * property (identical docs are ALWAYS paired, any corpus) is
-    * spec-testable on constructed corpora, which the fixtures can't
-    * provide (their planted near-dups are perturbed, never identical).
-    */
   /** The prefix-filtered candidate-pair frame — factored so the
     * linearity of |candidates| across decades is measurable on its
     * own (tools.SparseSimDiag records the curve next to the timings
@@ -2988,6 +2982,12 @@ object TextOps {
       .distinct()
   }
 
+  /** The pair search over a prepared (doc_id, tok, tf) frame and its
+    * (tok, df) document frequencies — separated so the completeness
+    * property (identical docs are ALWAYS paired, any corpus) is
+    * spec-testable on constructed corpora, which the fixtures can't
+    * provide (their planted near-dups are perturbed, never identical).
+    */
   private[graft] def sparseSimFromTf(tf: DataFrame,
     dfTok: DataFrame): DataFrame = {
     val cand = sparseSimCandidates(tf, dfTok)
@@ -3137,7 +3137,18 @@ object TextOps {
     */
   def q_logreg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = cached(logregFeatures(s, dir))
+    // the k training steps + the accuracy pass each scan the design
+    // matrix, so it must be STAGED even in cache mode `none` (where
+    // Caches.cached is a no-op): without this, mode-none runs would
+    // re-tokenize the whole corpus 21× — the exact pathology the
+    // graph substrate fixed. The matrix is bounded (5 doubles/doc),
+    // nothing like the exploded shingle table the `none` mode exists
+    // for, so a lazy localCheckpoint is safe at any declared scale.
+    val raw = logregFeatures(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
     val w = logregTrain(feats, logregSteps)
     val d = logregFeatureNames.length
     val margin = (0 until d)

@@ -168,7 +168,11 @@ object Layout {
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Shared by the graph substrate and the streaming landing zone —
+    * one definition so a future hardening (symlinks, delete races)
+    * lands everywhere.
+    */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())

@@ -749,6 +749,13 @@ object Streams {
           st: GroupState[(Long, Long, Long, Long, Long, Seq[(Long, String)])]) =>
           var (cutoff, fv, fc, fp, rev, buf) = st.getOption.getOrElse(
             (Long.MinValue, -1L, -1L, -1L, 0L, Seq.empty[(Long, String)]))
+          // the merge below REQUIRES a sorted buffer; state written by
+          // the pre-sorted-invariant version stored arrival order, so
+          // establish the invariant on restore (O(n) check each batch,
+          // an actual sort only once per legacy group)
+          if (buf.length > 1 && buf.sliding(2).exists(p =>
+            Ordering[(Long, String)].gt(p.head, p.last)))
+            buf = buf.sorted
           val incoming = rows.map(e => (micros(e), e.event_type)).toSeq
           val (fresh, stale) = incoming.partition(_._1 >= cutoff)
           if (stale.nonEmpty) drops.add(stale.size.toLong)
@@ -867,12 +874,7 @@ object Streams {
     }
 
     private def deleteRecursively(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-        finally walk.close()
-      }
+      graft.sinks.Layout.deleteRecursively(p)
   }
 
   /** Wire the events stream through the LWW sink (availableNow-style
