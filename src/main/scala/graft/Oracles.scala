@@ -212,6 +212,9 @@ object Oracles {
     "q_stream_markov" -> sqlBase("q_markov"),
     "q_stream_retention" -> sqlBase("q_retention"),
     "q_stream_paths" -> sqlBase("q_paths"),
+    // the PSI monitor's drain lands in batch q_psi_drift's exact
+    // output shape (shared psiFromBinned arithmetic) — one oracle
+    "q_stream_psi" -> sqlBase("q_psi_drift"),
     // q_stream_sessionize reduces to a bounded histogram (its raw
     // emission volume is session-count-sized, unlike the other
     // twins), so its oracle is the batch gap-rule CTE aggregated to

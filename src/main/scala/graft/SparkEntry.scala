@@ -286,7 +286,8 @@ object SparkEntry {
     "q_stream_windowed" -> (streaming.Streams.q_stream_windowed _),
     "q_stream_lww" -> (streaming.Streams.q_stream_lww _),
     "q_stream_topk" -> (streaming.Streams.q_stream_topk _),
-    "q_stream_asof" -> (streaming.Streams.q_stream_asof _)
+    "q_stream_asof" -> (streaming.Streams.q_stream_asof _),
+    "q_stream_psi" -> (streaming.Streams.q_stream_psi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

@@ -2637,6 +2637,16 @@ object Relational {
       .groupBy("event_type", "bin")
       .agg(sum(col("is_ref")).as("c_ref"),
         sum(lit(1L) - col("is_ref")).as("c_cur"))
+    psiFromBinned(binned)
+  }
+
+  /** The PSI arithmetic over a (event_type, bin, c_ref, c_cur) frame —
+    * FACTORED so the streaming twin's drain projection shares the
+    * exact per-bin float path and rounding with the batch query (the
+    * shared-snippet discipline: a re-derived p/q division could
+    * differ in the last ulp and flip a 6-dp rounding).
+    */
+  private[graft] def psiFromBinned(binned: DataFrame): DataFrame = {
     val typ = Window.partitionBy("event_type")
     val contrib = binned
       .withColumn("n_ref", sum(col("c_ref")).over(typ))

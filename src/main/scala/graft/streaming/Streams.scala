@@ -468,6 +468,97 @@ object Streams {
       }
   }
 
+  /** One revisioned histogram snapshot of a type's CURRENT-window
+    * value bins — the emission unit of [[currentHistSnapshots]].
+    */
+  case class HistSnap(event_type: String, rev: Long, bins: Map[Long, Long])
+
+  /** Bounded per-type histogram accumulation — the stateful current
+    * side of the PSI monitor, shaped for an ORACLE-gated drain
+    * (unlike [[psiDrift]], which computes its PSI inside the state
+    * machine and so cannot share the batch query's exact float path):
+    * state per event_type is the bin-count map of values at or after
+    * the boundary (≤ value-range / psiBinWidth entries — constant in
+    * event volume, the StateBound discipline); each micro-batch emits
+    * an Update-mode revisioned snapshot of the full map. Histogram
+    * accumulation is a commutative fold, so the final snapshot is
+    * EXACT under any batch split or within-stream disorder — the
+    * drain projection joins it against the batch-side reference
+    * histogram and runs [[graft.operators.Relational.psiFromBinned]],
+    * the SAME arithmetic the batch query runs (shared-snippet rule).
+    *
+    * `boundary2` = (min + max epoch seconds of the reference corpus)
+    * — an event is current iff 2·e > boundary2, the batch query's
+    * integer-exact midpoint split. The deployment shape: reference
+    * histogram and boundary fixed batch-side at training time, the
+    * stream monitored against them.
+    */
+  def currentHistSnapshots(spark: SparkSession, events: DataFrame,
+    boundary2: Long): Dataset[HistSnap] = {
+    import spark.implicits._
+    val binW = graft.operators.Relational.psiBinWidth
+    events
+      .select(col("event_type"),
+        col("ts").cast("long").as("e"),
+        floor(col("value") / binW).cast("long").as("bin"))
+      .filter(col("e") * 2 > boundary2)
+      .select("event_type", "bin")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)],
+          st: GroupState[(Map[Long, Long], Long)]) =>
+          val (bins, rev) = st.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          val updated = rows.foldLeft(bins) { (m, r) =>
+            m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          }
+          if (updated == bins) Iterator.empty
+          else {
+            st.update((updated, rev + 1))
+            Iterator.single(HistSnap(tpe, rev + 1, updated))
+          }
+      }
+  }
+
+  /** Declared query: the PSI drift monitor drained end-to-end into
+    * batch q_psi_drift's exact output shape — the 11th oracle-gated
+    * twin. Batch-side (the training-time artifacts): the epoch
+    * midpoint boundary and the reference-half histogram. Stream-side:
+    * [[currentHistSnapshots]]. The projection takes each type's
+    * max-rev snapshot, explodes it, full-outer joins the reference
+    * bins (the batch query's union-of-observed-bins universe), and
+    * hands the (type, bin, c_ref, c_cur) frame to the SAME
+    * psiFromBinned the batch query uses — bit-identical contributions
+    * by construction. Oracle = q_psi_drift's DuckDB twin verbatim.
+    */
+  def q_stream_psi(s: SparkSession, dir: String): DataFrame = {
+    val binW = graft.operators.Relational.psiBinWidth
+    val batch = graft.Tables(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("long").as("e"),
+        floor(col("value") / binW).cast("long").as("bin"))
+    val b = batch.agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+      .collect()(0)
+    val boundary2 = b.getLong(0) + b.getLong(1)
+    val ref = batch.filter(col("e") * 2 <= boundary2)
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c_ref"))
+    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    drainAndProject(s, currentHistSnapshots(s, events, boundary2),
+      OutputMode.Update, "stream_psi") { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("rev").desc)
+      val cur = sink.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), explode(map_entries(col("bins"))).as("kv"))
+        .select(col("event_type"), col("kv.key").as("bin"),
+          col("kv.value").as("c_cur"))
+      val binned = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+      graft.operators.Relational.psiFromBinned(binned)
+    }
+  }
+
   /** Stateful last-write-wins: state = current winner per user_id;
     * each micro-batch emits keys whose winner changed. Tie-break
     * (ts, event_id) matches the batch q_window_dedup_lww.

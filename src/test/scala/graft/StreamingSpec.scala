@@ -865,4 +865,60 @@ class StreamingSpec extends AnyFunSuite {
         == evCount, s"row $i does not partition the stream")
     }
   }
+
+  test("q_stream_psi equals batch q_psi_drift end-to-end, and the " +
+    "histogram machine is exact under FULL cross-batch disorder " +
+    "(commutative fold — no delivery contract needed)") {
+    // 1. drained twin == batch query, row for row
+    val got = Streams.q_stream_psi(spark, dir).collect().map(_.toString).toSeq
+    val want = Relational.q_psi_drift(spark, dir).collect()
+      .map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+    // 2. adversarial staging: the LATER half of the corpus arrives as
+    // batch 1, the earlier half as batch 2 — unlike the in-order
+    // twins, histogram accumulation is a commutative fold, so the
+    // final snapshots must STILL equal the direct batch histogram
+    val ev = Tables(spark, dir, "events").select("event_id", "ts",
+      "user_id", "event_type", "value")
+    val b = ev.selectExpr("min(cast(ts as long)) as mn",
+      "max(cast(ts as long)) as mx").collect()(0)
+    val boundary2 = b.getLong(0) + b.getLong(1)
+    // split INSIDE the current half (the overall median coincides with
+    // the reference/current boundary, which would leave batch 2 with
+    // no current events): the newest quarter arrives FIRST
+    val median = tsMedian(
+      ev.filter(col("ts").cast("long") * 2 > boundary2))
+    val d = Files.createTempDirectory("events_psi")
+    stageParquet(d, ev.filter(col("ts").cast("long") >= median),
+      "batch1.parquet")
+    val raw = spark.readStream.schema(ev.schema).parquet(d.toString)
+    val ck = Files.createTempDirectory("ck_psi").toString
+    val q = Streams.currentHistSnapshots(spark, raw, boundary2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("psi_out")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    stageParquet(d, ev.filter(col("ts").cast("long") < median),
+      "batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val snaps = spark.table("psi_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getMap[Long, Long](2).toMap))
+    assert(snaps.map(_._2).max > 1, "disorder split produced one batch " +
+      "per key — the cross-batch accumulation path went untested")
+    val last = snaps.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.maxBy(_._2)._3 }
+    val direct = ev
+      .filter(col("ts").cast("long") * 2 > boundary2)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.floor(col("value") /
+          Relational.psiBinWidth).cast("long").as("bin"))
+      .count().collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(last == direct,
+      s"disordered snapshots diverge from the batch histogram")
+  }
 }
