@@ -142,6 +142,7 @@ object SparkEntry {
     "q_group_topk" -> (TextOps.q_group_topk _),
     "q_lang_id" -> (TextOps.q_lang_id _),
     "q_logreg" -> (TextOps.q_logreg _),
+    "q_boost" -> (TextOps.q_boost _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
     "q_compress_ratio" -> (TextOps.q_compress_ratio _),

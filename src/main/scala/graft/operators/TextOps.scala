@@ -3161,6 +3161,173 @@ object TextOps {
       .orderBy("feature")
   }
 
+  /** Boosting geometry, shared with the in-test reference: 8 rounds
+    * of discrete AdaBoost over depth-1 stumps on a fixed 16-bin grid
+    * (bin k of feature x covers [k/8, (k+1)/8); thresholds at bin
+    * edges), stump votes in α-units held at [[boostScale]] dp.
+    */
+  private[graft] val boostRounds = 8
+  private[graft] val boostBins = 16
+  private[graft] val boostScale = 8
+
+  private[graft] val boostFeatureNames =
+    Seq("n_tok100", "avg_tok_len10", "stop_ratio10")
+
+  /** The boosted trainer's design matrix — teacher = the COMBINED
+    * curation gate (length band AND the stopword lang gate, the
+    * q_curate pair): y = [n_tok ≥ 50 ∧ 20·n_stop ≥ n_tok]. A
+    * two-rule AND that no single stump can express (measured at
+    * sf0.01: 55% pass length, 62% pass lang, 38% pass both — the
+    * single-band scoreOf teacher q_logreg distills was measured
+    * one-stump-separable at fixture scales, which degenerates
+    * boosting to one repeated stump). Features are scaled so BOTH
+    * gate thresholds land exactly on the stump grid's bin edges
+    * (n_tok ≥ 50 ⇔ x1 ≥ 4/8; ratio ≥ 0.05 ⇔ x3 ≥ 4/8): the fitted
+    * ensemble must COMPOSE stumps on two different features, which
+    * the spec asserts.
+    */
+  private[graft] def boostFeatures(s: SparkSession, dir: String): DataFrame =
+    withToks(t(s, dir, "documents"), nospaceC.as("__nospace"))
+      .select(
+        when(size(col("__toks")) >= 50 &&
+          nstopOf(col("__toks")) * 20 >= size(col("__toks")), 1.0)
+          .otherwise(0.0).as("y"),
+        round(size(col("__toks")).cast("double") / 100.0, 6).as("x1"),
+        round(col("__nospace").cast("double")
+          / greatest(size(col("__toks")), lit(1)) / 10.0, 6).as("x2"),
+        round(nstopOf(col("__toks")).cast("double") * 10
+          / greatest(size(col("__toks")), lit(1)), 6).as("x3"))
+
+  /** One fitted stump: h(x) = +pol where x_feature < thrNum/8, −pol
+    * at/above; vote weight alpha.
+    */
+  private[graft] final case class Stump(feature: Int, thrNum: Int,
+    pol: Int, alpha: java.math.BigDecimal)
+
+  private def boostStumpCol(st: Stump): Column =
+    when(col(s"x${st.feature}") < lit(st.thrNum.toDouble / 8),
+      lit(st.pol.toDouble)).otherwise(lit(-st.pol.toDouble))
+
+  /** The ensemble margin F(x) = Σ α_m·h_m(x) as one column. */
+  private def boostMarginCol(model: Seq[Stump]): Column =
+    model.foldLeft(lit(0.0)) { (acc, st) =>
+      acc + boostStumpCol(st) * lit(st.alpha.doubleValue) }
+
+  /** Discrete AdaBoost over decision stumps — the NONLINEAR member of
+    * the classifier-training family (q_logreg is the linear one; a
+    * production quality filter is usually a boosted ensemble). The
+    * distributed shape per round is ONE partial-combining aggregate:
+    * 3 features × 16 bins × 2 classes = 96 weighted-count cells
+    * computed as conditional sums inside the row (the q_vec_cov
+    * cells-inside-the-row discipline — no row fan-out, the exchange
+    * carries 96 buffers per partition); every candidate stump's
+    * weighted error then derives from PREFIX SUMS of the bounded cell
+    * frame, driver-side. Boosting row weights are NOT per-row state:
+    * w_i = exp(−s_i·F(x_i)) is recomputed from the broadcast model
+    * (α's and stumps as literals), so rounds never shuffle row state.
+    *
+    * Determinism (the q_logreg contract): per-row weights are
+    * deterministic doubles (exponent clamped to ±25 so saturation
+    * stays finite AND representable on the term grid — see the round
+    * body), each cell term is round(w, 12) cast DECIMAL(38,12)
+    * before the order-independent fold; the stump argmin compares
+    * EXACT decimal error sums with a total (err, feature, thr, pol)
+    * tie-break; α = ½ln((1−ε)/ε) on the clamped double ratio, rounded
+    * to [[boostScale]] dp before it enters the next round's
+    * expression. Any partitioning fits the same ensemble.
+    */
+  private[graft] def boostTrain(feats: DataFrame, rounds: Int)
+    : Seq[Stump] = {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val d = 3
+    var model = Vector.empty[Stump]
+    for (_ <- 1 to rounds) {
+      val sCol = col("y") * 2 - 1
+      // exponent clamp ±25 and 12-dp terms are a matched pair with the
+      // eps floor below: alpha <= ln(1/eps)/2 ~ 6.9 per round, so a
+      // saturated 8-round ensemble has |F| <= 55, and the clamped
+      // worst-case weights exp(-25) = 1.4e-11 still ROUND NONZERO at
+      // 12 dp (a 9-dp grid zeroed every weight once two perfect stumps
+      // stacked, and the error ratio divided by a zero total)
+      val ex = greatest(least(sCol * boostMarginCol(model) * -1,
+        lit(25.0)), lit(-25.0))
+      val wTerm = round(exp(ex), 12).cast("decimal(38,12)")
+      val cells = for (j <- 1 to d; b <- 0 until boostBins; pos <- Seq(true, false))
+        yield sum(when(
+          least(floor(col(s"x$j") * 8), lit(15)).cast("int") === b &&
+            (if (pos) col("y") === 1.0 else col("y") =!= 1.0),
+          wTerm).otherwise(lit(null))).as(s"c_${j}_${b}_$pos")
+      val r = feats.agg(cells.head, cells.tail: _*).collect()(0)
+      def cell(j: Int, b: Int, pos: Boolean): JBD = {
+        val i = (j - 1) * boostBins * 2 + b * 2 + (if (pos) 0 else 1)
+        Option(r.getDecimal(i)).getOrElse(JBD.ZERO)
+      }
+      // prefix sums per feature; total weight per class
+      var best: (JBD, Int, Int, Int) = null
+      val wp = (1 to d).map(j => (0 until boostBins).map(cell(j, _, pos = true)))
+      val wn = (1 to d).map(j => (0 until boostBins).map(cell(j, _, pos = false)))
+      val totP = wp.head.foldLeft(JBD.ZERO)(_.add(_))
+      val totN = wn.head.foldLeft(JBD.ZERO)(_.add(_))
+      for (j <- 1 to d) {
+        var belowP = JBD.ZERO
+        var belowN = JBD.ZERO
+        for (k <- 1 until boostBins) {
+          belowP = belowP.add(wp(j - 1)(k - 1))
+          belowN = belowN.add(wn(j - 1)(k - 1))
+          // pol=+1 (positive below thr): errors = neg below + pos above
+          val errPlus = belowN.add(totP.subtract(belowP))
+          // pol=−1: errors = pos below + neg above
+          val errMinus = belowP.add(totN.subtract(belowN))
+          for ((err, pol) <- Seq((errPlus, 1), (errMinus, -1))) {
+            val cand = (err, j, k, pol)
+            if (best == null ||
+              err.compareTo(best._1) < 0 ||
+              (err.compareTo(best._1) == 0 &&
+                (j < best._2 || (j == best._2 && (k < best._3 ||
+                  (k == best._3 && pol < best._4))))))
+              best = cand
+          }
+        }
+      }
+      val tot = totP.add(totN)
+      val eps = math.min(math.max(
+        best._1.divide(tot, 15, RM.HALF_UP).doubleValue, 1e-6), 1 - 1e-6)
+      val alpha = JBD.valueOf(0.5 * math.log((1 - eps) / eps))
+        .setScale(boostScale, RM.HALF_UP)
+      model = model :+ Stump(best._2, best._3, best._4, alpha)
+    }
+    model
+  }
+
+  /** Declared query: the fitted ensemble, one row per boosting round
+    * (feature name, threshold, polarity, vote weight) plus the
+    * training-set decision-boundary accuracy (F ≥ 0). Rows-only by
+    * design (§2.12, the q_logreg precedent — IEEE exp/ln);
+    * TextOpsSpec pins the stump sequence + α's bit-exactly against an
+    * independent in-test reference, every round's weighted error
+    * < 1/2 (the boosting guarantee's precondition), and an accuracy
+    * floor at least q_logreg's.
+    */
+  def q_boost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = boostFeatures(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    val model = boostTrain(feats, boostRounds)
+    val acc = feats.agg(
+      round(sum(when((boostMarginCol(model) >= 0) === (col("y") === 1.0),
+        1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+        .as("train_acc"))
+    model.zipWithIndex.map { case (st, m) =>
+      (m.toLong + 1, boostFeatureNames(st.feature - 1),
+        st.thrNum.toDouble / 8, st.pol.toLong, st.alpha.doubleValue)
+    }.toDF("round", "feature", "threshold", "polarity", "alpha")
+      .crossJoin(broadcast(acc))
+      .orderBy("round")
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

@@ -45,7 +45,12 @@ class ContractSpec extends AnyFunSuite {
     // pins the trained weights BIT-EXACTLY against an independent
     // in-test reference (the jacobiEigen precedent), monotone loss
     // decrease, an accuracy floor, and distractor-weight shrinkage
-    "q_logreg")
+    "q_logreg",
+    // AdaBoost's exp/ln weight path rides the same boundary;
+    // TextOpsSpec pins the stump sequence + alphas bit-exactly vs an
+    // independent reference, per-round weighted error < 1/2, and an
+    // accuracy floor
+    "q_boost")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

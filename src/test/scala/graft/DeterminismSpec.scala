@@ -47,7 +47,10 @@ class DeterminismSpec extends AnyFunSuite {
     // terms must fold to the same gradient under any partitioning,
     // or the weights walk different paths), and the one-scan window
     // rewrite of the correlated-scalar shape (q_subquery_scalar_1scan)
-    "q_logreg", "q_subquery_scalar_1scan")
+    "q_logreg", "q_subquery_scalar_1scan",
+    // r8 session 2: commutative-fold streaming histogram (q_stream_psi)
+    // and the exact-decimal stump-cell argmin (q_boost)
+    "q_stream_psi", "q_boost")
 
   test("declared outputs are identical under 3 vs 7 shuffle partitions") {
     val conf = spark.conf

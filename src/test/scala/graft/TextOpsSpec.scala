@@ -1099,4 +1099,102 @@ class TextOpsSpec extends AnyFunSuite {
       s"distractor weight did not shrink: $wByName")
     Caches.releaseAll()
   }
+
+  test("q_boost: the distributed AdaBoost matches an independent " +
+    "driver-side reference stump-for-stump (features, thresholds, " +
+    "polarities, alphas), every round's weighted error < 1/2, and " +
+    "the ensemble clears the accuracy floor") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val rows = TextOps.boostFeatures(spark, dir)
+      .collect()
+      .map(r => (r.getDouble(0),
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3)))) // x1..x3
+    assert(rows.nonEmpty)
+    def bin(x: Double): Int = math.min(math.floor(x * 8).toInt, 15)
+    def stumpH(f: Int, k: Int, pol: Int, x: Array[Double]): Double =
+      if (x(f - 1) < k.toDouble / 8) pol.toDouble else -pol.toDouble
+    def margin(model: Seq[(Int, Int, Int, JBD)], x: Array[Double]): Double =
+      model.foldLeft(0.0) { case (acc, (f, k, p, a)) =>
+        acc + stumpH(f, k, p, x) * a.doubleValue }
+    def term12(t: Double): JBD = JBD.valueOf(
+      JBD.valueOf(t).setScale(12, RM.HALF_UP).doubleValue)
+      .setScale(12, RM.HALF_UP)
+    var model = Vector.empty[(Int, Int, Int, JBD)]
+    val epsSeen = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to TextOps.boostRounds) {
+      // weighted class histograms, mirroring the engine's cell math
+      val wp = Array.fill(3, 16)(JBD.ZERO)
+      val wn = Array.fill(3, 16)(JBD.ZERO)
+      rows.foreach { case (y, x) =>
+        val s = 2 * y - 1
+        val e = math.max(math.min(-s * margin(model, x), 25.0), -25.0)
+        val w = term12(math.exp(e))
+        for (j <- 1 to 3) {
+          val b = bin(x(j - 1))
+          if (y == 1.0) wp(j - 1)(b) = wp(j - 1)(b).add(w)
+          else wn(j - 1)(b) = wn(j - 1)(b).add(w)
+        }
+      }
+      // every row lands in exactly one bin PER FEATURE, so feature 1's
+      // histogram sums are the class totals (mirrors the engine)
+      val totP = wp(0).foldLeft(JBD.ZERO)(_.add(_))
+      val totN = wn(0).foldLeft(JBD.ZERO)(_.add(_))
+      var best: (JBD, Int, Int, Int) = null
+      for (j <- 1 to 3) {
+        var bp = JBD.ZERO; var bn = JBD.ZERO
+        for (k <- 1 until 16) {
+          bp = bp.add(wp(j - 1)(k - 1)); bn = bn.add(wn(j - 1)(k - 1))
+          for ((err, pol) <- Seq(
+            (bn.add(totP.subtract(bp)), 1),
+            (bp.add(totN.subtract(bn)), -1))) {
+            if (best == null || err.compareTo(best._1) < 0 ||
+              (err.compareTo(best._1) == 0 &&
+                (j < best._2 || (j == best._2 && (k < best._3 ||
+                  (k == best._3 && pol < best._4))))))
+              best = (err, j, k, pol)
+          }
+        }
+      }
+      val eps = math.min(math.max(best._1
+        .divide(totP.add(totN), 15, RM.HALF_UP).doubleValue, 1e-6),
+        1 - 1e-6)
+      epsSeen += eps
+      val alpha = JBD.valueOf(0.5 * math.log((1 - eps) / eps))
+        .setScale(TextOps.boostScale, RM.HALF_UP)
+      model = model :+ ((best._2, best._3, best._4, alpha))
+    }
+    // 1. the boosting precondition held every round
+    epsSeen.zipWithIndex.foreach { case (e, i) =>
+      assert(e < 0.5, s"round ${i + 1} weighted error $e >= 1/2") }
+    // 2. the declared query reports the same ensemble, stump for stump
+    val out = TextOps.q_boost(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length == TextOps.boostRounds)
+    out.zip(model).zipWithIndex.foreach {
+      case (((m, f, thr, pol, a, _), (rf, rk, rp, ra)), i) =>
+        assert(m == i + 1)
+        assert(f == TextOps.boostFeatureNames(rf - 1), s"round ${i + 1} feature")
+        assert(thr == rk.toDouble / 8, s"round ${i + 1} threshold")
+        assert(pol == rp.toLong, s"round ${i + 1} polarity")
+        assert(a == ra.doubleValue, s"round ${i + 1} alpha: $a vs $ra")
+    }
+    // 3. accuracy: query column equals the reference count, above floor
+    val accRef = JBD.valueOf(rows.count { case (y, x) =>
+      (margin(model, x) >= 0) == (y == 1.0)
+    }.toDouble / rows.length).setScale(6, RM.HALF_UP).doubleValue
+    assert(out.forall(_._6 == accRef), s"train_acc != $accRef")
+    assert(accRef >= 0.9, s"ensemble accuracy too weak: $accRef")
+    // 4. the two-rule teacher forced genuine COMPOSITION: the fitted
+    // ensemble uses at least two distinct features, and it beats the
+    // best single stump (which cannot express the AND)
+    assert(model.map(_._1).distinct.size >= 2,
+      s"ensemble collapsed to one feature: $model")
+    val oneStumpAcc = (for ((f, k, p) <- model.map(m => (m._1, m._2, m._3)))
+      yield rows.count { case (y, x) =>
+        (stumpH(f, k, p, x) >= 0) == (y == 1.0) }.toDouble / rows.length).max
+    assert(accRef > oneStumpAcc,
+      s"ensemble ($accRef) no better than its best stump ($oneStumpAcc)")
+    Caches.releaseAll()
+  }
 }
