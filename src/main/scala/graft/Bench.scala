@@ -25,7 +25,14 @@ import org.apache.spark.sql.SparkSession
   *   4. each pass's own total is printed to stderr AND recorded in
   *      the JSON (`pass_totals`), so a stall-burst run is self-evident
   *      from the artifact: clean engine + stalled host shows one
-  *      inflated pass total next to one clean one.
+  *      inflated pass total next to one clean one;
+  *   5. artifact self-gate: if any per-query min still violates the
+  *      1.4×-prior check after the deferred retries (a stall window
+  *      that swallowed passes AND retries), sleep past the window and
+  *      re-time just the violators, up to 3 more times; whatever
+  *      survives is recorded in `prior_regressions` so the committed
+  *      artifact carries its own verdict instead of a prose spread
+  *      narrative.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -105,16 +112,30 @@ object Bench {
     // min this run sits ≥ 1.4× its prior recorded min (and at least
     // 0.3 s above it — sub-second queries jitter) is stall-suspect
     // even when it's under the absolute slow threshold
-    val prior: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_prior.json")), "UTF-8")
-        "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+    // `:\s*` — the committed artifact may be pretty-printed (`"q": 0.5`)
+    // or compact (`"q":0.5`); the r8 regex required the compact form, so
+    // a pretty-printed baseline silently disabled every regression retry
+    val prior: Map[String, Double] = {
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get("bench_prior.json"))
+      val parsed =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("bench_prior.json")), "UTF-8")
+          "\"(q_[A-Za-z0-9_]+)\":\\s*(-?[0-9.]+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      // a baseline file that exists but yields zero queries is a FORMAT
+      // bug (the r8 failure mode), not a missing baseline — fail loud
+      // instead of quietly running with regression retries off
+      if (exists && parsed.isEmpty)
+        sys.error("bench_prior.json exists but parsed to 0 queries - " +
+          "baseline format drifted; fix the file or the regex")
+      parsed
+    }
     // visible in the artifact trail: an empty map here means the
-    // regression-triggered retries are OFF (baseline missing or
-    // unparseable), which must not masquerade as "no regressions"
+    // regression-triggered retries are OFF (baseline missing), which
+    // must not masquerade as "no regressions"
     System.err.println(
       if (prior.isEmpty) "[bench] prior baseline UNAVAILABLE - regression retries disabled"
       else s"[bench] prior baseline loaded: ${prior.size} queries")
@@ -128,10 +149,49 @@ object Bench {
       val slow = best.filter { case (n, v) => v >= 0 && stallSuspect(n, v) }
         .keys.toSeq
       slow.foreach { name =>
-        best(name) = math.min(best(name),
-          timed(name, SparkEntry.queries(name), s"retry$pass"))
+        // fold ONLY a successful retry into the min: a retry that fails
+        // (transient OOM in a stall burst) returns the -1 sentinel, and
+        // math.min would flip a min earned from two clean full passes
+        // into a bogus failure
+        val r = timed(name, SparkEntry.queries(name), s"retry$pass")
+        if (r >= 0) best(name) = math.min(best(name), r)
       }
     }
+    // Artifact self-gate (the r8 lesson: both full passes of a query
+    // can land in one sustained host-stall window, and the deferred
+    // retries right after it are still inside the window — the r8
+    // artifact carried a dozen ~2× stall pairs its own protocol was
+    // supposed to catch). If any query's min STILL violates the 1.4×
+    // prior check after the targeted retries, wait out the window
+    // (stalls observed here last minutes, not hours) and re-run the
+    // violators; repeat up to [[gatePasses]] times. The artifact then
+    // records the surviving violations in `prior_regressions`, so
+    // "zero entries" is a machine-checked property of the committed
+    // number, not prose.
+    val gatePasses = 3
+    val gateWaitSec = 150
+    def violations: Seq[String] = best.collect {
+      case (n, v) if v >= 0 &&
+        prior.get(n).exists(p => p > 0 && v >= 1.4 * p && v - p >= 0.3) => n
+    }.toSeq
+    var gate = 0
+    while (violations.nonEmpty && gate < gatePasses) {
+      gate += 1
+      System.err.println(s"[bench] self-gate: ${violations.size} queries " +
+        s"still >=1.4x prior after retries - waiting ${gateWaitSec}s for " +
+        s"a clean window (gate pass $gate/$gatePasses): " +
+        violations.mkString(","))
+      Thread.sleep(gateWaitSec * 1000L)
+      Caches.releaseAll()
+      violations.foreach { name =>
+        val r = timed(name, SparkEntry.queries(name), s"gate$gate")
+        if (r >= 0) best(name) = math.min(best(name), r)
+      }
+    }
+    val regressions = violations
+    if (regressions.nonEmpty)
+      System.err.println("[bench] self-gate EXHAUSTED - artifact carries " +
+        s"prior_regressions: ${regressions.mkString(",")}")
     Caches.releaseAll()
     // Locale.ROOT: the f interpolator is locale-sensitive and a
     // comma-decimal locale would corrupt the JSON artifact.
@@ -152,8 +212,10 @@ object Bench {
     // observed capture truncation cuts from the FRONT and keeps tails
     // (BENCH_r03/r04 both arrived headless), so the headline number
     // survives either way
+    val regJson = regressions.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"pass_totals":$passes,"value_tail":${d3(total)},"pass_totals_tail":$passes}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"prior_regressions":$regJson,"pass_totals":$passes,"value_tail":${d3(total)},"pass_totals_tail":$passes}"""
     // durable copy next to the repo artifacts, in case the stdout
     // capture truncates again (BENCH_r03 arrived with parsed:null)
     try java.nio.file.Files.write(

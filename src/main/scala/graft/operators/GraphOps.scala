@@ -419,7 +419,30 @@ object GraphOps {
     * end.
     */
   private val substrateMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, String), String]()
+    (org.apache.spark.SparkContext, String),
+    java.util.concurrent.FutureTask[String]]()
+
+  /** One eviction listener per CONTEXT (not per memo entry): the r8
+    * shape registered a listener per (context, dir) that removed only
+    * its own key and was itself never unregistered — harmless at two
+    * dirs, a slow leak under many. This one sweeps every entry of the
+    * ending context and unregisters itself.
+    */
+  private val evictionHook = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, Unit]()
+
+  private def registerEviction(sc: org.apache.spark.SparkContext): Unit =
+    evictionHook.computeIfAbsent(sc, { _ =>
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          substrateMemo.keySet.removeIf(_._1 eq sc)
+          evictionHook.remove(sc)
+          sc.removeSparkListener(this)
+        }
+      })
+      ()
+    })
 
   /** The encoded-long co-purchase edge list, MATERIALIZED once per
     * (session, data dir) as a bucketed+sorted parquet table and read
@@ -456,46 +479,68 @@ object GraphOps {
     * table overwrites any stale copy from a previous JVM, so at most
     * one substrate per data dir ever exists on disk.
     */
+  private def materializeSubstrate(s: SparkSession, d: String): String = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val encS = lpEnc(col("l_suppkey"), isS = true)
+    val encP = lpEnc(col("l_partkey"), isS = false)
+    val edges = li
+      .select(explode(array(
+        struct(encS.as("src"), encP.as("dst")),
+        struct(encP.as("src"), encS.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // deterministic per data dir, so at most one substrate per dir ever
+    // exists on disk — which also means two concurrent DRIVERS (separate
+    // JVMs sharing one warehouse dir) would race the DROP+CTAS below.
+    // Single-driver-per-warehouse is the assumption, and the standard
+    // Spark deployment shape (a warehouse dir belongs to one driver; a
+    // real 100 TB deployment stages the edge list to the lake once,
+    // through its own orchestration, not via concurrent ad-hoc CTAS).
+    val tbl = "graft_edges_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // a previous JVM may have left the same table's files without a
+    // catalog entry (the catalog is in-memory); drop + delete so the
+    // CTAS never trips over a non-empty location
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = java.nio.file.Paths.get(
+      s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), tbl).toString
+    graft.sinks.Layout.deleteRecursively(java.nio.file.Paths.get(loc))
+    // repartition on the bucket key first: bucketed writers emit one
+    // file per (task, bucket), so without it every task sprays all
+    // `buckets` files
+    edges.repartition(buckets, col("src"))
+      .write.mode("overwrite").format("parquet").option("path", loc)
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(tbl)
+    tbl
+  }
+
   private[graft] def coEdgesEnc(s: SparkSession, dir: String): DataFrame = {
-    val name = substrateMemo.computeIfAbsent((s.sparkContext, dir), {
-      case (sc, d) =>
-      val ss = s
-      val li = t(ss, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey")).distinct()
-      val encS = lpEnc(col("l_suppkey"), isS = true)
-      val encP = lpEnc(col("l_partkey"), isS = false)
-      val edges = li
-        .select(explode(array(
-          struct(encS.as("src"), encP.as("dst")),
-          struct(encP.as("src"), encS.as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val tbl = "graft_edges_" + java.security.MessageDigest
-        .getInstance("MD5").digest(d.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      val buckets = ss.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      // a previous JVM may have left the same table's files without a
-      // catalog entry (the catalog is in-memory); drop + delete so the
-      // CTAS never trips over a non-empty location
-      ss.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = java.nio.file.Paths.get(
-        ss.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), tbl).toString
-      graft.sinks.Layout.deleteRecursively(java.nio.file.Paths.get(loc))
-      // repartition on the bucket key first: bucketed writers emit one
-      // file per (task, bucket), so without it every task sprays all
-      // `buckets` files
-      edges.repartition(buckets, col("src"))
-        .write.mode("overwrite").format("parquet").option("path", loc)
-        .bucketBy(buckets, "src").sortBy("src").saveAsTable(tbl)
-      val key = (sc, d)
-      sc.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            substrateMemo.remove(key)
-        })
-      tbl
-    })
+    // memoize a lazily-RUN FutureTask, not the result: the r8 shape ran
+    // the whole CTAS (minutes at sf100) inside computeIfAbsent, holding
+    // that CHM bin's lock for the duration — concurrent callers for
+    // unrelated (context, dir) keys hashing to the same bin blocked on
+    // the materialization, and a re-entrant same-key call would have
+    // deadlocked. putIfAbsent is a constant-time map op; the winning
+    // caller runs the task OUTSIDE any map lock, losers block on the
+    // future (they need the table), and a failed materialization
+    // removes its entry so a later call retries instead of caching the
+    // exception forever.
+    val key = (s.sparkContext, dir)
+    val fresh = new java.util.concurrent.FutureTask[String](
+      () => materializeSubstrate(s, dir))
+    val prior = substrateMemo.putIfAbsent(key, fresh)
+    val task = if (prior == null) { registerEviction(s.sparkContext); fresh.run(); fresh }
+      else prior
+    val name =
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          substrateMemo.remove(key, task)
+          throw e.getCause
+      }
     // the cached wrapper keeps hot rounds in memory where the mode
     // allows; after a releaseAll (or in cache mode `none`) consumers
     // fall back to the bucketed scan, never to a lineitem re-derive
