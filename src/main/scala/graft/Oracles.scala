@@ -3210,6 +3210,62 @@ object Oracles {
            |LIMIT 50""".stripMargin
     },
 
+    // run-to-convergence PageRank (GraphOps.q_pagerank_conv): the
+    // SAME fixed-point iteration unrolled to the cap, with the
+    // converged depth SELECTED IN SQL — per-depth exact L1 deltas,
+    // first depth under θ wins (coalesce to the cap when none does),
+    // so the twin needs no fixture-measured depth constant and stays
+    // correct at any SF where convergence happens within the cap
+    // (the Spark side's loop enforces the identical rule). Every
+    // multi-referenced CTE is AS MATERIALIZED: each r_i is consumed
+    // by c_{i+1}, two deltas, and the rall union — inlined, the
+    // expression tree is 4^depth and the statement never finishes.
+    "q_pagerank_conv" -> {
+      import graft.operators.GraphOps.{prConvMaxIters, prConvThetaDen,
+        prDampDen, prDampNum, prScale, prTeleportNano}
+      val k = prConvMaxIters
+      val theta = prScale / prConvThetaDen
+      val base =
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+           |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM li
+           |  UNION ALL
+           |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM li)),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+           |r0 AS MATERIALIZED (SELECT src AS node, $prScale // n AS nr FROM deg, nn)""".stripMargin
+      val iters = (1 to k).map { i =>
+        s""",
+           |c$i AS (SELECT e.dst, sum(r.nr // d.deg) AS sc
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r$i AS MATERIALIZED (SELECT dst AS node,
+           |    $prTeleportNano // n + ($prDampNum * sc) // $prDampDen AS nr
+           |  FROM c$i, nn)""".stripMargin
+      }.mkString
+      val deltas = (1 to k).map { i =>
+        s"SELECT $i AS i, (SELECT sum(abs(a.nr - b.nr)) " +
+          s"FROM r$i a JOIN r${i - 1} b ON a.node = b.node) AS delta"
+      }.mkString(",\ndeltas AS MATERIALIZED (", " UNION ALL ", ")")
+      val conv =
+        s""",
+           |conv AS (SELECT coalesce(min(i), $k) AS ci FROM deltas
+           |  WHERE delta < $theta)""".stripMargin
+      val rall = (1 to k).map { i =>
+        s"SELECT $i AS i, node, nr FROM r$i"
+      }.mkString(",\nrall AS (", " UNION ALL ", ")")
+      base + iters + deltas + conv + rall +
+        s"""
+           |SELECT r.node, d.deg,
+           |  CAST(r.nr AS DOUBLE) / CAST($prScale AS DOUBLE) AS pagerank,
+           |  CAST(c.ci AS BIGINT) AS n_iters
+           |FROM rall r JOIN conv c ON r.i = c.ci JOIN deg d ON r.node = d.src
+           |ORDER BY pagerank DESC, node
+           |LIMIT 50""".stripMargin
+    },
+
     // label propagation (GraphOps.q_label_prop): synchronous rounds,
     // majority label with (count DESC, label) deterministic tie-break
     "q_label_prop" -> {

@@ -216,6 +216,7 @@ object SparkEntry {
     "q_vec_pca" -> (VectorOps.q_vec_pca _),
     // graph analytics
     "q_pagerank" -> (GraphOps.q_pagerank _),
+    "q_pagerank_conv" -> (GraphOps.q_pagerank_conv _),
     "q_triangles" -> (GraphOps.q_triangles _),
     "q_bfs" -> (GraphOps.q_bfs _),
     // customer / time-series analytics (round 5, batch 2)

@@ -99,6 +99,72 @@ object GraphOps {
         col("pagerank"))
   }
 
+  /** Convergence parameters for [[q_pagerank_conv]] — shared verbatim
+    * with the oracle. θ is SCALE-FREE: 1% of the total rank mass
+    * (prScale nano-units) rather than a per-node count, so the L1
+    * delta's geometric decay (≈ damping^i of the mass) crosses it at
+    * roughly the same depth at every corpus size — the property that
+    * lets one unrolled oracle serve every fixture. The stopping test
+    * is EXACT BIGINT arithmetic: `sum(abs(nr_i − nr_{i-1})) <
+    * prScale div prConvThetaDen` — no float ever enters the loop
+    * decision, so two engines (and two cluster layouts) stop at the
+    * same depth by construction.
+    */
+  private[graft] val prConvThetaDen = 100L
+  private[graft] val prConvMaxIters = 40
+
+  /** Run-to-convergence PageRank — the production form of
+    * [[q_pagerank]] (fixed 3 iterations is the oracle-gated demo;
+    * real link analysis iterates until the rank vector stops moving).
+    * Same substrate, same fixed-point integer update; the loop exits
+    * when the exact L1 delta drops below [[prConvThetaDen]]⁻¹ of the
+    * total mass or at [[prConvMaxIters]], and the depth taken is
+    * observable in the output (`n_iters` — every row carries it).
+    *
+    * Scale shape: one |E| join + partial-combining aggregate per
+    * iteration against the bucketed substrate (exchange-free on the
+    * edge side), a |V|-row checkpoint per iteration (the
+    * q_dedup_cluster lineage-truncation discipline — without it the
+    * plan tree doubles per round), and ONE driver-side scalar per
+    * iteration (the convergence test — canonical distributed
+    * iterate-until-converge; the collect is a single BIGINT).
+    */
+  def q_pagerank_conv(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesEnc(s, dir)
+    val deg = cached(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val degN = deg.withColumnRenamed("src", "node")
+    val n = deg.count()
+    val theta = prScale / prConvThetaDen
+    var rank = degN.select(col("node"), lit(prScale / n).as("nr"))
+    var iters = 0
+    var delta = Long.MaxValue
+    while (iters < prConvMaxIters && delta >= theta) {
+      val msg = rank.join(degN, "node")
+        .select(col("node").as("src"), expr("nr div deg").as("m"))
+      val contrib = edges.join(msg.hint("shuffle_hash"), "src")
+        .select(col("dst"), col("m").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+      val next = Checkpoints.ckpt(contrib
+        .select(col("dst").as("node"),
+          expr(s"${prTeleportNano}L div ${n}L" +
+            s" + (${prDampNum}L * sc) div ${prDampDen}L").as("nr")))
+      delta = next.join(rank.select(col("node"), col("nr").as("prev")), "node")
+        .agg(sum(abs(col("nr") - col("prev"))).as("d"))
+        .collect()(0).getLong(0)
+      rank = next
+      iters += 1
+    }
+    rank.join(degN, "node")
+      .select(col("node"), col("deg"),
+        (col("nr").cast("double") / lit(prScale).cast("double"))
+          .as("pagerank"),
+        lit(iters.toLong).as("n_iters"))
+      .orderBy(col("pagerank").desc, col("node"))
+      .limit(50)
+      .select(lpDecode(col("node")).as("node"), col("deg"),
+        col("pagerank"), col("n_iters"))
+  }
+
   /** BFS hop count for q_bfs — shared verbatim with the oracle. */
   private[graft] val bfsHops = 3
   private[graft] val bfsSeed = "s1"

@@ -45,6 +45,47 @@ class GraphSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
   }
 
+  test("q_pagerank_conv matches a driver-side run-to-convergence " +
+    "reference exactly: same depth, same ranks, depth < cap") {
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.get(0).toString, r.get(1).toString))
+    val edges = li.flatMap { case (s, p) =>
+      Seq(("s" + s, "p" + p), ("p" + p, "s" + s))
+    }.distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => (k, v.length.toLong) }
+    val n = deg.size.toLong
+    val theta = GraphOps.prScale / GraphOps.prConvThetaDen
+    var rank: Map[String, Long] =
+      deg.keys.map(k => (k, GraphOps.prScale / n)).toMap
+    var iters = 0
+    var delta = Long.MaxValue
+    while (iters < GraphOps.prConvMaxIters && delta >= theta) {
+      val next = edges.groupBy(_._2).map { case (dst, in) =>
+        val sc = in.map { case (src, _) => rank(src) / deg(src) }.sum
+        (dst, GraphOps.prTeleportNano / n
+          + (GraphOps.prDampNum * sc) / GraphOps.prDampDen)
+      }
+      delta = next.map { case (k, nr) => math.abs(nr - rank(k)) }.sum
+      rank = next
+      iters += 1
+    }
+    assert(iters < GraphOps.prConvMaxIters,
+      s"fixture did not converge under the cap (depth $iters)")
+    val want = rank.toSeq
+      .map { case (node, nr) =>
+        (node, deg(node), nr.toDouble / GraphOps.prScale.toDouble,
+          iters.toLong)
+      }
+      .sortBy { case (node, _, pr, _) => (-pr, node) }
+      .take(50)
+    val got = GraphOps.q_pagerank_conv(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    Caches.releaseAll()
+  }
+
   test("triangleCounts: K4 + pendant + isolated edge, exact counts") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, every node in 3), pendant 5 off
