@@ -2885,6 +2885,97 @@ object Oracles {
          |FROM surv s LEFT JOIN dropb d ON s.doc_id = d.b_id
          |WHERE d.b_id IS NULL ORDER BY doc_id""".stripMargin,
 
+    // composed training-set build (TextOps.q_pipeline_build): the
+    // q_curate chain extended through decontam → mixture quota →
+    // split → pack, audited per stage with id-sum/min/max checksums
+    // and the packed-bin manifest fold. Every stage rule is the SAME
+    // SQL its standalone twin uses (constants interpolated from the
+    // Scala vals); stage CTEs are MATERIALIZED — each feeds its audit
+    // AND its successor (the q_pagerank_conv inlining lesson).
+    "q_pipeline_build" -> {
+      val den = graft.operators.TextOps.mixSampleDen
+      val ng = graft.operators.TextOps.decontamNgram
+      val budget = graft.operators.TextOps.packBudget
+      val shards = graft.operators.TextOps.packShards
+      def aud(ord: Int, name: String, from: String, manifest: String = "CAST(0 AS BIGINT)") =
+        s"""SELECT CAST($ord AS BIGINT) AS stage_ord, '$name' AS stage,
+           |  CAST(count(*) AS BIGINT) AS n_out,
+           |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+           |  CAST(coalesce(min(doc_id), -1) AS BIGINT) AS id_min,
+           |  CAST(coalesce(max(doc_id), -1) AS BIGINT) AS id_max,
+           |  $manifest AS manifest FROM $from""".stripMargin
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, $minhashLegs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |stats AS MATERIALIZED (SELECT doc_id, lang, source,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    $scoreSql AS score,
+         |    $predLangSql AS pred_lang,
+         |    md5(text) AS text_hash
+         |  FROM documents),
+         |s1 AS MATERIALIZED (SELECT * FROM stats WHERE pred_lang = 'en'),
+         |s2 AS MATERIALIZED (SELECT * FROM s1 WHERE score >= 0.5),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY text_hash),
+         |s3 AS MATERIALIZED (SELECT g.* FROM s2 g JOIN keep k ON g.doc_id = k.doc_id),
+         |dropb AS (SELECT DISTINCT c.b_id FROM cand c
+         |  JOIN s3 sa ON c.a_id = sa.doc_id
+         |  JOIN s3 sb ON c.b_id = sb.doc_id),
+         |s4 AS MATERIALIZED (SELECT s.* FROM s3 s LEFT JOIN dropb d ON s.doc_id = d.b_id
+         |  WHERE d.b_id IS NULL),
+         |toks4 AS (SELECT doc_id, $tokL AS l FROM documents),
+         |sh4 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM
+         |  (SELECT doc_id, unnest(list_transform(
+         |     range(1, greatest(len(l) - ${ng - 1}, 0) + 1),
+         |     i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3])))
+         |   AS shingle FROM toks4)),
+         |ev AS (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 50 = 0),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh4 s JOIN ev USING (shingle)
+         |  WHERE s.doc_id % 50 <> 0),
+         |s5 AS MATERIALIZED (SELECT s.* FROM s4 s LEFT JOIN contam c ON s.doc_id = c.doc_id
+         |  WHERE s.doc_id % 50 <> 0 AND c.doc_id IS NULL),
+         |t5 AS (SELECT count(*) AS n, count(DISTINCT source) AS k FROM s5),
+         |p5 AS (SELECT CAST((((n + ${den - 1}) // $den) + k - 1) // k
+         |    AS BIGINT) AS per FROM t5),
+         |r6 AS (SELECT s.*, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM s5 s),
+         |s6 AS MATERIALIZED (SELECT r6.doc_id, r6.lang, r6.source, r6.n_tok
+         |  FROM r6 CROSS JOIN p5 WHERE rk <= per),
+         |s7 AS MATERIALIZED (SELECT * FROM s6
+         |  WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+         |p8 AS (SELECT doc_id, lang, n_tok, doc_id % $shards AS shard FROM s7),
+         |c8 AS (SELECT doc_id,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id) - n_tok AS BIGINT) AS tok_offset
+         |  FROM p8),
+         |s8 AS MATERIALIZED (SELECT doc_id,
+         |    CAST(floor(tok_offset / $budget.0) AS BIGINT) AS bin FROM c8),
+         |a AS (
+         |${aud(0, "input", "documents")}
+         |UNION ALL ${aud(1, "lang_gate", "s1")}
+         |UNION ALL ${aud(2, "quality_gate", "s2")}
+         |UNION ALL ${aud(3, "exact_dedup", "s3")}
+         |UNION ALL ${aud(4, "near_dup", "s4")}
+         |UNION ALL ${aud(5, "decontam", "s5")}
+         |UNION ALL ${aud(6, "mixture_quota", "s6")}
+         |UNION ALL ${aud(7, "split_assign", "s7")}
+         |UNION ALL ${aud(8, "pack", "s8",
+        "CAST(coalesce(sum(doc_id * (bin + 1)), 0) AS BIGINT)")})
+         |SELECT stage_ord, stage,
+         |  coalesce(lag(n_out) OVER (ORDER BY stage_ord), n_out) AS n_in,
+         |  n_out,
+         |  coalesce(lag(n_out) OVER (ORDER BY stage_ord), n_out) - n_out
+         |    AS n_dropped,
+         |  id_sum, id_min, id_max, manifest
+         |FROM a ORDER BY stage_ord""".stripMargin
+    },
+
     "q_simhash_sig" ->
       s"""$simhashCte
          |SELECT doc_id, sim_hi, sim_lo FROM sig ORDER BY doc_id""".stripMargin,
@@ -3084,25 +3175,40 @@ object Oracles {
     "q_dedup_embed" -> {
       // banded axis-sign LSH: band j's bucket = 4 sign bits from
       // components [4j+1, 4j+4] (1-based); 8 bands (VectorOps
-      // dedupBands/dedupBandBits)
+      // dedupBands/dedupBandBits). Pair enumeration is BOUNDED per
+      // block (r9 contract): only the `dedupPairCap` lowest-id block
+      // members anchor pairs, and every pair reports whether any of
+      // its blocks was truncated (capped, the observable-truncation
+      // discipline) — constants interpolated from the Scala vals.
       def bucket(j: Int) = (0 until 4)
         .map(i => s"(CASE WHEN embedding[${j * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
         .mkString(" + ")
       val bandSelects = (0 until 8)
         .map(j => s"SELECT vec_id, label, $j AS band, ${bucket(j)} AS bucket FROM v")
         .mkString("\nUNION ALL ")
+      val cap = graft.operators.VectorOps.dedupPairCap
       s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
          |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label
-         |  FROM bands a JOIN bands b
+         |ranked AS (SELECT vec_id, label, band, bucket,
+         |  row_number() OVER (PARTITION BY label, band, bucket
+         |    ORDER BY vec_id) AS rk,
+         |  count(*) OVER (PARTITION BY label, band, bucket) AS bn
+         |  FROM bands),
+         |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    a.label AS label,
+         |    CAST(max(CASE WHEN a.bn > ${cap + 1} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS capped
+         |  FROM ranked a JOIN ranked b
          |    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
-         |      AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, label, cos FROM (
-         |  SELECT c.a_id, c.b_id, c.label,
+         |      AND a.vec_id < b.vec_id
+         |  WHERE a.rk <= $cap
+         |  GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, label, cos, capped FROM (
+         |  SELECT c.a_id, c.b_id, c.label, c.capped,
          |    round(${dot("va.embedding", "vb.embedding")} /
          |      (sqrt(${norm2("va.embedding")}) * sqrt(${norm2("vb.embedding")})), 4) AS cos
          |  FROM cand c JOIN v va ON c.a_id = va.vec_id JOIN v vb ON c.b_id = vb.vec_id)
-         |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+         |WHERE cos >= ${graft.operators.VectorOps.nearDupTau} ORDER BY a_id, b_id""".stripMargin
     },
 
     "q_dedup_embed_star" -> {

@@ -165,6 +165,7 @@ object SparkEntry {
     "q_minhash_est" -> (TextOps.q_minhash_est _),
     "q_dedup_cluster" -> (TextOps.q_dedup_cluster _),
     "q_curate" -> (TextOps.q_curate _),
+    "q_pipeline_build" -> (TextOps.q_pipeline_build _),
     "q_repetition" -> (TextOps.q_repetition _),
     "q_decontaminate" -> (TextOps.q_decontaminate _),
     "q_dedup_incremental" -> (TextOps.q_dedup_incremental _),

@@ -1464,6 +1464,122 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Composed end-to-end training-set build — the 100 TB usage shape
+    * of the whole curation inventory in ONE materialized pass:
+    * lang gate → quality gate → exact dedup → near-dup canonical
+    * selection → decontaminate → mixture quotas → split assign →
+    * pack. The output is the BOUNDED per-stage audit a production
+    * run reports (stage order, rows in/out/dropped), with each
+    * stage's surviving doc set pinned by exact id-sum/min/max
+    * checksums (the q_mixture_sample discipline — the whole corpus
+    * route is hash-gated without shipping it through the comparator)
+    * and the final packed manifest pinned by Σ doc_id·(bin+1), so a
+    * single doc landing in a different bin moves the checksum.
+    *
+    * Scale shape: text is read ONCE into the cached per-doc stats
+    * frame (tokens, gates, text_hash — everything downstream is
+    * narrow columns); the near-dup stage reuses the SAME cached
+    * signature/pairs frames q_dedup_minhash declares; the decontam
+    * shingle table is built once and its eval side broadcast; every
+    * stage frame is cached so its audit aggregate and its successor
+    * share one materialization; the mixture quota is an in-plan
+    * 1-row broadcast (no driver action); pack is the sharded window.
+    * The audits are one extra hash aggregate per stage over cached
+    * narrow frames — the composed plan scans the corpus text exactly
+    * twice (3-gram minhash shingles and stats share the tokenizer
+    * scan budget; 4-gram decontam shingles are a different width),
+    * which PlanSpec pins.
+    */
+  def q_pipeline_build(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // stage 0: one text scan → narrow per-doc stats (text itself is
+    // reduced to md5 here and never travels further)
+    val st = cached(withToks(docs, col("doc_id"), col("text"), col("lang"),
+        col("source"), nospaceC.as("__nospace"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        scoreOf(col("__toks"), col("__nospace")).as("score"),
+        predLangOf(col("__toks")).as("pred_lang"),
+        md5(col("text")).as("text_hash")))
+    val s1 = st.filter(col("pred_lang") === "en")
+    val s2 = s1.filter(col("score") >= 0.5)
+    val keep = s2.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s3 = cached(s2.join(keep, Seq("doc_id"), "left_semi"))
+    val ids3 = s3.select("doc_id")
+    val dropB = minhashCandidatePairs(s, dir)
+      .join(ids3.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(ids3.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .select(col("b_id").as("doc_id")).distinct()
+    val s4 = cached(s3.join(dropB, Seq("doc_id"), "left_anti"))
+    // decontam: the 4-gram shingle table once; eval side broadcast
+    val sh4 = cached(docs.select(col("doc_id"),
+      explode(array_distinct(
+        TextFns.shingles(col("text"), decontamNgram))).as("shingle")))
+    val evalSh = sh4.filter(col("doc_id") % 50 === 0)
+      .select("shingle").distinct()
+    val contam = sh4.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .select("doc_id").distinct()
+    val s5 = cached(s4.filter(col("doc_id") % 50 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti"))
+    // mixture quota over the CURRENT survivors (equal shares of a
+    // ceil(N/den) target, capped by availability — q_mixture_sample's
+    // rule applied as a drop stage)
+    val tot = broadcast(s5.agg(count(lit(1)).as("__n"),
+      countDistinct(col("source")).as("__k")))
+    val wSrc = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val s6 = cached(s5.crossJoin(tot)
+      .withColumn("__per", expr(
+        s"(((__n + ${mixSampleDen - 1}) div $mixSampleDen) + __k - 1) div __k"))
+      .withColumn("__rk", row_number().over(wSrc))
+      .filter(col("__rk") <= col("__per"))
+      .drop("__n", "__k", "__per", "__rk"))
+    // split: keep the train fraction (q_split_assign's boundaries)
+    val s7 = cached(s6.filter(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 2) < "cd"))
+    // pack: sharded running-offset bins (q_pack's rule) — drops
+    // nothing, pins the bin assignment through the manifest fold
+    val wPack = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val s8 = s7.select(col("doc_id"), col("lang"), col("n_tok"),
+        pmod(col("doc_id"), lit(packShards)).as("shard"))
+      .withColumn("tok_offset",
+        sum(col("n_tok")).over(wPack) - col("n_tok"))
+      .withColumn("bin", floor(col("tok_offset") / packBudget.toDouble))
+    def audit(ord: Long, name: String, df: DataFrame,
+      manifest: Column = lit(0L)): DataFrame =
+      df.agg(count(lit(1)).as("n_out"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+          coalesce(min(col("doc_id")), lit(-1L)).as("id_min"),
+          coalesce(max(col("doc_id")), lit(-1L)).as("id_max"),
+          coalesce(manifest, lit(0L)).as("manifest"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_out"), col("id_sum"), col("id_min"), col("id_max"),
+          col("manifest"))
+    val audits = Seq(
+      audit(0L, "input", docs),
+      audit(1L, "lang_gate", s1),
+      audit(2L, "quality_gate", s2),
+      audit(3L, "exact_dedup", s3),
+      audit(4L, "near_dup", s4),
+      audit(5L, "decontam", s5),
+      audit(6L, "mixture_quota", s6),
+      audit(7L, "split_assign", s7),
+      audit(8L, "pack", s8, sum(col("doc_id") * (col("bin") + 1L))))
+      .reduce(_.union(_))
+    // n_in via lag over the 9-row audit frame (single partition is
+    // the point — this is the bounded result, not the corpus)
+    val wOrd = Window.orderBy("stage_ord")
+    audits
+      .withColumn("n_in",
+        coalesce(lag(col("n_out"), 1).over(wOrd), col("n_out")))
+      .select(col("stage_ord"), col("stage"), col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("n_dropped"),
+        col("id_sum"), col("id_min"), col("id_max"), col("manifest"))
+      .orderBy("stage_ord")
+  }
+
   // ── decontamination / packing / lexical entropy ────────────────────
 
   /** Shingle width for eval-set decontamination. Wider than the

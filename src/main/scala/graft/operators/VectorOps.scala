@@ -86,7 +86,31 @@ object VectorOps {
     * vectors — and the exact cosine verify runs once per DISTINCT
     * candidate pair after two narrow joins back to the vector table.
     */
-  def q_dedup_embed(s: SparkSession, dir: String): DataFrame = {
+  /** Per-block anchor cap for [[q_dedup_embed]] — each (label, band,
+    * bucket) block enumerates pairs only against its [[dedupPairCap]]
+    * lowest-id members (the anchors). Candidate count per block is
+    * then ≤ n_b · cap (LINEAR in the corpus) instead of C(n_b, 2);
+    * blocks with ≤ cap+1 members are enumerated in full, so the
+    * bounded contract is EXACTLY the old unbounded one wherever the
+    * near-dup graph is sparse. This is the r9 resolution of the
+    * declared surface's last weak component: three rounds of sf10
+    * spots proved the unbounded pair contract Θ(Σ C(n_b,2)) on
+    * tight-cluster data BY CONTRACT (509 s at sf10, any cosine-LSH
+    * family keeps near vectors together), so the contract itself is
+    * re-declared with the bucket-size-cap shape that defused the
+    * same blow-up for dhash (dhashBandCap) — per-block, never a
+    * fixed absolute candidate count (the df≤50 lesson). Truncation
+    * is OBSERVABLE: every emitted pair carries `capped` = 1 iff any
+    * contributing block exceeded cap+1 members, so a consumer can
+    * see exactly which components of the near-dup graph are
+    * partially enumerated and route them to the linear star/cluster
+    * path. The unbounded form stays available to specs (cap = None)
+    * as the cross-check oracle on small panels.
+    */
+  val dedupPairCap = 16
+
+  private[graft] def dedupEmbedPairs(s: SparkSession, dir: String,
+    cap: Option[Int]): DataFrame = {
     val v = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     val bands = v.select(col("vec_id"), col("label"),
       explode(array((0 until dedupBands).map(j =>
@@ -95,19 +119,32 @@ object VectorOps {
         .as("bb"))
       .select(col("vec_id"), col("label"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val a = bands.select(col("vec_id").as("a_id"), col("label"), col("band"), col("bucket"))
-    val b = bands.select(col("vec_id").as("b_id"), col("label"), col("band"), col("bucket"))
+    val wBlock = Window.partitionBy("label", "band", "bucket")
+    val ranked = bands
+      .withColumn("rk", row_number().over(wBlock.orderBy("vec_id")))
+      .withColumn("bn", count(lit(1)).over(wBlock))
+    val capN = cap.map(_.toLong).getOrElse(Long.MaxValue - 1L)
+    val a = ranked.filter(col("rk") <= capN)
+      .select(col("vec_id").as("a_id"), col("label"), col("band"),
+        col("bucket"), col("bn"))
+    val b = ranked.select(col("vec_id").as("b_id"), col("label"),
+      col("band"), col("bucket"))
     val cand = a.join(b, Seq("label", "band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "label").distinct()
+      .groupBy("a_id", "b_id", "label")
+      .agg(max(when(col("bn") > capN + 1L, 1L).otherwise(0L)).as("capped"))
     cand
       .join(v.select(col("vec_id").as("a_id"), col("embedding").as("emb_a")), "a_id")
       .join(v.select(col("vec_id").as("b_id"), col("embedding").as("emb_b")), "b_id")
       .select(col("a_id"), col("b_id"), col("label"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"),
+        col("capped"))
       .filter(col("cos") >= nearDupTau)
       .orderBy("a_id", "b_id")
   }
+
+  def q_dedup_embed(s: SparkSession, dir: String): DataFrame =
+    dedupEmbedPairs(s, dir, Some(dedupPairCap))
 
   /** Linear-cost embedding near-dup: star edges to each LSH block's
     * minimum-id representative instead of all intra-block pairs.

@@ -79,10 +79,70 @@ object Streams {
     * layout). Tests stage `events.parquet` into a temp dir.
     */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(eventsDir)
+    eventsStream(spark, eventsDir, None)
+
+  /** As above, optionally bounding each micro-batch's file intake
+    * (`maxFilesPerTrigger`) — with a time-sliced landing dir
+    * ([[sliceEventsByTime]]) this forces a REAL multi-batch drain, so
+    * the cross-batch state path is exercised at scale instead of one
+    * drain-everything batch (the r8 fifth-decade spots' blind spot).
+    */
+  def eventsStream(spark: SparkSession, eventsDir: String,
+    maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r = spark.readStream.schema(eventsRawSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(eventsDir)
       .withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** Stage the events table into a landing dir of TIME-SLICED parquet
+    * files — the log-rotation layout a real deployment's landing zone
+    * has: slice k holds ts ∈ [b_{k-1}, b_k) (approx-quantile epoch-
+    * second boundaries; equal-ts events never straddle a slice, so
+    * per-user (ts, event_id) delivery order across micro-batches is
+    * preserved by construction — the contract the state machines
+    * declare). Each slice is written as `filesPerSlice` part files
+    * whose names AND mtimes both increase with the slice index, so
+    * the file source's intake order matches event time whichever key
+    * it sorts by; streaming with maxFilesPerTrigger = filesPerSlice
+    * then yields one micro-batch per slice.
+    */
+  private[graft] def sliceEventsByTime(spark: SparkSession,
+    eventsPath: String, outDir: String, slices: Int,
+    filesPerSlice: Int): Int = {
+    import scala.jdk.CollectionConverters._
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    val raw = spark.read.schema(eventsRawSchema).parquet(eventsPath)
+      .withColumn("__s", col("ts").cast(TimestampType).cast("long"))
+    val probs = (1 until slices).map(_.toDouble / slices).toArray
+    val bounds = raw.stat.approxQuantile("__s", probs, 0.001).map(_.toLong)
+    val cuts = (Seq(Long.MinValue) ++ bounds :+ Long.MaxValue).distinct
+    val base = System.currentTimeMillis() - cuts.size * 120000L
+    var written = 0
+    for (k <- 0 until cuts.size - 1) {
+      val slice = raw.filter(col("__s") >= cuts(k) && col("__s") < cuts(k + 1))
+        .drop("__s")
+      val tmp = out.resolve(s"__tmp$k")
+      slice.repartition(filesPerSlice)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val parts = {
+        val ls = Files.list(tmp)
+        try ls.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally ls.close()
+      }
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val dst = out.resolve(f"slice$k%03d_p$j%03d.parquet")
+        Files.move(p, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + k * 60000L))
+      }
+      graft.sinks.Layout.deleteRecursively(tmp)
+      written += parts.size
+    }
+    written
+  }
 
   /** Event-time tumbling window + watermark for late data. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -1118,9 +1178,28 @@ object Streams {
     * callers reduce to frames bounded by type/week cardinality, never
     * by event volume.
     */
+  /** One micro-batch's execution evidence, pulled from the query's
+    * progress after a drain: input volume, state-store row counts
+    * (the StateBoundSpec discipline, now observable at ANY scale) and
+    * wall time. `stateRowsTotal` is summed across the query's state
+    * operators.
+    */
+  private[graft] case class BatchEvidence(batchId: Long, numInputRows: Long,
+    stateRowsTotal: Long, stateRowsUpdated: Long, batchDurationMs: Long)
+
   private def drainAndProject[T](spark: SparkSession, stream: Dataset[T],
     mode: OutputMode, tag: String)(project: DataFrame => DataFrame)
-    : DataFrame = {
+    : DataFrame =
+    drainWithEvidence(spark, stream, mode, tag)(project)._1
+
+  /** [[drainAndProject]] plus the per-batch [[BatchEvidence]] trail —
+    * the multi-batch scale-evidence path (same code path as every
+    * declared streaming twin; the evidence is read from progress, it
+    * never changes execution).
+    */
+  private[graft] def drainWithEvidence[T](spark: SparkSession,
+    stream: Dataset[T], mode: OutputMode, tag: String)
+    (project: DataFrame => DataFrame): (DataFrame, Seq[BatchEvidence]) = {
     val ck = Files.createTempDirectory(s"ck_$tag")
     // Emissions land in a temp PARQUET dir via foreachBatch (which
     // accepts every output mode), NOT a memory sink: the memory sink
@@ -1148,6 +1227,15 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val evidence = q.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+      .groupBy(_.batchId).map(_._2.last).toSeq.sortBy(_.batchId)
+      .map { p =>
+        BatchEvidence(p.batchId, p.numInputRows,
+          p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsUpdated).sum,
+          p.batchDuration)
+      }
     val batchDirs = {
       val ls = Files.list(land)
       try {
@@ -1175,7 +1263,7 @@ object Streams {
         .forEach(f => Files.delete(f))
       finally walk.close()
     }
-    spark.createDataFrame(rows, schema)
+    (spark.createDataFrame(rows, schema), evidence)
   }
 
   /** Declared query: [[markovTransitions]] drained end-to-end, its
@@ -1263,9 +1351,10 @@ object Streams {
     * DISTRIBUTED max-rev + histogram aggregate and only the bounded
     * (≤ max session length) result is collected.
     */
-  def q_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
-    drainAndProject(s, sessionSnapshots(s, events),
+  private[graft] def sessionizeDrain(s: SparkSession, eventsDir: String,
+    maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
+    val events = eventsStream(s, eventsDir, maxFiles)
+    drainWithEvidence(s, sessionSnapshots(s, events),
       OutputMode.Update, "stream_sessionize") { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id", "session_id").orderBy(col("rev").desc)
@@ -1277,6 +1366,9 @@ object Streams {
         .orderBy("n_events")
     }
   }
+
+  def q_stream_sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeDrain(s, streamableDir(s"$dir/events.parquet"), None)._1
 
   /** Declared query: [[windowedCounts]] — the canonical
     * watermark + event-time tumbling-window aggregate — drained in
@@ -1359,13 +1451,17 @@ object Streams {
     * union + running-last composition, and the native physical
     * operator must all agree bit-for-bit.
     */
-  def q_stream_asof(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
-    drainAndProject(s, asofEnrich(s, events),
+  private[graft] def asofDrain(s: SparkSession, eventsDir: String,
+    maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
+    val events = eventsStream(s, eventsDir, maxFiles)
+    drainWithEvidence(s, asofEnrich(s, events),
       OutputMode.Append, "stream_asof") { sink =>
       sink.select("event_id", "prev_purchase_id").orderBy("event_id")
     }
   }
+
+  def q_stream_asof(s: SparkSession, dir: String): DataFrame =
+    asofDrain(s, streamableDir(s"$dir/events.parquet"), None)._1
 
   /** Streaming per-key top-k: state = the CURRENT top-[[streamTopK]]
     * (value desc, event_id asc) list per event type plus a monotone
@@ -1423,9 +1519,10 @@ object Streams {
     }
   }
 
-  def q_stream_lww(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
-    drainAndProject(s, statefulLww(s, events),
+  private[graft] def lwwDrain(s: SparkSession, eventsDir: String,
+    maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
+    val events = eventsStream(s, eventsDir, maxFiles)
+    drainWithEvidence(s, statefulLww(s, events),
       OutputMode.Update, "stream_lww") { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
@@ -1438,4 +1535,7 @@ object Streams {
         .orderBy("event_type")
     }
   }
+
+  def q_stream_lww(s: SparkSession, dir: String): DataFrame =
+    lwwDrain(s, streamableDir(s"$dir/events.parquet"), None)._1
 }

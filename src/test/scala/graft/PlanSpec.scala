@@ -269,6 +269,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pipeline_build: every stage's consumers read cached " +
+    "materializations — the composed pass never re-derives a shared " +
+    "subplan from a fresh corpus scan") {
+    val p = planOf(TextOps.q_pipeline_build(spark, dir))
+    // stage frames (stats, s3-s7), the decontam shingle table and the
+    // minhash signature family all enter through InMemoryTableScan;
+    // the audit aggregates and the successor stages SHARE those
+    // materializations (the q_dedup_span discipline). 8 is the floor:
+    // st + sh4 + s3..s7 + at least one minhash cache.
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 8, p.take(3000))
+    Caches.releaseAll()
+  }
+
   test("q_ks_drift's heavy cumsum window partitions on (type, bucket), " +
     "never one sorted partition per type") {
     val plan = Relational.q_ks_drift(spark, dir)

@@ -921,4 +921,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == direct,
       s"disordered snapshots diverge from the batch histogram")
   }
+
+  test("multi-batch time-sliced drains (asof/lww/sessionize) execute " +
+    "real multiple micro-batches with bounded per-batch state and " +
+    "reproduce the single-batch result exactly") {
+    val landing = Files.createTempDirectory("slices_spec").toString
+    val staged = Streams.sliceEventsByTime(spark,
+      s"$dir/events.parquet", landing, slices = 4, filesPerSlice = 2)
+    assert(staged >= 4, s"staged only $staged slice files")
+    val users = Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    // the drop accumulator is context-cumulative (the straggler spec
+    // above feeds it on purpose) — assert THIS test's delta, not the
+    // absolute value
+    val drops0 = Streams.sessionizeDrops(spark).value
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drains = Seq[(String,
+      Option[Int] => (org.apache.spark.sql.DataFrame,
+        Seq[Streams.BatchEvidence]))](
+      ("asof", Streams.asofDrain(spark, landing, _)),
+      ("lww", Streams.lwwDrain(spark, landing, _)),
+      ("sessionize", Streams.sessionizeDrain(spark, landing, _)))
+    drains.foreach { case (name, d) =>
+      val (outM, evM) = d(Some(2))
+      val (outS, evS) = d(None)
+      assert(evM.size >= 3,
+        s"$name: sliced drain ran only ${evM.size} micro-batches")
+      assert(evS.size == 1,
+        s"$name: unsliced drain split into ${evS.size} batches")
+      // state is bounded by the user universe, never event volume,
+      // in EVERY batch — the StateBoundSpec discipline per batch
+      evM.foreach { e =>
+        assert(e.stateRowsTotal <= users,
+          s"$name batch ${e.batchId}: state ${e.stateRowsTotal} > $users users")
+      }
+      assert(evM.map(_.numInputRows).sum == evS.head.numInputRows,
+        s"$name: sliced batches lost input rows")
+      assert(rowsOf(outM) == rowsOf(outS),
+        s"$name: multi-batch result diverges from single-batch")
+    }
+    // time-sliced delivery respected the per-user order contract
+    assert(Streams.sessionizeDrops(spark).value == drops0,
+      "sessionize dropped stragglers under time-sliced delivery")
+  }
 }

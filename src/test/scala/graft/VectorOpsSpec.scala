@@ -153,6 +153,35 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(frac(0) < 0.5, s"nprobe=1 candidate fraction ${frac(0)} too high")
   }
 
+  test("q_dedup_embed bounded contract: a subset of the unbounded " +
+    "enumeration with identical cosines, equal wherever no block " +
+    "was truncated, and cap=1 degenerates toward the star shape") {
+    val unb = VectorOps.dedupEmbedPairs(spark, dir, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val unbSet = unb.toSet
+    // the unbounded cross-check never reports truncation
+    VectorOps.dedupEmbedPairs(spark, dir, None).collect()
+      .foreach(r => assert(r.getLong(4) == 0L))
+    val capped = VectorOps.q_dedup_embed(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3), r.getLong(4)))
+    capped.foreach { case ((a, b), cos, c) =>
+      assert(a < b, s"pair ($a,$b) out of order")
+      assert(c == 0L || c == 1L, s"capped flag $c not 0/1")
+      assert(unbSet.contains((a, b, cos)),
+        s"bounded pair ($a,$b,$cos) absent from the unbounded relation")
+    }
+    // if no pair saw a truncated block, the bound changed nothing
+    if (capped.forall(_._3 == 0L))
+      assert(capped.map(p => (p._1._1, p._1._2, p._2)).toSet == unbSet,
+        "no truncation reported but the pair sets differ")
+    // cap=1: only block-min anchors pair — still a subset, never larger
+    val one = VectorOps.dedupEmbedPairs(spark, dir, Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    one.foreach(p => assert(unbSet.contains(p)))
+    assert(one.length <= capped.length)
+    Caches.releaseAll()
+  }
+
   test("q_dedup_embed_star: star edges are a subset of the pair " +
     "variant's near-dup relation and touch every flagged vector") {
     val pairs = VectorOps.q_dedup_embed(spark, dir).collect()
