@@ -139,9 +139,12 @@ object Bench {
     System.err.println(
       if (prior.isEmpty) "[bench] prior baseline UNAVAILABLE - regression retries disabled"
       else s"[bench] prior baseline loaded: ${prior.size} queries")
+    // ONE definition of "regressed vs prior" — the retry trigger and
+    // the artifact self-gate must never desynchronize
+    def regressedVsPrior(name: String, v: Double): Boolean =
+      prior.get(name).exists(p => p > 0 && v >= 1.4 * p && v - p >= 0.3)
     def stallSuspect(name: String, v: Double): Boolean =
-      v >= retryThreshold ||
-        prior.get(name).exists(p => p > 0 && v >= 1.4 * p && v - p >= 0.3)
+      v >= retryThreshold || regressedVsPrior(name, v)
     // deferred retries: only queries still ≥ threshold after the full
     // passes (a burst that covered both) or regressed vs the prior
     // round — min still wins
@@ -171,8 +174,7 @@ object Bench {
     val gatePasses = 3
     val gateWaitSec = 150
     def violations: Seq[String] = best.collect {
-      case (n, v) if v >= 0 &&
-        prior.get(n).exists(p => p > 0 && v >= 1.4 * p && v - p >= 0.3) => n
+      case (n, v) if v >= 0 && regressedVsPrior(n, v) => n
     }.toSeq
     var gate = 0
     while (violations.nonEmpty && gate < gatePasses) {

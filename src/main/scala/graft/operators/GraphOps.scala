@@ -144,14 +144,19 @@ object GraphOps {
       val contrib = edges.join(msg.hint("shuffle_hash"), "src")
         .select(col("dst"), col("m").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
+      // the previous rank is joined INTO the checkpointed frame, so
+      // one job materializes (node, nr, prev) and the convergence
+      // test is a scan-only aggregate of the checkpoint — not a
+      // second |V|⋈|V| shuffle join per iteration
       val next = Checkpoints.ckpt(contrib
         .select(col("dst").as("node"),
           expr(s"${prTeleportNano}L div ${n}L" +
-            s" + (${prDampNum}L * sc) div ${prDampDen}L").as("nr")))
-      delta = next.join(rank.select(col("node"), col("nr").as("prev")), "node")
+            s" + (${prDampNum}L * sc) div ${prDampDen}L").as("nr"))
+        .join(rank.select(col("node"), col("nr").as("prev")), "node"))
+      delta = next
         .agg(sum(abs(col("nr") - col("prev"))).as("d"))
         .collect()(0).getLong(0)
-      rank = next
+      rank = next.select("node", "nr")
       iters += 1
     }
     rank.join(degN, "node")

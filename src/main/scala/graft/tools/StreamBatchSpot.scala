@@ -55,10 +55,13 @@ object StreamBatchSpot {
     // exact whole-result checksum: row count + sum of xxhash64 over
     // every column — same JVM, same engine, so equal checksums on
     // equal relations and a single moved row flips the sum
-    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      // hash values span the full long range — sum in DECIMAL(38,0)
+      // or the fold overflows under ANSI arithmetic
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(df.columns.map(col): _*))).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
