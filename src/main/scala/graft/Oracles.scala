@@ -215,6 +215,9 @@ object Oracles {
     // the PSI monitor's drain lands in batch q_psi_drift's exact
     // output shape (shared psiFromBinned arithmetic) — one oracle
     "q_stream_psi" -> sqlBase("q_psi_drift"),
+    // ingest-time content-hash dedup: the state machine's final
+    // (min doc_id, copies) per md5 must equal the batch group-by
+    "q_stream_dedup" -> sqlBase("q_text_dedup"),
     // q_stream_sessionize reduces to a bounded histogram (its raw
     // emission volume is session-count-sized, unlike the other
     // twins), so its oracle is the batch gap-rule CTE aggregated to
@@ -3421,6 +3424,116 @@ object Oracles {
       }.mkString
       base + iters +
         s"\nSELECT node, dist FROM d$bfsHops ORDER BY node"
+    },
+
+    // HITS (GraphOps.q_hits): unrolled mutual-reinforcement rounds on
+    // the DIRECTED s→p half of the co-purchase graph; all scores
+    // exact BIGINT (seeded 1, unnormalized), the only float op the
+    // final raw/max rescale — identical IEEE in both engines. CTEs
+    // MATERIALIZED: each h_i/a_i is referenced by the next round AND
+    // the final top-k (the q_pagerank_conv inlining lesson).
+    "q_hits" -> {
+      import graft.operators.GraphOps.{hitsIters, hitsTopK}
+      val base =
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+           |sedges AS MATERIALIZED (
+           |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM li),
+           |a0 AS MATERIALIZED (
+           |  SELECT DISTINCT dst AS node, CAST(1 AS BIGINT) AS a FROM sedges)""".stripMargin
+      val rounds = (1 to hitsIters).map { i =>
+        s""",
+           |h$i AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+           |  FROM sedges e JOIN a${i - 1} a ON e.dst = a.node GROUP BY e.src),
+           |a$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+           |  FROM sedges e JOIN h$i h ON e.src = h.node GROUP BY e.dst)""".stripMargin
+      }.mkString
+      base + rounds +
+        s""",
+           |hm AS (SELECT max(h) AS m FROM h$hitsIters),
+           |am AS (SELECT max(a) AS m FROM a$hitsIters),
+           |hubs AS (SELECT 'hub' AS role, node, h AS raw,
+           |    CAST(h AS DOUBLE) / CAST(m AS DOUBLE) AS score
+           |  FROM h$hitsIters, hm ORDER BY raw DESC, node LIMIT $hitsTopK),
+           |auths AS (SELECT 'auth' AS role, node, a AS raw,
+           |    CAST(a AS DOUBLE) / CAST(m AS DOUBLE) AS score
+           |  FROM a$hitsIters, am ORDER BY raw DESC, node LIMIT $hitsTopK)
+           |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+           |ORDER BY role, raw DESC, node""".stripMargin
+    },
+
+    // bounded-hop weighted SSSP (GraphOps.q_sssp): Bellman-Ford
+    // rounds unrolled over min-quantity edge weights; all distance
+    // arithmetic BIGINT (quantities integral by construction — the
+    // rounding CAST here and Spark's truncating cast agree exactly on
+    // whole numbers). Each d_i is referenced twice (relaxation +
+    // carry), hence MATERIALIZED.
+    "q_sssp" -> {
+      import graft.operators.GraphOps.{bfsSeed, ssspHops}
+      val base =
+        s"""WITH li AS MATERIALIZED (SELECT l_suppkey, l_partkey,
+           |    CAST(min(l_quantity) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2),
+           |edges AS MATERIALIZED (
+           |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst, w FROM li
+           |  UNION ALL
+           |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst, w FROM li),
+           |d0 AS MATERIALIZED (SELECT '$bfsSeed' AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+      val rounds = (1 to ssspHops).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, r.dist + e.w AS dist
+           |  FROM d${i - 1} r JOIN edges e ON r.node = e.src) GROUP BY node)""".stripMargin
+      }.mkString
+      base + rounds +
+        s"\nSELECT node, dist FROM d$ssspHops ORDER BY node"
+    },
+
+    // Naive Bayes gate distillation (TextOps.q_nbayes): counts,
+    // Laplace smoothing and the posterior argmax all on the shared
+    // micro-unit integer grid (nbScale) — probabilities are integer
+    // divisions, posteriors products of five ≤10⁶ factors computed in
+    // HUGEINT (Spark: DECIMAL(38,0)); no float anywhere, so the
+    // trainer itself is hash-gated
+    "q_nbayes" -> {
+      val k = graft.operators.TextOps.nbScale
+      def cls(c: Int) = if (c == 1) "n1" else "(n - n1)"
+      def post(c: Int) = {
+        val pri = s"CAST((${cls(c)} + 1) * $k // (n + 2) AS HUGEINT)"
+        val terms = (1 to 4).map { j =>
+          s"(CASE WHEN f$j = 1 THEN (c$c$j + 1) * $k // (${cls(c)} + 2) " +
+            s"ELSE (${cls(c)} - c$c$j + 1) * $k // (${cls(c)} + 2) END)"
+        }
+        (pri +: terms).mkString("\n        * ")
+      }
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    length(replace(text, ' ', '')) AS nospace
+         |  FROM documents),
+         |feats AS (SELECT doc_id,
+         |    CASE WHEN n_tok >= 50 THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN n_tok <= 1000 THEN 1 ELSE 0 END AS f2,
+         |    CASE WHEN nospace >= n_tok * 3 THEN 1 ELSE 0 END AS f3,
+         |    CASE WHEN nospace <= n_tok * 10 THEN 1 ELSE 0 END AS f4
+         |  FROM f),
+         |lab AS (SELECT doc_id, f1, f2, f3, f4,
+         |    CASE WHEN f1 + f2 + f3 + f4 = 4 THEN 1 ELSE 0 END AS y
+         |  FROM feats),
+         |m AS (SELECT count(*) AS n, sum(y) AS n1,
+         |    sum(f1 * y) AS c11, sum(f1 * (1 - y)) AS c01,
+         |    sum(f2 * y) AS c12, sum(f2 * (1 - y)) AS c02,
+         |    sum(f3 * y) AS c13, sum(f3 * (1 - y)) AS c03,
+         |    sum(f4 * y) AS c14, sum(f4 * (1 - y)) AS c04
+         |  FROM lab WHERE doc_id % 5 != 0),
+         |scored AS (SELECT doc_id, y,
+         |    CASE WHEN ${post(1)}
+         |      >= ${post(0)}
+         |    THEN 1 ELSE 0 END AS y_hat
+         |  FROM lab, m WHERE doc_id % 5 = 0)
+         |SELECT CAST(y AS BIGINT) AS y, CAST(y_hat AS BIGINT) AS y_hat,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM scored GROUP BY 1, 2 ORDER BY y, y_hat""".stripMargin
     },
 
     // triangle census of the SAME LSH pair graph q_dedup_minhash

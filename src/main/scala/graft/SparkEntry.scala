@@ -143,6 +143,7 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.q_lang_id _),
     "q_logreg" -> (TextOps.q_logreg _),
     "q_boost" -> (TextOps.q_boost _),
+    "q_nbayes" -> (TextOps.q_nbayes _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
     "q_compress_ratio" -> (TextOps.q_compress_ratio _),
@@ -220,6 +221,8 @@ object SparkEntry {
     "q_pagerank_conv" -> (GraphOps.q_pagerank_conv _),
     "q_triangles" -> (GraphOps.q_triangles _),
     "q_bfs" -> (GraphOps.q_bfs _),
+    "q_hits" -> (GraphOps.q_hits _),
+    "q_sssp" -> (GraphOps.q_sssp _),
     // customer / time-series analytics (round 5, batch 2)
     "q_rfm" -> (Relational.q_rfm _),
     "q_growth" -> (Relational.q_growth _),
@@ -290,7 +293,8 @@ object SparkEntry {
     "q_stream_lww" -> (streaming.Streams.q_stream_lww _),
     "q_stream_topk" -> (streaming.Streams.q_stream_topk _),
     "q_stream_asof" -> (streaming.Streams.q_stream_asof _),
-    "q_stream_psi" -> (streaming.Streams.q_stream_psi _)
+    "q_stream_psi" -> (streaming.Streams.q_stream_psi _),
+    "q_stream_dedup" -> (streaming.Streams.q_stream_dedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

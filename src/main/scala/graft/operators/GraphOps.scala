@@ -695,4 +695,120 @@ object GraphOps {
         kcoreK, kcoreMaxPeels)
       .select(col("src").as("doc_id"), col("deg").as("core_deg"))
       .orderBy("doc_id")
+
+  /** HITS rounds / output size — shared verbatim with the oracle. */
+  private[graft] val hitsIters = 3
+  private[graft] val hitsTopK = 20
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    * supplier→part half of the co-purchase graph: suppliers are the
+    * hub side (they point at the parts they provide), parts the
+    * authority side. [[hitsIters]] full mutual-reinforcement rounds —
+    * h_i(s) = Σ_{s→p} a_{i−1}(p), a_i(p) = Σ_{s→p} h_i(s) — seeded
+    * a_0 ≡ 1, UNNORMALIZED: the classic per-round L2 normalization
+    * exists only to stop float overflow, and on exact BIGINT scores
+    * the ranking it preserves is available without it. Overflow
+    * headroom is structural: one full round multiplies scores by at
+    * most max-supplier-degree × max-part-degree, so after 3 rounds
+    * the bound is (maxdeg_s · maxdeg_p)³ — parts are supplied by a
+    * handful of suppliers (deg_p ~ tens), so even pathological
+    * degrees (2·10³ × 10²)³ = 8·10¹⁵ sit well inside Long. The one
+    * float op is the readability rescale score = raw / max(raw), a
+    * BIGINT/BIGINT IEEE division both engines compute identically
+    * (the q_pagerank nano→double discipline).
+    *
+    * Scale shape: the substrate carries BOTH edge directions bucketed
+    * on `src`, so each half-round reads its direction exchange-free
+    * on the |E| side (s→p rows for the authority update, p→s rows for
+    * the hub update) and pays exactly one hash(dst) exchange in the
+    * partial-combining sum — the PageRank iteration cost, ×2 per
+    * round. Output: top-[[hitsTopK]] per role.
+    */
+  def q_hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesEnc(s, dir)
+    // an encoded node is an s-node iff enc ≥ lpSBit, so the symmetric
+    // substrate splits into the two directed halves by a src range
+    // predicate — each half stays bucketed (exchange-free) on src
+    val sEdges = edges.filter(col("src") >= lpSBit) // s → p
+    val pEdges = edges.filter(col("src") < lpSBit)  // p → s
+    var auth = sEdges.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(1L).as("a"))
+    var hub: DataFrame = null
+    for (_ <- 1 to hitsIters) {
+      // hub update reads the p→s direction so the edge side is again
+      // joined on its bucket key; the score frame is |V|-sized
+      // (shuffle_hash: never re-sort the |E| side — the lpVote rule)
+      hub = pEdges
+        .join(auth.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .groupBy("dst").agg(sum(col("a")).as("h"))
+        .select(col("dst").as("node"), col("h"))
+      auth = sEdges
+        .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .groupBy("dst").agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a"))
+    }
+    def top(scores: DataFrame, c: String, role: String): DataFrame = {
+      val m = broadcast(scores.agg(max(col(c)).as("__m")))
+      scores.orderBy(col(c).desc, col("node")).limit(hitsTopK)
+        .crossJoin(m)
+        .select(lit(role).as("role"), lpDecode(col("node")).as("node"),
+          col(c).as("raw"),
+          (col(c).cast("double") / col("__m").cast("double")).as("score"))
+    }
+    top(hub, "h", "hub").unionByName(top(auth, "a", "auth"))
+      .orderBy(col("role"), col("raw").desc, col("node"))
+  }
+
+  /** Bounded-hop count — shared verbatim with the oracle; the seed is
+    * [[bfsSeed]] (one edit moves BFS, SSSP and both oracles).
+    */
+  private[graft] val ssspHops = 3
+
+  /** Weighted single-source shortest paths, bounded to [[ssspHops]]
+    * relaxation rounds (Bellman-Ford unrolled): edge weight = the
+    * MINIMUM l_quantity ever shipped for the (supplier, part) pair —
+    * the "cheapest procurement chain" cost — and dist(v) after round
+    * i is the exact least total weight over paths of ≤ i edges.
+    * Complements q_bfs: hop COUNT is replaced by additive integer
+    * weight, so a 2-edge detour can beat a 1-edge direct link and the
+    * frontier-only BFS optimization is no longer exact — every round
+    * must re-relax the full reached set (a node's dist can improve
+    * after first discovery), which is why the rounds fold
+    * union+min over the whole dist frame rather than an anti-joined
+    * frontier. Quantities are integral doubles (1..50 by
+    * construction; min-then-truncating-cast is exact and matches the
+    * oracle's rounding-cast on integral values), so all distance
+    * arithmetic is exact BIGINT.
+    *
+    * Scale shape: per round one |dist|⋈|E| equi-join (the weighted
+    * edge list cached once, ~|E| rows) + one partial-combining min
+    * aggregate keyed on node; lineage truncated per round (the dist
+    * frame is referenced twice — relaxation input and union carry).
+    */
+  def q_sssp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val encS = lpEnc(col("l_suppkey"), isS = true)
+    val encP = lpEnc(col("l_partkey"), isS = false)
+    val edges = cached(li
+      .select(explode(array(
+        struct(encS.as("src"), encP.as("dst"), col("w")),
+        struct(encP.as("src"), encS.as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w")))
+    var dist = s.range(1)
+      .select(lpEnc(lit(bfsSeed.tail.toLong),
+        isS = bfsSeed.head == 's').as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to ssspHops) {
+      val relaxed = dist.withColumnRenamed("node", "src")
+        .join(edges, "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist.orderBy("node")
+      .select(lpDecode(col("node")).as("node"), col("dist"))
+  }
 }

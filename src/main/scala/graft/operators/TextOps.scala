@@ -3444,6 +3444,81 @@ object TextOps {
       .orderBy("round")
   }
 
+  /** Probability grid for [[q_nbayes]] — micro-units (10⁶), shared
+    * verbatim with the oracle. The grid is what makes the trainer
+    * ORACLE-GATED where q_logreg/q_boost are rows-only: every model
+    * probability is an integer division (c+1)·10⁶ div (n_c+2) —
+    * exact, order-independent, identical in any engine — and a
+    * posterior is a product of FIVE such ≤10⁶ factors, ≤ 10³⁰, which
+    * fits DECIMAL(38,0) (Spark) and HUGEINT (DuckDB) exactly at ANY
+    * corpus size. No log, no IEEE division anywhere in train or
+    * score. 10⁶ resolution is far below the posterior gaps the
+    * binary-feature model produces (the q_boost matched-grid
+    * discipline).
+    */
+  private[graft] val nbScale = 1000000L
+
+  /** Naive Bayes distillation of the rule-based quality gate — the
+    * FIRST fully oracle-gated trainer (q_logreg and q_boost pin
+    * bit-exact references in specs but their exp/ln keeps them off
+    * the DuckDB gate). Binary features = the gate's four band edges
+    * (n_tok ≥ 50, n_tok ≤ 1000, nospace ≥ 3·n_tok, nospace ≤
+    * 10·n_tok); label = the gate itself (their conjunction — NB's
+    * independence assumption CANNOT represent a conjunction exactly,
+    * so the confusion matrix is a real measurement of the
+    * model-class gap, not a tautology). Laplace-smoothed class/
+    * feature probabilities on the % 5 ≠ 0 training split, argmax
+    * posterior on the held-out % 5 = 0 split with the exact-integer
+    * P₁ ≥ P₀ tie-break. Output: the held-out confusion matrix with
+    * an id-sum checksum pinning WHICH docs land in each cell.
+    *
+    * Scale shape: the model is ONE partial-combining 10-cell
+    * aggregate over the training split (counts only — the canonical
+    * distributed NB trainer); scoring broadcasts the 1-row model and
+    * is a per-row expression; the confusion is a 4-group aggregate.
+    * One corpus scan end-to-end (the feature frame is cached and
+    * feeds both splits).
+    */
+  def q_nbayes(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val feats = cached(t(s, dir, "documents")
+      .select(col("doc_id"), size(toks).as("__ntok"),
+        nospaceC.as("__nospace"))
+      .select(col("doc_id"),
+        when(col("__ntok") >= 50, 1L).otherwise(0L).as("f1"),
+        when(col("__ntok") <= 1000, 1L).otherwise(0L).as("f2"),
+        when(col("__nospace") >= col("__ntok") * 3, 1L).otherwise(0L).as("f3"),
+        when(col("__nospace") <= col("__ntok") * 10, 1L).otherwise(0L).as("f4"))
+      .withColumn("y",
+        when(col("f1") + col("f2") + col("f3") + col("f4") === 4L, 1L)
+          .otherwise(0L)))
+    val train = feats.filter(col("doc_id") % 5 =!= 0)
+    val test = feats.filter(col("doc_id") % 5 === 0)
+    val counts = Seq(count(lit(1)).as("n"), sum(col("y")).as("n1")) ++
+      (1 to 4).flatMap(j => Seq(
+        sum(col(s"f$j") * col("y")).as(s"c1$j"),
+        sum(col(s"f$j") * (lit(1L) - col("y"))).as(s"c0$j")))
+    val model = broadcast(train.agg(counts.head, counts.tail: _*))
+    // per-class factor columns, all integer `div` on the micro grid;
+    // nc(1) = n1, nc(0) = n − n1
+    def nc(c: Int) = if (c == 1) "n1" else "(n - n1)"
+    def prior(c: Int) =
+      expr(s"((${nc(c)}) + 1) * ${nbScale}L div (n + 2)")
+    def term(c: Int, j: Int) = when(col(s"f$j") === 1L,
+      expr(s"(c$c$j + 1) * ${nbScale}L div ((${nc(c)}) + 2)"))
+      .otherwise(
+        expr(s"((${nc(c)}) - c$c$j + 1) * ${nbScale}L div ((${nc(c)}) + 2)"))
+    def posterior(c: Int) =
+      (prior(c) +: (1 to 4).map(term(c, _)))
+        .map(_.cast("decimal(38,0)")).reduce(_ * _)
+    test.crossJoin(model)
+      .select(col("doc_id"), col("y"),
+        when(posterior(1) >= posterior(0), 1L).otherwise(0L).as("y_hat"))
+      .groupBy("y", "y_hat")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("y", "y_hat")
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

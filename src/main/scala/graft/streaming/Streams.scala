@@ -1519,6 +1519,63 @@ object Streams {
     }
   }
 
+  /** Streaming exact dedup — q_text_dedup's streaming twin (the 12th
+    * oracle-gated twin): the ingest-time content-hash dedup every
+    * continuous curation pipeline runs. State = (lowest doc_id seen,
+    * copies) per DISTINCT md5(text) — one bounded row per distinct
+    * content, the same state a production streaming
+    * dropDuplicates holds, except the canonical-id-by-MIN contract
+    * makes the final emission ARRIVAL-ORDER-INDEPENDENT: min and
+    * count are commutative folds over the copies, so any batch
+    * slicing and any within/cross-batch order reach the same final
+    * state (the q_stream_psi no-delivery-contract argument;
+    * StreamingSpec pins exactness under a multi-file drain of an
+    * UNORDERED landing dir). Update-mode emissions re-state a hash's
+    * current (min, count) whenever a batch touches it; the projection
+    * keeps each hash's last emission (count is strictly monotone per
+    * key) — the topkPerType drain discipline.
+    */
+  def dedupState(spark: SparkSession, docs: DataFrame)
+    : Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         st: GroupState[(Long, Long)]) =>
+          var (mn, n) = st.getOption.getOrElse((Long.MaxValue, 0L))
+          rows.foreach { case (_, id) =>
+            if (id < mn) mn = id
+            n += 1
+          }
+          st.update((mn, n))
+          (key, mn, n)
+      }
+  }
+
+  private[graft] def dedupDrain(s: SparkSession, docsDir: String,
+    maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
+    val r = s.readStream.schema(docsRawSchema)
+    maxFiles.foreach(n => r.option("maxFilesPerTrigger", n))
+    drainWithEvidence(s, dedupState(s, r.parquet(docsDir)),
+      OutputMode.Update, "stream_dedup") { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_1").orderBy(col("_3").desc)
+      sink.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("_1").as("text_hash"), col("_2").as("keep_id"),
+          col("_3").as("n_copies"))
+        .orderBy("text_hash")
+    }
+  }
+
+  /** Declared query: [[dedupState]] drained end-to-end — shares
+    * q_text_dedup's oracle verbatim.
+    */
+  def q_stream_dedup(s: SparkSession, dir: String): DataFrame =
+    dedupDrain(s, streamableDir(s"$dir/documents.parquet"), None)._1
+
   private[graft] def lwwDrain(s: SparkSession, eventsDir: String,
     maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
     val events = eventsStream(s, eventsDir, maxFiles)

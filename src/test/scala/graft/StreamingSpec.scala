@@ -965,4 +965,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.sessionizeDrops(spark).value == drops0,
       "sessionize dropped stragglers under time-sliced delivery")
   }
+
+  test("streaming content-hash dedup equals batch q_text_dedup under " +
+    "a fully UNORDERED multi-file drain, with state bounded by " +
+    "distinct content") {
+    // no delivery contract to respect (min/count commute), so the
+    // landing slices are deliberately arbitrary: hash-partitioned
+    // parts, each written as its own landing file
+    val docs = Tables(spark, dir, "documents")
+    val landing = Files.createTempDirectory("dedup_stream")
+    (0 until 4).foreach { k =>
+      stageParquet(landing,
+        docs.filter(col("doc_id") % 4 === k)
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+        f"part$k%02d.parquet")
+    }
+    val (outM, evM) = Streams.dedupDrain(spark, landing.toString, Some(1))
+    val (outS, evS) = Streams.dedupDrain(spark, landing.toString, None)
+    assert(evM.size >= 3,
+      s"sliced dedup drain ran only ${evM.size} micro-batches")
+    assert(evS.size == 1)
+    val distinctHashes = docs
+      .select(org.apache.spark.sql.functions.md5(col("text")))
+      .distinct().count()
+    evM.foreach { e =>
+      assert(e.stateRowsTotal <= distinctHashes,
+        s"batch ${e.batchId}: state ${e.stateRowsTotal} > $distinctHashes")
+    }
+    val rowsM = outM.collect().map(_.toSeq).toSeq
+    assert(rowsM == outS.collect().map(_.toSeq).toSeq,
+      "multi-batch dedup diverges from single-batch")
+    val batch = graft.operators.TextOps.q_text_dedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(rowsM == batch, "streaming dedup diverges from batch twin")
+  }
 }

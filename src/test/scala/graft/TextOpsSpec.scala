@@ -1239,4 +1239,69 @@ class TextOpsSpec extends AnyFunSuite {
     assert(s7._4 <= s6ids && s7._4 > 0, "split kept nothing or everything?")
     Caches.releaseAll()
   }
+
+  test("q_nbayes matches an independent exact-integer reference " +
+    "cell-for-cell (counts, smoothing, micro-grid posteriors, " +
+    "argmax tie-break), and the held-out split is non-trivial") {
+    // independent reference: re-derive features from raw text (plain
+    // split-on-space tokens, non-space char count), train counts on
+    // the % 5 != 0 split, score % 5 == 0 with BigInt posteriors on
+    // the same micro grid
+    val k = BigInt(TextOps.nbScale)
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lab = docs.map { case (id, text) =>
+      val ntok = text.split(" ").count(_.nonEmpty).toLong
+      val nospace = text.count(_ != ' ').toLong
+      val f = Seq(
+        if (ntok >= 50) 1L else 0L,
+        if (ntok <= 1000) 1L else 0L,
+        if (nospace >= ntok * 3) 1L else 0L,
+        if (nospace <= ntok * 10) 1L else 0L)
+      (id, f, if (f.sum == 4) 1L else 0L)
+    }
+    val train = lab.filter(_._1 % 5 != 0)
+    val test0 = lab.filter(_._1 % 5 == 0)
+    assert(train.nonEmpty && test0.nonEmpty)
+    assert(train.exists(_._3 == 1L) && train.exists(_._3 == 0L),
+      "degenerate teacher: one-class training split")
+    val n = BigInt(train.length)
+    val n1 = BigInt(train.count(_._3 == 1L))
+    val n0 = n - n1
+    def cCount(c: Long, j: Int) =
+      BigInt(train.count(r => r._3 == c && r._2(j) == 1L))
+    def posterior(c: Long, f: Seq[Long]): BigInt = {
+      val nc = if (c == 1L) n1 else n0
+      val pri = (nc + 1) * k / (n + 2)
+      (0 until 4).foldLeft(pri) { (acc, j) =>
+        val cj = cCount(c, j)
+        val t = if (f(j) == 1L) (cj + 1) * k / (nc + 2)
+                else (nc - cj + 1) * k / (nc + 2)
+        acc * t
+      }
+    }
+    val want = test0
+      .map { case (id, f, y) =>
+        (y, if (posterior(1, f) >= posterior(0, f)) 1L else 0L, id)
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((y, yh), v) =>
+        (y, yh, v.length.toLong, v.map(_._3).sum)
+      }
+      .toSeq.sorted
+    val got = TextOps.q_nbayes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got ${got.toList} want ${want.toList}")
+    // the distillation is a real measurement: the model must at least
+    // beat always-predict-majority on the held-out split
+    val acc = got.filter(r => r._1 == r._2).map(_._3).sum.toDouble /
+      got.map(_._3).sum
+    val majority = math.max(test0.count(_._3 == 1L),
+      test0.count(_._3 == 0L)).toDouble / test0.length
+    assert(acc >= majority,
+      s"NB accuracy $acc below majority baseline $majority")
+    Caches.releaseAll()
+  }
 }
