@@ -551,15 +551,23 @@ object GraphOps {
     * one substrate per data dir ever exists on disk.
     */
   private def materializeSubstrate(s: SparkSession, d: String): String = {
+    // the distinct-pair aggregate carries the min-quantity edge
+    // weight along (same shuffle as the bare distinct — groupBy on
+    // the pair IS the distinct): the weighted operators (q_sssp) read
+    // it, the unweighted ones never select it, and the substrate
+    // stays ONE artifact per data dir instead of a second |E|-sized
+    // weighted derivation paid from lineitem per session
     val li = t(s, d, "lineitem")
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
     val encS = lpEnc(col("l_suppkey"), isS = true)
     val encP = lpEnc(col("l_partkey"), isS = false)
     val edges = li
       .select(explode(array(
-        struct(encS.as("src"), encP.as("dst")),
-        struct(encP.as("src"), encS.as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        struct(encS.as("src"), encP.as("dst"), col("w")),
+        struct(encP.as("src"), encS.as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
     // deterministic per data dir, so at most one substrate per dir ever
     // exists on disk — which also means two concurrent DRIVERS (separate
     // JVMs sharing one warehouse dir) would race the DROP+CTAS below.
@@ -737,15 +745,23 @@ object GraphOps {
     for (_ <- 1 to hitsIters) {
       // hub update reads the p→s direction so the edge side is again
       // joined on its bucket key; the score frame is |V|-sized
-      // (shuffle_hash: never re-sort the |E| side — the lpVote rule)
+      // (shuffle_hash: never re-sort the |E| side — the lpVote rule).
+      // Each half-round's score frame is lineage-cut (lazy local
+      // checkpoint, the q_bfs discipline): hub_i is referenced by
+      // auth_i AND the final max + top-k, so without the cut the
+      // reference count of round i's subtree doubles per later round
+      // (measured at sf10: 142 s of mostly re-execution without the
+      // cuts).
       hub = pEdges
         .join(auth.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(sum(col("a")).as("h"))
         .select(col("dst").as("node"), col("h"))
+        .localCheckpoint(false)
       auth = sEdges
         .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(sum(col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
+        .localCheckpoint(false)
     }
     def top(scores: DataFrame, c: String, role: String): DataFrame = {
       val m = broadcast(scores.agg(max(col(c)).as("__m")))
@@ -780,29 +796,24 @@ object GraphOps {
     * oracle's rounding-cast on integral values), so all distance
     * arithmetic is exact BIGINT.
     *
-    * Scale shape: per round one |dist|⋈|E| equi-join (the weighted
-    * edge list cached once, ~|E| rows) + one partial-combining min
-    * aggregate keyed on node; lineage truncated per round (the dist
-    * frame is referenced twice — relaxation input and union carry).
+    * Scale shape: per round one |dist|⋈|E| equi-join against the
+    * WEIGHTED substrate (the bucketed table carries the min-quantity
+    * weight column, so the edge side is exchange-free on the join key
+    * and lineitem is never rescanned — reading it from lineitem per
+    * session cost 112 s of the first sf10 spot) + one
+    * partial-combining min aggregate keyed on node; lineage truncated
+    * per round (the dist frame is referenced twice — relaxation input
+    * and union carry).
     */
   def q_sssp(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(min(col("l_quantity")).cast("long").as("w"))
-    val encS = lpEnc(col("l_suppkey"), isS = true)
-    val encP = lpEnc(col("l_partkey"), isS = false)
-    val edges = cached(li
-      .select(explode(array(
-        struct(encS.as("src"), encP.as("dst"), col("w")),
-        struct(encP.as("src"), encS.as("dst"), col("w")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.w").as("w")))
+    val edges = coEdgesEnc(s, dir)
     var dist = s.range(1)
       .select(lpEnc(lit(bfsSeed.tail.toLong),
         isS = bfsSeed.head == 's').as("node"), lit(0L).as("dist"))
     for (_ <- 1 to ssspHops) {
-      val relaxed = dist.withColumnRenamed("node", "src")
-        .join(edges, "src")
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
