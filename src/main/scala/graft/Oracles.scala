@@ -218,6 +218,10 @@ object Oracles {
     // ingest-time content-hash dedup: the state machine's final
     // (min doc_id, copies) per md5 must equal the batch group-by
     "q_stream_dedup" -> sqlBase("q_text_dedup"),
+    // stream-stream interval join: matched pairs are emitted exactly
+    // once regardless of batch slicing, so the drained + projected
+    // result must equal the batch self-join — one oracle, two plans
+    "q_stream_join" -> sqlBase("q_join_followup"),
     // q_stream_sessionize reduces to a bounded histogram (its raw
     // emission volume is session-count-sized, unlike the other
     // twins), so its oracle is the batch gap-rule CTE aggregated to
@@ -3535,6 +3539,187 @@ object Oracles {
          |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM scored GROUP BY 1, 2 ORDER BY y, y_hat""".stripMargin
     },
+
+    // depth-2 CART twin (TextOps.q_dtree): the split search scans the
+    // SAME fixed candidate grid, the weighted-Gini objective is the
+    // SAME micro-unit integer division (2·p·q impurity mass, HUGEINT
+    // cross-products), and leaves fall back to the nearest ancestor's
+    // majority via the same coalesce chain — the whole FIT, tree
+    // structure included, hash-gates (the q_nbayes no-float argument
+    // extended to structure search)
+    "q_dtree" -> {
+      val k = graft.operators.TextOps.dtreeScale
+      val cand = graft.operators.TextOps.dtreeThr
+        .map { case (j, t) => s"($j, $t)" }.mkString(", ")
+      def score(nl: String, pl: String, n: String, p: String) =
+        s"2 * (CAST($pl AS HUGEINT) * (($nl) - ($pl)) * (($n) - ($nl))" +
+          s" + CAST(($p) - ($pl) AS HUGEINT)" +
+          s" * ((($n) - ($nl)) - (($p) - ($pl))) * ($nl))" +
+          s" * $k // (CAST($nl AS HUGEINT) * (($n) - ($nl)))"
+      def lab(p: String, n: String) =
+        s"(CASE WHEN 2 * ($p) >= ($n) THEN 1 ELSE 0 END)"
+      def pick(sd: Int) =
+        s"""SELECT s.j, s.thr, s.nl, s.pl FROM s1 s JOIN tot1 t USING (sd)
+           |  WHERE s.sd = $sd AND s.nl > 0 AND s.nl < t.n
+           |    AND t.p > 0 AND t.p < t.n
+           |  ORDER BY ${score("s.nl", "s.pl", "t.n", "t.p")}, s.j, s.thr
+           |  LIMIT 1""".stripMargin
+      def leafLab(ch: String, side: String, leftLeaf: Boolean) = {
+        val gc =
+          if (leftLeaf) lab(s"$ch.pl", s"$ch.nl")
+          else lab(s"$side.p - $ch.pl", s"$side.n - $ch.nl")
+        s"""coalesce(CASE WHEN $ch.j IS NOT NULL THEN $gc END,
+           |    CASE WHEN $side.n IS NOT NULL
+           |      THEN ${lab(s"$side.p", s"$side.n")} END,
+           |    ${lab("tot.p", "tot.n")})""".stripMargin
+      }
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+         |    nospace * 8 // greatest(n_tok, 1) AS x2,
+         |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+         |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 != 0),
+         |cand(j, thr) AS (VALUES $cand),
+         |tot AS MATERIALIZED (SELECT count(*) AS n, sum(y) AS p FROM tr),
+         |s0 AS (SELECT c.j, c.thr,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN 1 ELSE 0 END) AS nl,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN y ELSE 0 END) AS pl
+         |  FROM tr CROSS JOIN cand c GROUP BY c.j, c.thr),
+         |rootc AS (SELECT s.j, s.thr FROM s0 s, tot
+         |  WHERE s.nl > 0 AND s.nl < tot.n AND tot.p > 0 AND tot.p < tot.n
+         |  ORDER BY ${score("s.nl", "s.pl", "tot.n", "tot.p")}, s.j, s.thr
+         |  LIMIT 1),
+         |root AS MATERIALIZED (SELECT coalesce(r.j, 0) AS j,
+         |    coalesce(r.thr, CAST(-1 AS BIGINT)) AS thr
+         |  FROM (SELECT 1) one LEFT JOIN rootc r ON true),
+         |sided AS MATERIALIZED (SELECT t.*,
+         |    CASE WHEN r.j > 0 AND
+         |      (CASE WHEN r.j = 1 THEN t.x1 ELSE t.x2 END) < r.thr
+         |    THEN 0 ELSE 1 END AS sd
+         |  FROM tr t, root r),
+         |tot1 AS MATERIALIZED (
+         |  SELECT sd, count(*) AS n, sum(y) AS p FROM sided GROUP BY sd),
+         |s1 AS (SELECT sd, c.j, c.thr,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN 1 ELSE 0 END) AS nl,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN y ELSE 0 END) AS pl
+         |  FROM sided CROSS JOIN cand c GROUP BY sd, c.j, c.thr),
+         |lc AS (${pick(0)}),
+         |rc AS (${pick(1)}),
+         |tl AS (SELECT * FROM tot1 WHERE sd = 0),
+         |trr AS (SELECT * FROM tot1 WHERE sd = 1),
+         |descr AS MATERIALIZED (SELECT
+         |    root.j AS root_feat, root.thr AS root_thr,
+         |    coalesce(lc.j, 0) AS left_feat,
+         |    coalesce(lc.thr, CAST(-1 AS BIGINT)) AS left_thr,
+         |    coalesce(rc.j, 0) AS right_feat,
+         |    coalesce(rc.thr, CAST(-1 AS BIGINT)) AS right_thr,
+         |    ${leafLab("lc", "tl", leftLeaf = true)} AS lab_ll,
+         |    ${leafLab("lc", "tl", leftLeaf = false)} AS lab_lr,
+         |    ${leafLab("rc", "trr", leftLeaf = true)} AS lab_rl,
+         |    ${leafLab("rc", "trr", leftLeaf = false)} AS lab_rr
+         |  FROM (SELECT 1) one CROSS JOIN root CROSS JOIN tot
+         |    LEFT JOIN lc ON true LEFT JOIN rc ON true
+         |    LEFT JOIN tl ON true LEFT JOIN trr ON true),
+         |scored AS (SELECT f.doc_id, f.y,
+         |    CASE WHEN d.root_feat > 0 AND
+         |        (CASE WHEN d.root_feat = 1 THEN f.x1 ELSE f.x2 END)
+         |          < d.root_thr
+         |      THEN CASE WHEN d.left_feat > 0 AND
+         |          (CASE WHEN d.left_feat = 1 THEN f.x1 ELSE f.x2 END)
+         |            < d.left_thr
+         |        THEN d.lab_ll ELSE d.lab_lr END
+         |      ELSE CASE WHEN d.right_feat > 0 AND
+         |          (CASE WHEN d.right_feat = 1 THEN f.x1 ELSE f.x2 END)
+         |            < d.right_thr
+         |        THEN d.lab_rl ELSE d.lab_rr END
+         |    END AS y_hat
+         |  FROM f, descr d WHERE f.doc_id % 5 = 0)
+         |SELECT CAST(s.y AS BIGINT) AS y, CAST(s.y_hat AS BIGINT) AS y_hat,
+         |  count(*) AS n_docs, CAST(sum(s.doc_id) AS BIGINT) AS id_sum,
+         |  CAST(d.root_feat AS BIGINT) AS root_feat,
+         |  CAST(d.root_thr AS BIGINT) AS root_thr,
+         |  CAST(d.left_feat AS BIGINT) AS left_feat,
+         |  CAST(d.left_thr AS BIGINT) AS left_thr,
+         |  CAST(d.right_feat AS BIGINT) AS right_feat,
+         |  CAST(d.right_thr AS BIGINT) AS right_thr,
+         |  CAST(d.lab_ll AS BIGINT) AS lab_ll,
+         |  CAST(d.lab_lr AS BIGINT) AS lab_lr,
+         |  CAST(d.lab_rl AS BIGINT) AS lab_rl,
+         |  CAST(d.lab_rr AS BIGINT) AS lab_rr
+         |FROM scored s, descr d
+         |GROUP BY ALL ORDER BY y, y_hat""".stripMargin
+    },
+
+    // exact integer Lloyd twin (TextOps.q_kmeans): the assignment
+    // argmin is the SAME single-integer key min(dist²·4 + c), centroid
+    // updates the SAME floor divisions, so every iteration — and the
+    // final geometry — is bit-identical in both engines
+    "q_kmeans" -> {
+      val iters = graft.operators.TextOps.kmIters
+      val initVals = graft.operators.TextOps.kmInit
+        .map { case (c, u, v) => s"($c, $u, $v)" }.mkString(", ")
+      def distKey(cent: String) =
+        s"((f.x1 - $cent.cu) * (f.x1 - $cent.cu)" +
+          s" + (f.x2 - $cent.cv) * (f.x2 - $cent.cv)) * 4 + $cent.c"
+      val steps = (0 until iters).map { i =>
+        s"""a$i AS (SELECT f.doc_id, f.x1, f.x2,
+           |    min(${distKey(s"c$i")}) AS m
+           |  FROM f CROSS JOIN cent$i c$i GROUP BY f.doc_id, f.x1, f.x2),
+           |u$i AS (SELECT m % 4 AS c, sum(x1) // count(*) AS cu,
+           |    sum(x2) // count(*) AS cv FROM a$i GROUP BY m % 4),
+           |cent${i + 1} AS MATERIALIZED (SELECT p.c,
+           |    CAST(coalesce(u.cu, p.cu) AS BIGINT) AS cu,
+           |    CAST(coalesce(u.cv, p.cv) AS BIGINT) AS cv
+           |  FROM cent$i p LEFT JOIN u$i u USING (c))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+         |    nospace * 8 // greatest(n_tok, 1) AS x2 FROM raw),
+         |cent0(c, cu, cv) AS (VALUES $initVals),
+         |$steps,
+         |af AS (SELECT f.doc_id, min(${distKey("cf")}) AS m
+         |  FROM f CROSS JOIN cent$iters cf GROUP BY f.doc_id),
+         |stats AS (SELECT m % 4 AS c, count(*) AS n_points,
+         |    sum(doc_id) AS id_sum, sum(m // 4) AS inertia
+         |  FROM af GROUP BY m % 4)
+         |SELECT CAST(cf.c AS BIGINT) AS cluster, CAST(cf.cu AS BIGINT) AS cu,
+         |  CAST(cf.cv AS BIGINT) AS cv,
+         |  CAST(coalesce(s.n_points, 0) AS BIGINT) AS n_points,
+         |  CAST(coalesce(s.id_sum, 0) AS BIGINT) AS id_sum,
+         |  CAST(coalesce(s.inertia, 0) AS BIGINT) AS inertia
+         |FROM cent$iters cf LEFT JOIN stats s ON s.c = cf.c
+         |ORDER BY cluster""".stripMargin
+    },
+
+    // event-followup self-join (Relational.q_join_followup and its
+    // stream-stream twin): pairs within the 10-minute horizon,
+    // aggregated per triggering hour with exact-µs gap mass and
+    // id-sum checksums pinning the pair set; epoch_us arithmetic so
+    // the horizon comparison is the same integer test in both engines
+    "q_join_followup" ->
+      """WITH pairs AS (
+        |  SELECT a.ts AS a_ts, a.event_id AS a_event,
+        |    b.ts AS b_ts, b.event_id AS b_event
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |    AND b.event_id != a.event_id
+        |    AND epoch_us(b.ts) > epoch_us(a.ts)
+        |    AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000)
+        |SELECT date_trunc('hour', a_ts) AS hour, count(*) AS n_pairs,
+        |  CAST(sum(epoch_us(b_ts) - epoch_us(a_ts)) AS BIGINT)
+        |    AS sum_gap_us,
+        |  CAST(sum(a_event) AS BIGINT) AS a_id_sum,
+        |  CAST(sum(b_event) AS BIGINT) AS b_id_sum
+        |FROM pairs GROUP BY 1 ORDER BY hour""".stripMargin,
 
     // triangle census of the SAME LSH pair graph q_dedup_minhash
     // declares; the naive x<y<z formulation here independently

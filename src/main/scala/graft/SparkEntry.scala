@@ -144,6 +144,8 @@ object SparkEntry {
     "q_logreg" -> (TextOps.q_logreg _),
     "q_boost" -> (TextOps.q_boost _),
     "q_nbayes" -> (TextOps.q_nbayes _),
+    "q_dtree" -> (TextOps.q_dtree _),
+    "q_kmeans" -> (TextOps.q_kmeans _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
     "q_compress_ratio" -> (TextOps.q_compress_ratio _),
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_psi_drift" -> (Relational.q_psi_drift _),
     "q_target_encode" -> (Relational.q_target_encode _),
     "q_join_interval" -> (Relational.q_join_interval _),
+    "q_join_followup" -> (Relational.q_join_followup _),
     "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
     "q_vec_pq" -> (VectorOps.q_vec_pq _),
     "q_time_rollup" -> (Relational.q_time_rollup _),
@@ -294,7 +297,8 @@ object SparkEntry {
     "q_stream_topk" -> (streaming.Streams.q_stream_topk _),
     "q_stream_asof" -> (streaming.Streams.q_stream_asof _),
     "q_stream_psi" -> (streaming.Streams.q_stream_psi _),
-    "q_stream_dedup" -> (streaming.Streams.q_stream_dedup _)
+    "q_stream_dedup" -> (streaming.Streams.q_stream_dedup _),
+    "q_stream_join" -> (streaming.Streams.q_stream_join _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

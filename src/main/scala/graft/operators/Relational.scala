@@ -2797,6 +2797,23 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Event-followup self-join — the BATCH twin of the stream-stream
+    * interval join ([[graft.streaming.Streams.followupJoin]], shared
+    * code: the watermark nodes it attaches are eliminated by the
+    * batch planner, so both declared queries execute the IDENTICAL
+    * join expression). For every event, the same user's events in
+    * the next 10 minutes. Unlike q_join_interval's keyless range
+    * join (which needs the bucketed equi-rewrite), this join HAS an
+    * equi key — user_id — so the range condition is a residual
+    * predicate on a plain shuffled hash/sort-merge join: per-user
+    * fan-out is activity within a bounded horizon, linear at scale.
+    */
+  def q_join_followup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+    graft.streaming.Streams.followupProject(
+      graft.streaming.Streams.followupJoin(ev, ev))
+  }
+
   /** Snapshot cutoffs for the reconciliation diff — shared verbatim
     * with the oracle.
     */

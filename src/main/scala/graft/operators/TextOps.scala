@@ -3519,6 +3519,298 @@ object TextOps {
       .orderBy("y", "y_hat")
   }
 
+  // ─────────────────── decision tree + k-means (L71/L72) ───────────────
+
+  /** Doc-shape integer feature frame shared by [[q_dtree]] and
+    * [[q_kmeans]]: x1 = token count, x2 = non-space characters in
+    * EIGHTHS of a token (`nospace·8 div n_tok` — one integer
+    * division, exact and engine-identical), y = the rule-based
+    * quality gate (the q_nbayes teacher). The gate's boundary needs
+    * TWO cuts per feature (x1 ∈ [50, 1000] ∧ x2 ∈ [24, 80]), so a
+    * depth-2 axis-aligned tree (3 cuts total) cannot represent it
+    * exactly — tree accuracy is a real model-class measurement, the
+    * nbayes discipline.
+    */
+  private[graft] def docShape(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("__ntok"),
+        nospaceC.cast("long").as("__nospace"))
+      .select(col("doc_id"), col("__ntok").as("x1"),
+        expr("__nospace * 8 div greatest(__ntok, 1)").as("x2"),
+        when(col("__ntok") >= 50 && col("__ntok") <= 1000 &&
+          col("__nospace") >= col("__ntok") * 3 &&
+          col("__nospace") <= col("__ntok") * 10, 1L).otherwise(0L).as("y"))
+  }
+
+  /** Candidate-threshold grid for [[q_dtree]] — FIXED and
+    * data-independent (shared verbatim with the oracle), the
+    * approximate-split discipline every distributed tree learner
+    * uses (Spark MLlib's maxBins, XGBoost hist mode): the split
+    * search scans a bounded candidate frame, never the per-value
+    * midpoint set, so its cost is independent of corpus cardinality.
+    * The teacher's edges (x1 ∈ {50, 1000}, x2 ∈ {24, 80}) are
+    * deliberately NOT all on the grid (24 and 80 are; 50 and 1000
+    * are not), so the fitted tree approximates the gate instead of
+    * memorising it.
+    */
+  private[graft] val dtreeThr: Seq[(Int, Long)] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 768L, 1024L, 1536L, 2048L)
+      .map((1, _)) ++
+      Seq(8L, 16L, 24L, 32L, 40L, 48L, 56L, 64L, 72L, 80L).map((2, _))
+
+  /** Micro-unit scale for the Gini objective — the nbScale
+    * discipline: the argmin compares `score·10⁶ div denominator`
+    * integer divisions, exact and order-free in any engine.
+    */
+  private[graft] val dtreeScale = 1000000L
+
+  /** Weighted-Gini split objective on the micro grid. For a node
+    * (n, p) and a candidate sending (nl, pl) left: with q = n − p,
+    * per-side impurity mass is n_s·Gini_s = (n_s² − p_s² − q_s²)/n_s
+    * = 2·p_s·q_s/n_s, so the weighted sum over both sides is
+    * 2·(pl·ql·nr + pr·qr·nl) / (nl·nr) — scaled by [[dtreeScale]]
+    * and floor-divided exactly in BigInt. None ⇔ a degenerate split
+    * (an empty side). Shared verbatim with the oracle's HUGEINT
+    * arithmetic.
+    */
+  private def dtreeGini(nl: BigInt, pl: BigInt, n: BigInt, p: BigInt)
+    : Option[BigInt] = {
+    val nr = n - nl
+    if (nl == 0 || nr == 0) None
+    else {
+      val pr = p - pl
+      val m = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+      Some(2 * m * dtreeScale / (nl * nr))
+    }
+  }
+
+  /** argmin over the candidate grid with the total (score, feature,
+    * threshold) tie-break; None when the node is pure or no
+    * candidate is non-degenerate.
+    */
+  private def dtreeBest(cells: (Int, Long) => (BigInt, BigInt),
+    n: BigInt, p: BigInt): Option[(Int, Long)] = {
+    if (p == 0 || p == n) return None
+    var best: Option[(BigInt, Int, Long)] = None
+    for ((j, thr) <- dtreeThr) {
+      val (nl, pl) = cells(j, thr)
+      dtreeGini(nl, pl, n, p).foreach { sc =>
+        if (best.forall { case (bs, bj, bt) =>
+          sc < bs || (sc == bs && (j < bj || (j == bj && thr < bt))) })
+          best = Some((sc, j, thr))
+      }
+    }
+    best.map { case (_, j, thr) => (j, thr) }
+  }
+
+  /** Majority label with the exact `2·p ≥ n` tie-to-positive rule. */
+  private def dtreeLabel(n: BigInt, p: BigInt): Long =
+    if (p * 2 >= n) 1L else 0L
+
+  /** Distributed greedy decision-tree induction (CART, depth 2) —
+    * the FOURTH trainer muscle and the SECOND fully oracle-gated one
+    * (the q_nbayes precedent): the Gini objective is computed on the
+    * micro-unit integer grid, so there is no float anywhere in
+    * train or score and the whole fit — tree structure INCLUDED —
+    * hash-gates against DuckDB.
+    *
+    * Scale shape (the q_boost discipline): one level = ONE
+    * partial-combining conditional-sum aggregate over the cached
+    * design frame (level 0: 2 cells per candidate + 2 totals = 42;
+    * level 1: the same per side = 84 + 4), so a depth-d tree costs d
+    * corpus scans and the model traffic is the bounded cell frame —
+    * the layout a 1000-executor tree learner wants. Per-node split
+    * selection is a driver-side exact-BigInt argmin over ≤20
+    * candidates; scoring broadcasts the fitted tree as a nested CASE
+    * expression. Leaves fall back to the nearest ancestor's majority
+    * label when a node is pure or unsplittable (sentinel feature 0 /
+    * threshold −1 in the descriptor), so the contract is total.
+    *
+    * Output: the held-out confusion matrix (the % 5 split) with
+    * id-sum checksums, cross-joined with the 1-row tree descriptor —
+    * one hash pins structure AND generalization. TextOpsSpec pins an
+    * independent in-test reference tree node-for-node.
+    */
+  def q_dtree(s: SparkSession, dir: String): DataFrame = {
+    val raw = docShape(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    val train = feats.filter(col("doc_id") % 5 =!= 0)
+
+    def below(j: Int, thr: Long): Column = col(s"x$j") < lit(thr)
+    // level 0: one 42-cell aggregate → root split
+    val cells0 = dtreeThr.zipWithIndex.flatMap { case ((j, thr), i) =>
+      Seq(sum(when(below(j, thr), 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(below(j, thr), col("y")).otherwise(0L)).as(s"p$i"))
+    } ++ Seq(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val r0 = train.agg(cells0.head, cells0.tail: _*).collect()(0)
+    val idx = dtreeThr.zipWithIndex.toMap
+    def c0(j: Int, thr: Long): (BigInt, BigInt) = {
+      val i = idx((j, thr))
+      (BigInt(r0.getLong(2 * i)), BigInt(r0.getLong(2 * i + 1)))
+    }
+    val n = BigInt(r0.getLong(cells0.size - 2))
+    val p = BigInt(r0.getLong(cells0.size - 1))
+    val root = dtreeBest(c0, n, p)
+
+    // level 1: one 84-cell aggregate conditioned on the root split
+    case class Node(n: BigInt, p: BigInt, split: Option[(Int, Long)],
+      nl: BigInt, pl: BigInt)
+    def leafNode = Node(0, 0, None, 0, 0)
+    val (left, right) = root match {
+      case None => (leafNode, leafNode)
+      case Some((rj, rt)) =>
+        val sideL = below(rj, rt)
+        def sideCells(cond: Column, tag: String) =
+          dtreeThr.zipWithIndex.flatMap { case ((j, thr), i) =>
+            Seq(sum(when(cond && below(j, thr), 1L).otherwise(0L))
+              .as(s"${tag}n$i"),
+              sum(when(cond && below(j, thr), col("y")).otherwise(0L))
+                .as(s"${tag}p$i"))
+          } ++ Seq(sum(when(cond, 1L).otherwise(0L)).as(s"${tag}n"),
+            sum(when(cond, col("y")).otherwise(0L)).as(s"${tag}p"))
+        val cells1 = sideCells(sideL, "l") ++ sideCells(!sideL, "r")
+        val r1 = train.agg(cells1.head, cells1.tail: _*).collect()(0)
+        val half = cells1.size / 2
+        def mk(off: Int): Node = {
+          def c1(j: Int, thr: Long): (BigInt, BigInt) = {
+            val i = idx((j, thr))
+            (BigInt(r1.getLong(off + 2 * i)),
+              BigInt(r1.getLong(off + 2 * i + 1)))
+          }
+          val nn = BigInt(r1.getLong(off + half - 2))
+          val pp = BigInt(r1.getLong(off + half - 1))
+          val sp = dtreeBest(c1, nn, pp)
+          val (nl, pl) = sp.map { case (j, t) => c1(j, t) }
+            .getOrElse((BigInt(0), BigInt(0)))
+          Node(nn, pp, sp, nl, pl)
+        }
+        (mk(0), mk(half))
+    }
+
+    // leaf labels, falling back to the nearest non-empty ancestor
+    def leafLabs(nd: Node): (Long, Long) = nd.split match {
+      case Some(_) =>
+        (dtreeLabel(nd.nl, nd.pl), dtreeLabel(nd.n - nd.nl, nd.p - nd.pl))
+      case None =>
+        val lab = if (nd.n > 0) dtreeLabel(nd.n, nd.p) else dtreeLabel(n, p)
+        (lab, lab)
+    }
+    val (labLL, labLR) = leafLabs(left)
+    val (labRL, labRR) = leafLabs(right)
+    def featOf(sp: Option[(Int, Long)]) = sp.map(_._1.toLong).getOrElse(0L)
+    def thrOf(sp: Option[(Int, Long)]) = sp.map(_._2).getOrElse(-1L)
+
+    // broadcast scoring expression (nested CASE over the fitted tree)
+    def branch(sp: Option[(Int, Long)], labL: Long, labR: Long): Column =
+      sp match {
+        case Some((j, thr)) =>
+          when(below(j, thr), lit(labL)).otherwise(lit(labR))
+        case None => lit(labL)
+      }
+    val yHat = root match {
+      case Some((rj, rt)) =>
+        when(below(rj, rt), branch(left.split, labLL, labLR))
+          .otherwise(branch(right.split, labRL, labRR))
+      case None => lit(dtreeLabel(n, p))
+    }
+    val conf = feats.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("y"), yHat.as("y_hat"))
+      .groupBy("y", "y_hat")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    val desc = s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(featOf(root), thrOf(root),
+        featOf(left.split), thrOf(left.split),
+        featOf(right.split), thrOf(right.split),
+        labLL, labLR, labRL, labRR)),
+      org.apache.spark.sql.types.StructType(
+        Seq("root_feat", "root_thr", "left_feat", "left_thr",
+          "right_feat", "right_thr", "lab_ll", "lab_lr", "lab_rl",
+          "lab_rr").map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    conf.crossJoin(broadcast(desc)).orderBy("y", "y_hat")
+  }
+
+  /** k-means geometry, shared verbatim with the oracle: k = 4
+    * data-independent integer seeds in (x1, x2) doc-shape space,
+    * [[kmIters]] = 4 Lloyd iterations. The assignment argmin is ONE
+    * integer: `min(dist²·4 + c)` orders by (distance, centroid id)
+    * lexicographically because c < 4, so `% 4` recovers the assigned
+    * centroid and `div 4` the exact distance — no struct comparison,
+    * no float, engine-identical.
+    */
+  private[graft] val kmIters = 4
+
+  /** Data-INDEPENDENT seeds (no sampling, no order sensitivity —
+    * deterministic at any partitioning), spread across the corpus'
+    * structural doc-shape region (token counts are double-digit for
+    * the fixture family, x2 = 8·avg-token-length sits in the 30s for
+    * English-like text): all four basins are populated from the first
+    * assignment, which the spec asserts.
+    */
+  private[graft] val kmInit: Seq[(Long, Long, Long)] =
+    Seq((0L, 24L, 32L), (1L, 48L, 34L), (2L, 72L, 36L), (3L, 96L, 38L))
+
+  /** Distributed exact k-means (Lloyd) — the clustering counterpart
+    * of the oracle-gated trainer family. The rows-only IVF trainer
+    * (q_ann_ivf) is the float/recall-curve form; THIS form is what
+    * makes the canonical distributed k-means hash-gate: integer
+    * features ([[docShape]]), integer squared distances, and
+    * floor-division centroid updates `sum div count` mean every
+    * iteration is exact in BIGINT in any engine.
+    *
+    * Scale shape: per iteration ONE partial-combining aggregate
+    * (groupBy assigned-centroid → 3 sums), model traffic = 4×3 longs
+    * collected to the driver and re-broadcast as literals in the
+    * next assignment expression — k passes over a cached bounded
+    * frame, no per-row state, the q_logreg layout. Empty clusters
+    * keep their previous centroid (the standard Lloyd convention,
+    * observable as n_points = 0 in the output).
+    *
+    * Output: one row per centroid — final position, membership
+    * count, member id-sum (pins WHICH docs, the confusion-matrix
+    * discipline) and exact integer inertia.
+    */
+  def q_kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docShape(s, dir).select("doc_id", "x1", "x2")
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    def keyCol(cent: Seq[(Long, Long, Long)]): Column =
+      cent.map { case (c, cu, cv) =>
+        val d = (col("x1") - cu) * (col("x1") - cu) +
+          (col("x2") - cv) * (col("x2") - cv)
+        d * 4 + c
+      }.reduce(least(_, _))
+    var cent = kmInit
+    for (_ <- 1 to kmIters) {
+      val upd = feats.groupBy((keyCol(cent) % 4).as("c"))
+        .agg(sum(col("x1")).as("su"), sum(col("x2")).as("sv"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1) / r.getLong(3), r.getLong(2) / r.getLong(3))).toMap
+      cent = cent.map { case (c, cu, cv) =>
+        upd.get(c).map { case (u, v) => (c, u, v) }.getOrElse((c, cu, cv))
+      }
+    }
+    val stats = feats
+      .select(keyCol(cent).as("__key"), col("doc_id"))
+      .select((col("__key") % 4).as("cluster"),
+        expr("__key div 4").as("d2"), col("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"), sum(col("doc_id")).as("id_sum"),
+        sum(col("d2")).as("inertia"))
+    cent.toDF("cluster", "cu", "cv")
+      .join(stats, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_points", "id_sum", "inertia"))
+      .orderBy("cluster")
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

@@ -1595,4 +1595,46 @@ object Streams {
 
   def q_stream_lww(s: SparkSession, dir: String): DataFrame =
     lwwDrain(s, streamableDir(s"$dir/events.parquet"), None)._1
+
+  /** Bounded projection shared by q_join_followup and its streaming
+    * twin: the pair stream aggregated per hour of the TRIGGERING
+    * event, with exact-µs gap mass and id-sum checksums pinning the
+    * pair SET (the q_pipeline_build audit discipline) — bounded by
+    * calendar hours, never by pair volume, so the drain's collect is
+    * safe at any SF.
+    */
+  private[graft] def followupProject(pairs: DataFrame): DataFrame =
+    pairs.groupBy(date_trunc("hour", col("a_ts")).as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+          .as("sum_gap_us"),
+        sum(col("a_event")).as("a_id_sum"),
+        sum(col("b_event")).as("b_id_sum"))
+      .orderBy("hour")
+
+  /** The 13th oracle-gated twin, and the one that exercises the LAST
+    * untouched piece of the streaming surface: a true STREAM-STREAM
+    * join ([[followupJoin]] — both sides unbounded, watermark-bounded
+    * buffer state, the range condition is what lets Spark EXPIRE
+    * per-key state instead of buffering both streams forever). Every
+    * other twin is a stateful aggregation or map/flatMapGroups
+    * machine; none holds two-sided join state. Emissions are
+    * append-mode matched pairs (inner stream-stream joins emit a
+    * match exactly once, when both sides have arrived — matching is
+    * delivery-order-INDEPENDENT, so no delivery contract is needed
+    * beyond the watermark horizon covering the slice skew);
+    * [[followupProject]] reduces them to the batch twin's bounded
+    * hourly shape. Shares q_join_followup's oracle verbatim.
+    */
+  private[graft] def followupDrain(s: SparkSession, eventsDir: String,
+    maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
+    val pairs = followupJoin(
+      eventsStream(s, eventsDir, maxFiles).select("event_id", "ts", "user_id"),
+      eventsStream(s, eventsDir, maxFiles).select("event_id", "ts", "user_id"))
+    drainWithEvidence(s, pairs, OutputMode.Append, "stream_join")(
+      followupProject)
+  }
+
+  def q_stream_join(s: SparkSession, dir: String): DataFrame =
+    followupDrain(s, streamableDir(s"$dir/events.parquet"), None)._1
 }

@@ -288,6 +288,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // the fixture must actually exercise the join
   }
 
+  test("stream-stream join drain (q_stream_join) reproduces the batch " +
+    "twin under a REAL multi-batch time-sliced drain, pairs matched " +
+    "across batch boundaries") {
+    val landing = Files.createTempDirectory("followup_slices").toString
+    val staged = Streams.sliceEventsByTime(spark,
+      s"$dir/events.parquet", landing, slices = 4, filesPerSlice = 2)
+    assert(staged >= 4, s"staged only $staged slice files")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val (outM, evM) = Streams.followupDrain(spark, landing, Some(2))
+    val (outS, evS) = Streams.followupDrain(spark, landing, None)
+    // a stream-stream join appends one trailing zero-input batch to
+    // finalize state at the watermark — count DATA batches
+    assert(evM.count(_.numInputRows > 0) >= 3,
+      s"sliced join drain ran only ${evM.size} micro-batches")
+    assert(evS.count(_.numInputRows > 0) == 1)
+    assert(evM.map(_.numInputRows).sum == evS.map(_.numInputRows).sum,
+      "sliced batches lost input rows")
+    // join buffer state is bounded by the watermark horizon, never
+    // cleared to zero mid-stream and never above total event volume
+    val events = Tables(spark, dir, "events").count()
+    evM.foreach { e =>
+      assert(e.stateRowsTotal <= 2 * events,
+        s"batch ${e.batchId}: join state ${e.stateRowsTotal} " +
+          s"exceeds both stream sides")
+    }
+    assert(rowsOf(outM) == rowsOf(outS),
+      "multi-batch stream-stream join diverges from single-batch")
+    // and both equal the declared batch twin exactly
+    val batch = operators.Relational.q_join_followup(spark, dir)
+    assert(rowsOf(outS) == rowsOf(batch),
+      "stream-stream join diverges from the batch self-join twin")
+    assert(batch.count() > 0)
+  }
+
   test("foreachBatch KV sink: streamed store equals the batch LWW result " +
     "and re-streaming is idempotent") {
     FakeKv.reset()

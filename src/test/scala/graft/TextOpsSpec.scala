@@ -1304,4 +1304,145 @@ class TextOpsSpec extends AnyFunSuite {
       s"NB accuracy $acc below majority baseline $majority")
     Caches.releaseAll()
   }
+
+  /** Shared doc-shape reference frame for the dtree/kmeans specs:
+    * features re-derived from raw text, independently of the engine's
+    * expression pipeline.
+    */
+  private def docShapeRef(): Seq[(Long, Long, Long, Long)] =
+    Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val ntok = text.split(" ").count(_.nonEmpty).toLong
+        val nospace = text.count(_ != ' ').toLong
+        val x2 = nospace * 8 / math.max(ntok, 1L)
+        val y = if (ntok >= 50 && ntok <= 1000 &&
+          nospace >= ntok * 3 && nospace <= ntok * 10) 1L else 0L
+        (id, ntok, x2, y)
+      }.toSeq
+
+  test("q_dtree matches an independent exact-integer CART reference " +
+    "node-for-node (grid scan, micro-grid Gini, tie-breaks, ancestor " +
+    "fallback labels) and the fitted tree is non-trivial") {
+    val k = BigInt(TextOps.dtreeScale)
+    val all = docShapeRef()
+    val train = all.filter(_._1 % 5 != 0)
+    val ho = all.filter(_._1 % 5 == 0)
+    assert(train.exists(_._4 == 1L) && train.exists(_._4 == 0L),
+      "degenerate teacher: one-class training split")
+    def xOf(r: (Long, Long, Long, Long), j: Int) = if (j == 1) r._2 else r._3
+    // full candidate scan with exact BigInt weighted-Gini (2·p·q mass)
+    def best(rows: Seq[(Long, Long, Long, Long)]): Option[(Int, Long)] = {
+      val n = BigInt(rows.size); val p = BigInt(rows.count(_._4 == 1L))
+      if (p == 0 || p == n) return None
+      TextOps.dtreeThr.flatMap { case (j, thr) =>
+        val l = rows.filter(r => xOf(r, j) < thr)
+        val nl = BigInt(l.size); val pl = BigInt(l.count(_._4 == 1L))
+        val nr = n - nl
+        if (nl == 0 || nr == 0) None
+        else {
+          val pr = p - pl
+          val m = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+          Some((2 * m * k / (nl * nr), j, thr))
+        }
+      }.sortBy(t => (t._1, t._2, t._3)).headOption.map(t => (t._2, t._3))
+    }
+    def labOf(rows: Seq[(Long, Long, Long, Long)]): Long =
+      if (BigInt(rows.count(_._4 == 1L)) * 2 >= BigInt(rows.size)) 1L else 0L
+    val root = best(train)
+    assert(root.isDefined, "reference tree failed to split the root")
+    val (rj, rt) = root.get
+    val lRows = train.filter(r => xOf(r, rj) < rt)
+    val rRows = train.filterNot(r => xOf(r, rj) < rt)
+    def node(rows: Seq[(Long, Long, Long, Long)], parentLab: Long)
+      : (Long, Long, Long, Long) = best(rows) match {
+      case Some((j, t)) =>
+        val gl = rows.filter(r => xOf(r, j) < t)
+        val gr = rows.filterNot(r => xOf(r, j) < t)
+        (j.toLong, t, labOf(gl), labOf(gr))
+      case None =>
+        val lab = if (rows.nonEmpty) labOf(rows) else parentLab
+        (0L, -1L, lab, lab)
+    }
+    val rootLab = labOf(train)
+    val (lj, lt, labLL, labLR) = node(lRows, rootLab)
+    val (rcj, rct, labRL, labRR) = node(rRows, rootLab)
+    def score(r: (Long, Long, Long, Long)): Long =
+      if (xOf(r, rj) < rt) {
+        if (lj > 0 && xOf(r, lj.toInt) < lt) labLL else labLR
+      } else {
+        if (rcj > 0 && xOf(r, rcj.toInt) < rct) labRL else labRR
+      }
+    val wantConf = ho.map(r => (r._4, score(r), r._1))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((y, yh), v) => (y, yh, v.size.toLong, v.map(_._3).sum) }
+      .toSeq.sorted
+    val got = TextOps.q_dtree(spark, dir).collect()
+    val gotConf = got.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotConf == wantConf, s"confusion: $gotConf vs $wantConf")
+    val d = got.head
+    val gotDesc = (4 until 14).map(d.getLong)
+    val wantDesc =
+      Seq(rj.toLong, rt, lj, lt, rcj, rct, labLL, labLR, labRL, labRR)
+    assert(gotDesc == wantDesc, s"descriptor: $gotDesc vs $wantDesc")
+    // the tree must actually use its depth (a depth-2 fit of a
+    // four-edge conjunction should split at least one child) and
+    // beat the majority baseline on the holdout
+    assert(lj > 0 || rcj > 0, "neither child split")
+    val acc = gotConf.filter(r => r._1 == r._2).map(_._3).sum.toDouble /
+      gotConf.map(_._3).sum
+    val majority = math.max(ho.count(_._4 == 1L),
+      ho.count(_._4 == 0L)).toDouble / ho.size
+    assert(acc >= majority,
+      s"dtree accuracy $acc below majority baseline $majority")
+    Caches.releaseAll()
+  }
+
+  test("q_kmeans matches an independent exact-integer Lloyd reference " +
+    "(assignment key, floor-division updates, empty-cluster carry) and " +
+    "iteration monotonically reduces inertia") {
+    val pts = docShapeRef().map(r => (r._1, r._2, r._3))
+    def assign(cent: Seq[(Long, Long, Long)], x1: Long, x2: Long): Long =
+      cent.map { case (c, cu, cv) =>
+        ((x1 - cu) * (x1 - cu) + (x2 - cv) * (x2 - cv)) * 4 + c
+      }.min
+    def inertia(cent: Seq[(Long, Long, Long)]): Long =
+      pts.map(p => assign(cent, p._2, p._3) / 4).sum
+    var cent = TextOps.kmInit
+    var lastInertia = inertia(cent)
+    (1 to TextOps.kmIters).foreach { _ =>
+      val byC = pts.groupBy(p => assign(cent, p._2, p._3) % 4)
+      cent = cent.map { case (c, cu, cv) =>
+        byC.get(c) match {
+          case Some(m) =>
+            (c, m.map(_._2).sum / m.size, m.map(_._3).sum / m.size)
+          case None => (c, cu, cv)
+        }
+      }
+      val in = inertia(cent)
+      // floor-division centroids sit within [0,1) of the exact mean
+      // per coordinate; the linear term cancels around the mean
+      // (Σ(x−m) = 0 within a cluster), leaving at most Σδ² ≤ 2·|pts|
+      // of truncation slack on Lloyd's monotone descent
+      assert(in <= lastInertia + 2L * pts.size,
+        s"Lloyd iteration increased inertia: $lastInertia -> $in")
+      lastInertia = in
+    }
+    val byC = pts.groupBy(p => assign(cent, p._2, p._3) % 4)
+    val want = cent.map { case (c, cu, cv) =>
+      val m = byC.getOrElse(c, Seq.empty)
+      (c, cu, cv, m.size.toLong, m.map(_._1).sum,
+        m.map(p => assign(cent, p._2, p._3) / 4).sum)
+    }
+    val got = TextOps.q_kmeans(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"kmeans: $got vs $want")
+    // the clustering is non-degenerate: at least two populated
+    // clusters, memberships cover every doc exactly once
+    assert(got.count(_._4 > 0) >= 2, "fewer than 2 populated clusters")
+    assert(got.map(_._4).sum == pts.size.toLong)
+    Caches.releaseAll()
+  }
 }
