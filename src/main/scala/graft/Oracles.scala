@@ -3701,6 +3701,40 @@ object Oracles {
          |ORDER BY cluster""".stripMargin
     },
 
+    // exact midrank-U AUC twin (TextOps.q_auc): the per-value
+    // histogram, strict-prefix window and doubled-midrank fold are
+    // the same BIGINT arithmetic; the only float op is the final
+    // rounded IEEE division of exact integers
+    "q_auc" ->
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+         |    nospace * 8 // greatest(n_tok, 1) AS x2,
+         |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+         |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |vals AS (SELECT 1 AS feat, x1 AS v, y FROM f
+         |  UNION ALL SELECT 2, x2, y FROM f),
+         |hist AS (SELECT feat, v, count(*) AS c, sum(y) AS pos
+         |  FROM vals GROUP BY feat, v),
+         |ranked AS (SELECT feat, v, c, pos,
+         |    sum(c) OVER (PARTITION BY feat ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+         |      AS below
+         |  FROM hist),
+         |u AS (SELECT feat, sum(pos) AS n_pos,
+         |    sum(c) - sum(pos) AS n_neg,
+         |    sum(pos * (below * 2 + c + 1)) AS u_raw
+         |  FROM ranked GROUP BY feat)
+         |SELECT CAST(feat AS BIGINT) AS feat, CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(u_raw - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         |  round(CAST(u_raw - n_pos * (n_pos + 1) AS DOUBLE)
+         |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
+         |FROM u ORDER BY feat""".stripMargin,
+
     // event-followup self-join (Relational.q_join_followup and its
     // stream-stream twin): pairs within the 10-minute horizon,
     // aggregated per triggering hour with exact-µs gap mass and

@@ -146,6 +146,7 @@ object SparkEntry {
     "q_nbayes" -> (TextOps.q_nbayes _),
     "q_dtree" -> (TextOps.q_dtree _),
     "q_kmeans" -> (TextOps.q_kmeans _),
+    "q_auc" -> (TextOps.q_auc _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
     "q_compress_ratio" -> (TextOps.q_compress_ratio _),

@@ -3811,6 +3811,44 @@ object TextOps {
       .orderBy("cluster")
   }
 
+  /** Exact ROC-AUC feature screening — the canonical trainer-pipeline
+    * eval metric, made hash-gatable by the integer midrank form of
+    * the Mann-Whitney U statistic: for each doc-shape feature, AUC
+    * against the quality-gate label with ties handled by midranks,
+    * computed entirely in BIGINT. Doubling the midrank keeps halves
+    * integral: 2U = Σ_v pos_v·(2·below_v + c_v + 1) − n₊·(n₊+1),
+    * where (c_v, pos_v) is the per-distinct-value histogram and
+    * below_v its strict prefix count.
+    *
+    * Scale shape: ONE corpus scan folds to the per-value histogram
+    * (bounded by the feature's VALUE DOMAIN — token counts, not
+    * documents), the prefix sum is a window over that bounded frame,
+    * and the U fold is a per-feature aggregate of it. The final AUC
+    * is one IEEE division of exact integers, rounded at 6 dp —
+    * engine-identical.
+    */
+  def q_auc(s: SparkSession, dir: String): DataFrame = {
+    val shape = docShape(s, dir)
+    val vals = shape.select(lit(1L).as("feat"), col("x1").as("v"), col("y"))
+      .unionAll(shape.select(lit(2L).as("feat"), col("x2").as("v"), col("y")))
+    val hist = vals.groupBy("feat", "v")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+    val w = Window.partitionBy("feat").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist.withColumn("below",
+      sum(col("c")).over(w) - col("c"))
+    ranked.groupBy("feat")
+      .agg(sum(col("pos")).as("n_pos"),
+        (sum(col("c")) - sum(col("pos"))).as("n_neg"),
+        (sum(col("pos") * (col("below") * 2 + col("c") + 1))).as("u_raw"))
+      .select(col("feat"), col("n_pos"), col("n_neg"),
+        (col("u_raw") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .select(col("feat"), col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+      .orderBy("feat")
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

@@ -1399,6 +1399,35 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_auc matches the brute-force pairwise Mann-Whitney count " +
+    "exactly (2U = 2·#{pos>neg} + #{pos=neg}) and token count is a " +
+    "genuinely predictive feature") {
+    val all = docShapeRef()
+    def refU2(score: ((Long, Long, Long, Long)) => Long): (Long, Long, Long) = {
+      val pos = all.filter(_._4 == 1L).map(score)
+      val neg = all.filter(_._4 == 0L).map(score)
+      val u2 = (for (p <- pos; q <- neg) yield {
+        if (p > q) 2L else if (p == q) 1L else 0L
+      }).sum
+      (pos.size.toLong, neg.size.toLong, u2)
+    }
+    val want = Seq(1L -> refU2(_._2), 2L -> refU2(_._3)).map {
+      case (f, (np, nn, u2)) => (f, np, nn, u2)
+    }
+    val got = TextOps.q_auc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"auc u2: $got vs $want")
+    // the doubled-U identity makes auc = u2 / (2·n⁺·n⁻); the gate's
+    // main band is a token-count interval, so feature 1 must separate
+    // better than chance
+    val (f1, np, nn, u2) = got.head
+    assert(f1 == 1L)
+    assert(u2.toDouble / (2.0 * np * nn) > 0.55,
+      "token-count AUC not better than chance")
+    Caches.releaseAll()
+  }
+
   test("q_kmeans matches an independent exact-integer Lloyd reference " +
     "(assignment key, floor-division updates, empty-cluster carry) and " +
     "iteration monotonically reduces inertia") {
