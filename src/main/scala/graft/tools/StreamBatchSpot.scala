@@ -50,6 +50,7 @@ object StreamBatchSpot {
       case "q_stream_lww" => Streams.lwwDrain(spark, landing, maxFiles)
       case "q_stream_sessionize" =>
         Streams.sessionizeDrain(spark, landing, maxFiles)
+      case "q_stream_join" => Streams.followupDrain(spark, landing, maxFiles)
       case other => sys.error(s"no evidence drain wired for $other")
     }
     // exact whole-result checksum: row count + sum of xxhash64 over
