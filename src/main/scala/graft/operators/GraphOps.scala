@@ -736,7 +736,13 @@ object GraphOps {
     val edges = coEdgesEnc(s, dir)
     // an encoded node is an s-node iff enc ≥ lpSBit, so the symmetric
     // substrate splits into the two directed halves by a src range
-    // predicate — each half stays bucketed (exchange-free) on src
+    // predicate — each half stays bucketed (exchange-free) on src.
+    // Each half feeds one join per ROUND (3 bucketed scans each);
+    // caching the halves instead was MEASURED a wash: sf10 13.6 →
+    // 19.0 s (InMemoryRelation read loses to a page-cached bucketed
+    // scan), sf100 596 → 492 s (inside this host's stall variance),
+    // so the straight scans stay — on a cluster the substrate scan
+    // is the cheap, partition-local path.
     val sEdges = edges.filter(col("src") >= lpSBit) // s → p
     val pEdges = edges.filter(col("src") < lpSBit)  // p → s
     var auth = sEdges.select(col("dst").as("node")).distinct()
