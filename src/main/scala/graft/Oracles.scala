@@ -2384,6 +2384,72 @@ object Oracles {
         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
         |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // isotonic-calibration twin (Relational.q_isotonic): the same
+    // micro-unit interval rates over the bounded bin frame and the
+    // same minimax fold — floor is monotone, so min/max commute with
+    // the per-interval floor division and the fitted curve is the
+    // exact rational PAV fit floored to micro-units in BOTH engines
+    "q_isotonic" ->
+      """WITH src AS (SELECT
+        |    least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 20 // 40000000, 19) AS bin,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |bins AS MATERIALIZED (SELECT bin, count(*) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM src GROUP BY bin),
+        |rates AS (SELECT k.bin AS kb, j.bin AS jb,
+        |    sum(m.pos) * 1000000 // sum(m.n) AS rate
+        |  FROM bins k JOIN bins j ON k.bin <= j.bin
+        |    JOIN bins m ON m.bin BETWEEN k.bin AND j.bin
+        |  GROUP BY 1, 2),
+        |mins AS (SELECT i.bin AS ib, r.kb, min(r.rate) AS mrate
+        |  FROM rates r JOIN bins i ON r.kb <= i.bin AND r.jb >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib, CAST(max(mrate) AS BIGINT) AS iso_microrate
+        |  FROM mins GROUP BY ib)
+        |SELECT b.bin, b.n, b.pos,
+        |  CAST(b.pos * 1000000 // b.n AS BIGINT) AS raw_microrate,
+        |  iso_microrate
+        |FROM bins b JOIN iso ON b.bin = iso.ib ORDER BY bin""".stripMargin,
+
+    // split-conformal twin (Relational.q_conformal): the same
+    // floor-division cent model, exact residuals, and the SAME
+    // ⌈(n+1)(1−α)⌉-th order statistic — selected by (resid, id) rank
+    // in both engines, so the interval and the covered set hash-gate
+    "q_conformal" ->
+      """WITH nlines AS (SELECT l_orderkey, count(*) AS nl
+        |  FROM lineitem GROUP BY 1),
+        |oc AS MATERIALIZED (SELECT o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents, nl
+        |  FROM orders JOIN nlines ON o_orderkey = l_orderkey),
+        |model AS (SELECT nl, sum(cents) // count(*) AS pred
+        |  FROM oc WHERE id % 5 >= 2 GROUP BY nl),
+        |gm AS (SELECT sum(cents) // count(*) AS gpred,
+        |    count(*) AS n_train FROM oc WHERE id % 5 >= 2),
+        |cal AS MATERIALIZED (SELECT id,
+        |    abs(cents - coalesce(pred, gpred)) AS resid
+        |  FROM oc LEFT JOIN model USING (nl), gm WHERE id % 5 = 1),
+        |nn AS (SELECT count(*) AS n_cal,
+        |    least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k
+        |  FROM cal),
+        |rk AS (SELECT resid,
+        |    row_number() OVER (ORDER BY resid, id) AS rn FROM cal),
+        |rad AS (SELECT CAST(resid AS BIGINT) AS radius_cents
+        |  FROM rk, nn WHERE rn = k),
+        |tst AS (SELECT id, CASE WHEN abs(cents - coalesce(pred, gpred))
+        |      <= radius_cents THEN 1 ELSE 0 END AS cov
+        |  FROM oc LEFT JOIN model USING (nl), gm, rad WHERE id % 5 = 0)
+        |SELECT n_train, n_cal, k, radius_cents,
+        |  count(*) AS n_test, CAST(sum(cov) AS BIGINT) AS n_covered,
+        |  CAST(coalesce(sum(CASE WHEN cov = 1 THEN id END), 0) AS BIGINT)
+        |    AS covered_id_sum,
+        |  round(CAST(sum(cov) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM tst, gm, nn, rad
+        |GROUP BY 1, 2, 3, 4 ORDER BY n_train""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT
         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
@@ -3734,6 +3800,142 @@ object Oracles {
          |  round(CAST(u_raw - n_pos * (n_pos + 1) AS DOUBLE)
          |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
          |FROM u ORDER BY feat""".stripMargin,
+
+    // bagged-stump-forest twin (TextOps.q_forest): the same md5
+    // Poisson(1) weights (the q_bootstrap draw), the same fixed
+    // candidate grid (dtreeThr), weighted-error argmin with the
+    // total (err, feat, thr, pol) tie-break, and the exact 2·v ≥ n
+    // OOB majority vote — integers everywhere, the full fit + OOB
+    // confusion hash-gates
+    "q_forest" -> {
+      val bb = graft.operators.TextOps.forestB
+      val cdf = graft.operators.Relational.bootstrapCdf
+      def hd(i: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val u = (1 to 8).map(i => s"${hd(i)}*${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      val w = cdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def binSql(j: Int, x: String) =
+        graft.operators.TextOps.dtreeThr.filter(_._1 == j).map(_._2)
+          .map(t => s"(CASE WHEN $x >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      val thrVals = (for {
+        j <- 1 to 2
+        (t, i) <- graft.operators.TextOps.dtreeThr
+          .filter(_._1 == j).map(_._2).zipWithIndex
+      } yield s"($j, ${i + 1}, $t)").mkString(", ")
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+         |    nospace * 8 // greatest(n_tok, 1) AS x2,
+         |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+         |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |wt AS MATERIALIZED (SELECT doc_id, x1, x2, y, b, $w AS w FROM (
+         |  SELECT doc_id, x1, x2, y, b, CAST($u AS BIGINT) AS u FROM (
+         |    SELECT doc_id, x1, x2, y, b,
+         |      md5(CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+         |    FROM f, (SELECT unnest(range($bb)) AS b)))),
+         |binned AS (SELECT b, y, w, 1 AS feat, ${binSql(1, "x1")} AS bin
+         |    FROM wt
+         |  UNION ALL SELECT b, y, w, 2, ${binSql(2, "x2")} FROM wt),
+         |cells AS (SELECT b, feat, bin,
+         |    sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS pw,
+         |    sum(CASE WHEN y = 0 THEN w ELSE 0 END) AS nw
+         |  FROM binned GROUP BY 1, 2, 3),
+         |grid(feat, k, thr) AS (SELECT * FROM (VALUES $thrVals)),
+         |tot AS (SELECT b, sum(pw) AS tp, sum(nw) AS tn
+         |  FROM cells WHERE feat = 1 GROUP BY b),
+         |pre AS (SELECT t.b, g.feat, g.k, g.thr, t.tp, t.tn,
+         |    coalesce(sum(c.pw), 0) AS bp, coalesce(sum(c.nw), 0) AS bn
+         |  FROM tot t CROSS JOIN grid g
+         |    LEFT JOIN cells c ON c.b = t.b AND c.feat = g.feat
+         |      AND c.bin < g.k
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |errs AS (SELECT b, feat, thr, -1 AS pol,
+         |    bn + (tp - bp) AS err, tp + tn AS tot FROM pre
+         |  UNION ALL SELECT b, feat, thr, 1,
+         |    bp + (tn - bn), tp + tn FROM pre),
+         |stumps AS MATERIALIZED (SELECT b, feat, thr, pol, err, tot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY b
+         |    ORDER BY err, feat, thr, pol) AS rn FROM errs) WHERE rn = 1),
+         |preds AS (SELECT wt.doc_id, wt.y, CASE WHEN s.pol = 1
+         |    THEN (CASE WHEN (CASE WHEN s.feat = 1 THEN wt.x1 ELSE wt.x2
+         |      END) >= s.thr THEN 1 ELSE 0 END)
+         |    ELSE (CASE WHEN (CASE WHEN s.feat = 1 THEN wt.x1 ELSE wt.x2
+         |      END) < s.thr THEN 1 ELSE 0 END) END AS pred
+         |  FROM wt JOIN stumps s USING (b) WHERE wt.w = 0),
+         |vote AS (SELECT doc_id, y,
+         |    CASE WHEN 2 * sum(pred) >= count(*) THEN 1 ELSE 0 END AS yhat
+         |  FROM preds GROUP BY 1, 2),
+         |conf AS (SELECT count(*) AS n_oob_docs,
+         |    sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS oob_tp,
+         |    sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS oob_fp,
+         |    sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS oob_fn,
+         |    sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS oob_tn,
+         |    coalesce(sum(CASE WHEN yhat = 1 THEN doc_id END), 0)
+         |      AS oob_pos_id_sum
+         |  FROM vote),
+         |nd AS (SELECT count(*) AS n_docs FROM f)
+         |SELECT CAST(s.b AS BIGINT) AS tree,
+         |  CASE WHEN s.feat = 1 THEN 'n_tok' ELSE 'density8' END AS feature,
+         |  CAST(s.thr AS BIGINT) AS threshold, CAST(s.pol AS BIGINT)
+         |    AS polarity,
+         |  CAST(s.err AS BIGINT) AS err_w, CAST(s.tot AS BIGINT) AS tot_w,
+         |  CAST(oob_tp AS BIGINT) AS oob_tp, CAST(oob_fp AS BIGINT) AS oob_fp,
+         |  CAST(oob_fn AS BIGINT) AS oob_fn, CAST(oob_tn AS BIGINT) AS oob_tn,
+         |  CAST(oob_pos_id_sum AS BIGINT) AS oob_pos_id_sum,
+         |  CAST(n_docs - n_oob_docs AS BIGINT) AS n_oob_excluded,
+         |  round(CAST(oob_tp + oob_tn AS DOUBLE) / n_oob_docs, 6) AS oob_acc
+         |FROM stumps s, conf, nd ORDER BY tree""".stripMargin
+    },
+
+    // rank-1 ALS twin (Recommender.q_als): the same micro-unit
+    // half-sweeps — every factor update is one floor division of two
+    // exact HUGEINT sums (Spark: DECIMAL(38,0)), all terms positive,
+    // so the whole two-sweep fit hash-gates including the exact
+    // integer SSE of both sweep models
+    "q_als" -> {
+      val k = graft.operators.Recommender.alsScale
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o_custkey AS c, p_brand AS b,
+         |    CAST(sum(l_quantity) AS BIGINT) AS r
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |                JOIN part  ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT b, CAST($k AS HUGEINT) AS v FROM ratings),
+         |u1 AS MATERIALIZED (
+         |  SELECT c, sum(CAST(r AS HUGEINT) * v) * $k * $k // sum(v * v) AS u
+         |  FROM ratings JOIN v0 USING (b) GROUP BY c),
+         |v1 AS MATERIALIZED (
+         |  SELECT b, sum(CAST(r AS HUGEINT) * u) * $k * $k // sum(u * u) AS v
+         |  FROM ratings JOIN u1 USING (c) GROUP BY b),
+         |u2 AS MATERIALIZED (
+         |  SELECT c, sum(CAST(r AS HUGEINT) * v) * $k * $k // sum(v * v) AS u
+         |  FROM ratings JOIN v1 USING (b) GROUP BY c),
+         |v2 AS MATERIALIZED (
+         |  SELECT b, sum(CAST(r AS HUGEINT) * u) * $k * $k // sum(u * u) AS v
+         |  FROM ratings JOIN u2 USING (c) GROUP BY b),
+         |e1 AS (SELECT CAST(sum(d * d) AS BIGINT) AS sse1 FROM (
+         |  SELECT r - CAST(CAST(u AS HUGEINT) * v // $k // $k AS BIGINT) AS d
+         |  FROM ratings JOIN u1 USING (c) JOIN v1 USING (b))),
+         |e2 AS (SELECT CAST(sum(d * d) AS BIGINT) AS sse2 FROM (
+         |  SELECT r - CAST(CAST(u AS HUGEINT) * v // $k // $k AS BIGINT) AS d
+         |  FROM ratings JOIN u2 USING (c) JOIN v2 USING (b))),
+         |g AS (SELECT count(*) AS n_users, CAST(sum(u) AS BIGINT) AS u_sum,
+         |    CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max
+         |  FROM u2),
+         |m AS (SELECT b, count(*) AS n_raters, CAST(sum(r) AS BIGINT) AS r_sum
+         |  FROM ratings GROUP BY b)
+         |SELECT m.b AS brand, n_raters, r_sum,
+         |  CAST(v1.v AS BIGINT) AS v1, CAST(v2.v AS BIGINT) AS v2,
+         |  n_users, u_sum, u_min, u_max, sse1, sse2
+         |FROM m JOIN v1 ON m.b = v1.b JOIN v2 ON m.b = v2.b, g, e1, e2
+         |ORDER BY brand""".stripMargin
+    },
 
     // event-followup self-join (Relational.q_join_followup and its
     // stream-stream twin): pairs within the 10-minute horizon,

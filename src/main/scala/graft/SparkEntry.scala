@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, GraphOps, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, GraphOps, MultimodalOps, Recommender, Relational, TextOps, VectorOps}
 import graft.pipeline.ExclusionPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (declared inventory)
@@ -147,6 +147,10 @@ object SparkEntry {
     "q_dtree" -> (TextOps.q_dtree _),
     "q_kmeans" -> (TextOps.q_kmeans _),
     "q_auc" -> (TextOps.q_auc _),
+    "q_als" -> (Recommender.q_als _),
+    "q_forest" -> (TextOps.q_forest _),
+    "q_isotonic" -> (Relational.q_isotonic _),
+    "q_conformal" -> (Relational.q_conformal _),
     "q_quality_score" -> (TextOps.q_quality_score _),
     "q_quality_rules" -> (TextOps.q_quality_rules _),
     "q_compress_ratio" -> (TextOps.q_compress_ratio _),

@@ -3354,6 +3354,132 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** Monotone (isotonic) calibration of q_calibration's linear price
+    * score — pool-adjacent-violators via its minimax closed form
+    * ŷᵢ = max_{k≤i} min_{j≥i} rate(k..j) (Barlow et al., "Statistical
+    * Inference under Order Restrictions", 1972), the calibration step
+    * every scored pipeline runs when the raw reliability table is
+    * non-monotone. Interval rates live on the micro-unit grid
+    * (Σpos·10⁶ div Σn — exact integer division, engine-identical),
+    * and because floor is monotone the minimax over floored rates IS
+    * the floor of the exact rational PAV fit: the fitted monotone
+    * curve hash-gates bit-for-bit (AnalyticsSpec pins a driver-side
+    * exact-fraction PAV reference, monotonicity, and mass
+    * conservation of each pooled block).
+    *
+    * Scale shape: one map-side-combined 20-group aggregate reduces
+    * the corpus to the bin frame; the minimax is a triple join of
+    * that BOUNDED broadcast frame (≤20³ rows at any corpus size) —
+    * the q_dtree bounded-model-frame discipline applied to a fit
+    * whose classical formulation is a sequential driver-side sweep.
+    */
+  def q_isotonic(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val y = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+      .otherwise(0L)
+    val bins = graft.Caches.cached(t(s, dir, "orders")
+      .select(cents.as("cents"), y.as("y"))
+      .selectExpr("least(cents * 20 div 40000000, 19) AS bin", "y")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")))
+    isotonicFit(bins)
+  }
+
+  /** The minimax PAV core over a (bin, n, pos) frame — factored out
+    * so the spec can drive a synthetic violator pattern through the
+    * SAME plan the declared query runs.
+    */
+  private[graft] def isotonicFit(bins: DataFrame): DataFrame = {
+    // interval rates over every (k ≤ j) bin span — bounded triangle
+    val rates = broadcast(bins.select(col("bin").as("kb")))
+      .join(broadcast(bins.select(col("bin").as("jb"))),
+        col("kb") <= col("jb"))
+      .join(broadcast(bins.select(col("bin").as("mb"), col("n"), col("pos"))),
+        col("mb").between(col("kb"), col("jb")))
+      .groupBy("kb", "jb")
+      .agg(sum(col("pos")).as("sp"), sum(col("n")).as("sn"))
+      .selectExpr("kb", "jb", "sp * 1000000 div sn AS rate")
+    // ŷᵢ = max over k ≤ i of (min over j ≥ i of rate(k, j))
+    val iso = rates
+      .join(broadcast(bins.select(col("bin").as("ib"))),
+        col("kb") <= col("ib") && col("jb") >= col("ib"))
+      .groupBy("ib", "kb").agg(min(col("rate")).as("mrate"))
+      .groupBy("ib").agg(max(col("mrate")).as("iso_microrate"))
+    bins.join(broadcast(iso), col("bin") === col("ib"))
+      .selectExpr("bin", "n", "pos",
+        "pos * 1000000 div n AS raw_microrate", "iso_microrate")
+      .orderBy("bin")
+  }
+
+  /** Split-conformal prediction intervals (Vovk's inductive conformal
+    * prediction; Lei et al., "Distribution-Free Predictive Inference
+    * for Regression", JASA 2018) — the distribution-free uncertainty
+    * layer a scoring pipeline wraps around ANY point predictor. The
+    * three-way split is by order key (train % 5 ∈ {2,3,4} fits the
+    * per-line-count mean-price model, calibration % 5 = 1 supplies
+    * the residual quantile, test % 5 = 0 measures coverage); the
+    * conformal radius is the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * residual at α = 0.1, which guarantees ≥ 90% marginal coverage
+    * under exchangeability — the output row carries the measured
+    * test coverage next to the guarantee.
+    *
+    * Exactness: the model is floor-division means in cents, residuals
+    * exact BIGINTs, and the radius an ORDER STATISTIC — a value
+    * selected, not computed — so the whole interval hash-gates. The
+    * rank is [[ScalableRank]] (range-partitioned, no single-task
+    * global sort); ties broken by order key so rank k names one row
+    * in both engines.
+    */
+  def q_conformal(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val nlines = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+    val oc = graft.Caches.cached(t(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), cents.as("cents"))
+      .join(nlines, col("id") === col("l_orderkey"))
+      .select("id", "cents", "nl"))
+    val train = oc.filter(col("id") % 5 >= 2)
+    val model = broadcast(train.groupBy("nl")
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("cn"))
+      .selectExpr("nl", "sc div cn AS pred"))
+    val gm = broadcast(train
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_train"))
+      .selectExpr("sc div n_train AS gpred", "n_train"))
+    def withPred(df: DataFrame): DataFrame =
+      df.join(model, Seq("nl"), "left").crossJoin(gm)
+        .withColumn("p", coalesce(col("pred"), col("gpred")))
+    val cal = withPred(oc.filter(col("id") % 5 === 1))
+      .select(col("id"), abs(col("cents") - col("p")).as("resid"))
+      .withColumn("g", lit(1L))
+    val nn = broadcast(cal.agg(count(lit(1)).as("n_cal"))
+      .selectExpr("n_cal",
+        "least((9 * (n_cal + 1) + 9) div 10, n_cal) AS k"))
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val radius = broadcast(
+      ScalableRank.withRank(cal, np, "g", Seq("resid", "id"), "rn")
+        .crossJoin(nn).filter(col("rn") === col("k"))
+        .select(col("resid").as("radius_cents")))
+    withPred(oc.filter(col("id") % 5 === 0))
+      .crossJoin(radius)
+      .select(col("id"),
+        when(abs(col("cents") - col("p")) <= col("radius_cents"), 1L)
+          .otherwise(0L).as("cov"))
+      .agg(count(lit(1)).as("n_test"), sum(col("cov")).as("n_covered"),
+        coalesce(sum(when(col("cov") === 1L, col("id"))), lit(0L))
+          .as("covered_id_sum"))
+      .crossJoin(broadcast(gm.select("n_train")))
+      .crossJoin(nn)
+      .crossJoin(radius)
+      .select(col("n_train"), col("n_cal"), col("k"),
+        col("radius_cents"), col("n_test"), col("n_covered"),
+        col("covered_id_sum"),
+        round(col("n_covered").cast("double") /
+          col("n_test").cast("double"), 6).as("coverage"))
+      .orderBy("n_train")
+  }
+
   def q_window_nav(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -3734,6 +3734,156 @@ object TextOps {
     conf.crossJoin(broadcast(desc)).orderBy("y", "y_hat")
   }
 
+  // ─────────────── bagged stump forest with OOB error (L77) ───────────────
+
+  /** Forest size — odd so most out-of-bag votes are untied, but the
+    * exact `2·v ≥ n` tie rule still decides docs whose OOB tree count
+    * is even. Shared verbatim with the oracle.
+    */
+  private[graft] val forestB = 15
+
+  /** Poisson(1) resample weight for (tree, doc) — q_bootstrap's md5
+    * scaled-CDF draw (Relational.bootstrapCdf), shared verbatim with
+    * the oracle: both engines compare the same 32-bit md5 slice
+    * against the same thresholds, so every (tree, doc) multiplicity
+    * is bit-identical.
+    */
+  private def forestW(b: Column, id: Column): Column = {
+    val u = conv(substring(md5(concat(b.cast("string"), lit(":"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long")
+    Relational.bootstrapCdf.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(u >= t, 1L).otherwise(0L)
+    }
+  }
+
+  /** Grid-bin index for feature j: how many of [[dtreeThr]]'s
+    * thresholds the value clears (0..10) — the stump "x ≥ t_k
+    * predicts 1" is then exactly "bin ≥ k".
+    */
+  private def forestBin(j: Int): Column =
+    dtreeThr.filter(_._1 == j).map(_._2)
+      .foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(col(s"x$j") >= lit(t), 1L).otherwise(0L)
+      }
+
+  /** Bagged-stump random forest with out-of-bag evaluation — the
+    * SIXTH trainer family (bagging, next to boosting/q_boost): B
+    * Poisson(1)-bootstrapped depth-1 trees over the [[docShape]]
+    * frame, each stump the exact weighted-error argmin over the
+    * SAME fixed candidate grid q_dtree scans, and the eval set is
+    * the bags' own complement — each doc is scored by majority vote
+    * of the trees that did NOT sample it (Breiman, "Random Forests",
+    * Machine Learning 2001; "Out-of-bag estimation", 1996). No
+    * held-out split is spent: OOB is the free cross-validation a
+    * 100 TB training pipeline wants.
+    *
+    * Everything hash-gates (the q_nbayes no-float argument): Poisson
+    * weights are integers from the shared md5 grid, stump errors are
+    * weighted integer counts with the total (err, feat, thr, pol)
+    * tie-break, votes are exact `2·v ≥ n`. Scale shape: training is
+    * ONE partial-combining aggregate over a B×2-exploded frame into
+    * a BOUNDED cell frame (B·2·11 groups — all B bags trained in one
+    * pass, the q_bootstrap one-pass-B-replicas layout); the argmin
+    * is a driver-side fold over those cells; OOB scoring joins the
+    * broadcast B-row model and folds to one confusion row. Two
+    * corpus scans end-to-end, no per-row model state.
+    */
+  def q_forest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docShape(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    val bagged = feats
+      .select(col("doc_id"), col("y"), col("x1"), col("x2"),
+        forestBin(1).as("bin1"), forestBin(2).as("bin2"),
+        explode(sequence(lit(0), lit(forestB - 1))).as("bi"))
+      .select(col("doc_id"), col("y"), col("x1"), col("x2"),
+        col("bin1"), col("bin2"), col("bi").cast("long").as("b"))
+      .withColumn("w", forestW(col("b"), col("doc_id")))
+    // one pass: weighted per-(bag, feature, bin, label) cell counts
+    val cells = bagged
+      .select(col("b"), col("y"), col("w"),
+        explode(array(
+          struct(lit(1).as("feat"), col("bin1").as("bin")),
+          struct(lit(2).as("feat"), col("bin2").as("bin")))).as("fb"))
+      .groupBy(col("b"), col("fb.feat").as("feat"), col("fb.bin").as("bin"))
+      .agg(sum(when(col("y") === 1L, col("w")).otherwise(0L)).as("pw"),
+        sum(when(col("y") === 0L, col("w")).otherwise(0L)).as("nw"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // driver-side exact argmin per bag (bounded: B × 20 × 2 candidates)
+    case class Stump(b: Long, feat: Int, thr: Long, pol: Int,
+      errW: Long, totW: Long)
+    val model = (0L until forestB.toLong).map { b =>
+      def pn(feat: Int, bin: Long) =
+        cells.getOrElse((b, feat, bin), (0L, 0L))
+      val totP = (0L to 10L).map(pn(1, _)._1).sum
+      val totN = (0L to 10L).map(pn(1, _)._2).sum
+      var best: (Long, Int, Long, Int) = null
+      for (j <- 1 to 2) {
+        val thrs = dtreeThr.filter(_._1 == j).map(_._2)
+        var belowP = 0L; var belowN = 0L
+        for (k <- 1 to 10) {
+          belowP += pn(j, k - 1L)._1; belowN += pn(j, k - 1L)._2
+          // pol −1: predict 1 below the threshold; pol +1: at/above
+          val cand = Seq((belowN + (totP - belowP), -1),
+            (belowP + (totN - belowN), 1))
+          for ((err, pol) <- cand) {
+            val t = thrs(k - 1)
+            if (best == null || err < best._1 || (err == best._1 &&
+              (j < best._2 || (j == best._2 && (t < best._3 ||
+                (t == best._3 && pol < best._4))))))
+              best = (err, j, t, pol)
+          }
+        }
+      }
+      Stump(b, best._2, best._3, best._4, best._1, totP + totN)
+    }
+    val stumpDf = broadcast(model
+      .map(st => (st.b, st.feat, st.thr, st.pol)).toDF("b", "sfeat", "sthr", "spol"))
+    // OOB: every doc scored by majority vote of the bags that missed it
+    val votes = bagged.filter(col("w") === 0L)
+      .join(stumpDf, "b")
+      .withColumn("xv",
+        when(col("sfeat") === 1, col("x1")).otherwise(col("x2")))
+      .withColumn("pred", when(col("spol") === 1,
+        when(col("xv") >= col("sthr"), 1L).otherwise(0L))
+        .otherwise(when(col("xv") < col("sthr"), 1L).otherwise(0L)))
+      .groupBy("doc_id", "y")
+      .agg(count(lit(1)).as("n_oob"), sum(col("pred")).as("v1"))
+      .select(col("doc_id"), col("y"),
+        when(col("v1") * 2 >= col("n_oob"), 1L).otherwise(0L).as("yhat"))
+    val conf = votes.agg(
+      count(lit(1)).as("n_oob_docs"),
+      sum(when(col("y") === 1L && col("yhat") === 1L, 1L).otherwise(0L))
+        .as("oob_tp"),
+      sum(when(col("y") === 0L && col("yhat") === 1L, 1L).otherwise(0L))
+        .as("oob_fp"),
+      sum(when(col("y") === 1L && col("yhat") === 0L, 1L).otherwise(0L))
+        .as("oob_fn"),
+      sum(when(col("y") === 0L && col("yhat") === 0L, 1L).otherwise(0L))
+        .as("oob_tn"),
+      coalesce(sum(when(col("yhat") === 1L, col("doc_id"))), lit(0L))
+        .as("oob_pos_id_sum"))
+    val nd = feats.agg(count(lit(1)).as("n_docs"))
+    model.map(st => (st.b, if (st.feat == 1) "n_tok" else "density8",
+      st.thr, st.pol.toLong, st.errW, st.totW))
+      .toDF("tree", "feature", "threshold", "polarity", "err_w", "tot_w")
+      .crossJoin(broadcast(conf))
+      .crossJoin(broadcast(nd))
+      .select(col("tree"), col("feature"), col("threshold"),
+        col("polarity"), col("err_w"), col("tot_w"),
+        col("oob_tp"), col("oob_fp"), col("oob_fn"), col("oob_tn"),
+        col("oob_pos_id_sum"),
+        (col("n_docs") - col("n_oob_docs")).as("n_oob_excluded"),
+        round((col("oob_tp") + col("oob_tn")).cast("double") /
+          col("n_oob_docs").cast("double"), 6).as("oob_acc"))
+      .orderBy("tree")
+  }
+
   /** k-means geometry, shared verbatim with the oracle: k = 4
     * data-independent integer seeds in (x1, x2) doc-shape space,
     * [[kmIters]] = 4 Lloyd iterations. The assignment argmin is ONE

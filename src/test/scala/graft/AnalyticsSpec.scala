@@ -529,4 +529,111 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(fast == slow)
   }
+
+  /** Exact-fraction pool-adjacent-violators — the classical
+    * sequential PAV sweep, an INDEPENDENT formulation of the fit
+    * (q_isotonic runs the minimax closed form as bounded joins).
+    * Returns the per-bin fitted rate floored to micro-units.
+    */
+  private def pavRef(bins: Seq[(Long, Long, Long)]): Seq[BigInt] = {
+    val blocks =
+      scala.collection.mutable.ArrayBuffer[(BigInt, BigInt, Int)]()
+    for ((_, n, pos) <- bins.sortBy(_._1)) {
+      blocks += ((BigInt(n), BigInt(pos), 1))
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a._2 * b._1 >= b._2 * a._1 // pos_a/n_a >= pos_b/n_b exactly
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.remove(blocks.length - 1)
+        blocks += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    blocks.toSeq.flatMap { case (n, pos, k) =>
+      Seq.fill(k)(pos * 1000000 / n)
+    }
+  }
+
+  test("q_isotonic: the minimax closed form equals exact-fraction PAV " +
+    "floored to micro-units, and the fit is monotone") {
+    val out = Relational.q_isotonic(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 <= b._5, s"monotone at ${b._1}")
+      case _ =>
+    }
+    val ref = pavRef(out.map(r => (r._1, r._2, r._3)))
+    out.map(_._5).zip(ref).foreach { case (got, want) =>
+      assert(BigInt(got) == want, "fixture PAV")
+    }
+    // mass conservation inside each pooled block: Σ n·iso ≈ Σ pos
+    // within one floor unit per bin (the fit is the block mean)
+    val blocks = out.groupBy(_._5)
+    blocks.foreach { case (iso, rows) =>
+      val n = rows.map(_._2).sum; val pos = rows.map(_._3).sum
+      val lo = BigInt(iso) * n; val hi = (BigInt(iso) + 1) * n
+      assert(lo <= BigInt(pos) * 1000000 && BigInt(pos) * 1000000 < hi,
+        s"block mean at iso=$iso")
+    }
+  }
+
+  test("q_conformal: radius, covered set and coverage match an " +
+    "independent driver reference; empirical coverage sits near the " +
+    "90% guarantee") {
+    // independent driver-side derivation (plain collections)
+    val oc = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem")
+          .groupBy($"l_orderkey").agg(count(lit(1)).as("nl")),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"), $"nl")
+      .as[(Long, Long, Long)].collect().toSeq
+    val train = oc.filter(_._1 % 5 >= 2)
+    val pred = train.groupBy(_._3)
+      .map { case (nl, rows) =>
+        nl -> (rows.map(r => BigInt(r._2)).sum / rows.size).toLong
+      }
+    val gpred = (train.map(r => BigInt(r._2)).sum / train.size).toLong
+    def p(nl: Long) = pred.getOrElse(nl, gpred)
+    val cal = oc.filter(_._1 % 5 == 1)
+      .map(r => (math.abs(r._2 - p(r._3)), r._1)).sorted
+    val k = math.min((9 * (cal.size + 1) + 9) / 10, cal.size)
+    val radius = cal(k - 1)._1
+    val covered = oc.filter(_._1 % 5 == 0)
+      .filter(r => math.abs(r._2 - p(r._3)) <= radius)
+
+    val out = Relational.q_conformal(spark, dir).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getLong(0) == train.size, "n_train")
+    assert(row.getLong(1) == cal.size, "n_cal")
+    assert(row.getLong(2) == k, "k")
+    assert(row.getLong(3) == radius, "radius")
+    assert(row.getLong(5) == covered.size, "n_covered")
+    assert(row.getLong(6) == covered.map(_._1).sum, "covered_id_sum")
+    val cov = row.getDouble(7)
+    // the conformal guarantee is E[coverage] >= 1 - alpha; allow
+    // ~3.5 sigma of binomial noise on the fixture's test-split size
+    val slack = 3.5 * math.sqrt(0.9 * 0.1 / row.getLong(4))
+    assert(cov >= 0.9 - slack && cov <= 1.0, s"coverage $cov")
+  }
+
+  test("q_isotonic: a synthetic violator pattern pools exactly " +
+    "through the same plan (isotonicFit)") {
+    val syn = Seq((0L, 10L, 9L), (1L, 10L, 1L), (2L, 10L, 5L),
+      (3L, 10L, 8L), (4L, 10L, 2L))
+    val sout = Relational.isotonicFit(syn.toDF("bin", "n", "pos"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val sref = pavRef(syn)
+    assert(sout.map(r => BigInt(r._5)) == sref)
+    // this pattern pools EVERYTHING to the global rate 0.5
+    assert(sout.map(_._5).distinct == Seq(500000L))
+    // and a monotone input must pass through untouched
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 4L), (2L, 10L, 9L))
+    val mout = Relational.isotonicFit(mono.toDF("bin", "n", "pos"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(mout.map(_._5) == mout.map(_._4),
+      "monotone input: iso == raw per bin")
+  }
 }

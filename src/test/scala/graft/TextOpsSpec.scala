@@ -1474,4 +1474,100 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum == pts.size.toLong)
     Caches.releaseAll()
   }
+
+  test("q_forest matches an independent bagged-stump reference " +
+    "(md5 Poisson draws, weighted-error argmin, exact OOB majority " +
+    "vote) tree-for-tree, and OOB evaluation is non-trivial") {
+    val thr1 = TextOps.dtreeThr.filter(_._1 == 1).map(_._2)
+    val thr2 = TextOps.dtreeThr.filter(_._1 == 2).map(_._2)
+    val cdf = graft.operators.Relational.bootstrapCdf
+    val B = TextOps.forestB
+    def wfun(b: Int, id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$id".getBytes("UTF-8"))
+      val u = h.take(4).foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
+      cdf.count(u >= _).toLong
+    }
+    val all = docShapeRef()
+    def binOf(x: Long, thrs: Seq[Long]) = thrs.count(x >= _)
+    // per-bag exact stump fit
+    case class St(feat: Int, thr: Long, pol: Int, err: Long, tot: Long)
+    val stumps = (0 until B).map { b =>
+      val w = all.map(r => r._1 -> wfun(b, r._1)).toMap
+      var best: (Long, Int, Long, Int) = null
+      val totP = all.filter(_._4 == 1L).map(r => w(r._1)).sum
+      val totN = all.filter(_._4 == 0L).map(r => w(r._1)).sum
+      for ((j, thrs, xf) <- Seq(
+        (1, thr1, (r: (Long, Long, Long, Long)) => r._2),
+        (2, thr2, (r: (Long, Long, Long, Long)) => r._3))) {
+        for (k <- 1 to thrs.size) {
+          val t = thrs(k - 1)
+          val bp = all.filter(r => r._4 == 1L && binOf(xf(r), thrs) < k)
+            .map(r => w(r._1)).sum
+          val bn = all.filter(r => r._4 == 0L && binOf(xf(r), thrs) < k)
+            .map(r => w(r._1)).sum
+          for ((err, pol) <- Seq((bn + (totP - bp), -1),
+            (bp + (totN - bn), 1))) {
+            if (best == null || err < best._1 || (err == best._1 &&
+              (j < best._2 || (j == best._2 && (t < best._3 ||
+                (t == best._3 && pol < best._4))))))
+              best = (err, j, t, pol)
+          }
+        }
+      }
+      St(best._2, best._3, best._4, best._1, totP + totN)
+    }
+    // OOB vote reference
+    val conf = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    var posIdSum = 0L
+    var nOob = 0L
+    for ((id, x1, x2, y) <- all) {
+      val oobTrees = (0 until B).filter(b => wfun(b, id) == 0L)
+      if (oobTrees.nonEmpty) {
+        nOob += 1
+        val v = oobTrees.map { b =>
+          val st = stumps(b)
+          val xv = if (st.feat == 1) x1 else x2
+          val p = if (st.pol == 1) (if (xv >= st.thr) 1L else 0L)
+                  else (if (xv < st.thr) 1L else 0L)
+          p
+        }.sum
+        val yh = if (2 * v >= oobTrees.size) 1L else 0L
+        conf((y, yh)) += 1
+        if (yh == 1L) posIdSum += id
+      }
+    }
+    val out = TextOps.q_forest(spark, dir).collect()
+    assert(out.length == B)
+    out.zipWithIndex.foreach { case (r, b) =>
+      val st = stumps(b)
+      assert(r.getLong(0) == b.toLong)
+      assert(r.getString(1) == (if (st.feat == 1) "n_tok" else "density8"),
+        s"tree $b feature")
+      assert(r.getLong(2) == st.thr, s"tree $b thr")
+      assert(r.getLong(3) == st.pol.toLong, s"tree $b pol")
+      assert(r.getLong(4) == st.err, s"tree $b err")
+      assert(r.getLong(5) == st.tot, s"tree $b tot")
+      // the boosting precondition holds per bag: error < half the mass
+      assert(2 * st.err < st.tot, s"tree $b err >= 1/2")
+    }
+    val h = out.head
+    assert(h.getLong(6) == conf((1L, 1L)), "oob_tp")
+    assert(h.getLong(7) == conf((0L, 1L)), "oob_fp")
+    assert(h.getLong(8) == conf((1L, 0L)), "oob_fn")
+    assert(h.getLong(9) == conf((0L, 0L)), "oob_tn")
+    assert(h.getLong(10) == posIdSum, "oob_pos_id_sum")
+    assert(h.getLong(11) == all.size - nOob, "n_oob_excluded")
+    // OOB is a real evaluation: nearly every doc lands out-of-bag at
+    // least once (p(all B bags sample it) ~ (1-e^-1)^15), and the
+    // stump forest beats the majority baseline without reaching the
+    // 4-cut teacher's ceiling
+    assert(nOob >= all.size * 9L / 10L, "OOB covered most docs")
+    val acc = (conf((1L, 1L)) + conf((0L, 0L))).toDouble / nOob
+    val base = math.max(conf((1L, 1L)) + conf((1L, 0L)),
+      conf((0L, 1L)) + conf((0L, 0L))).toDouble / nOob
+    assert(acc >= base, s"forest $acc below majority baseline $base")
+    Caches.releaseAll()
+  }
 }
