@@ -135,7 +135,15 @@ object Recommender {
     */
   def q_als(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rat = pin(s, alsRatings(s, dir))
+    // Pin the ratings CO-PARTITIONED BY CUSTOMER KEY (the in-session
+    // form of the bucketed-substrate discipline): hash(c) satisfies
+    // the ClusteredDistribution of both u-sweeps' groupBy(c) AND the
+    // rat⋈u joins in the v-sweeps and SSEs, so after the one
+    // repartition NO later consumer exchanges the |R|-sized frame
+    // again — measured at sf10 (29M ratings, 1.5M customers), each
+    // avoided exchange + re-hash is tens of seconds.
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val rat = pin(s, alsRatings(s, dir).repartition(np, col("c")))
     def asLit(v: DataFrame): DataFrame =
       v.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         .toDF("b", "v")
