@@ -219,10 +219,24 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"prior_regressions":$regJson,"pass_totals":$passes,"value_tail":${d3(total)},"pass_totals_tail":$passes}"""
     // durable copy next to the repo artifacts, in case the stdout
-    // capture truncates again (BENCH_r03 arrived with parsed:null)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // capture truncates again (BENCH_r03 arrived with parsed:null).
+    // NEVER clobber an existing artifact (VERDICT r9: the driver's
+    // own bench run silently shadowed the committed clean artifact):
+    // BENCH_LOCAL.json is written only if absent; every run ALSO
+    // writes a uniquely-named BENCH_RUN_<nanos>.json (gitignored) so
+    // no measurement is ever lost to the no-clobber rule.
+    try {
+      val stamped = java.nio.file.Paths.get(
+        s"BENCH_RUN_${System.nanoTime()}.json")
+      java.nio.file.Files.write(stamped, (line + "\n").getBytes("UTF-8"))
+      val canonical = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (!java.nio.file.Files.exists(canonical))
+        java.nio.file.Files.write(canonical, (line + "\n").getBytes("UTF-8"))
+      else
+        System.err.println("[bench] BENCH_LOCAL.json exists - NOT " +
+          s"overwritten; this run's artifact is $stamped (move it over " +
+          "BENCH_LOCAL.json explicitly to promote it)")
+    }
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -54,6 +54,19 @@ object Caches {
         df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Eagerly materialize a frame that feeds MULTIPLE broadcast legs:
+    * concurrent broadcast-exchange threads race a COLD cache fill and
+    * each recomputes the full subtree (measured 68× on q_als, 2.3× on
+    * q_conformal). Persist mode fills the cache with one count();
+    * "none" mode (the scale-probe posture) takes an eager
+    * localCheckpoint, which also truncates lineage. Use for any frame
+    * with ≥2 consumers where at least one sits under a broadcast.
+    */
+  def pinned(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(modeKey, "persist") == "none")
+      df.localCheckpoint(true)
+    else { val c = cached(df); c.count(); c }
+
   /** Permanent callbacks run on every [[releaseAll]] — for
     * DRIVER-side memos that shadow a Spark cache (q_vec_pca's
     * collected covariance summary): anything that invalidates the

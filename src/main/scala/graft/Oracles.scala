@@ -3498,12 +3498,13 @@ object Oracles {
 
     // HITS (GraphOps.q_hits): unrolled mutual-reinforcement rounds on
     // the DIRECTED s→p half of the co-purchase graph; all scores
-    // exact BIGINT (seeded 1, unnormalized), the only float op the
-    // final raw/max rescale — identical IEEE in both engines. CTEs
-    // MATERIALIZED: each h_i/a_i is referenced by the next round AND
-    // the final top-k (the q_pagerank_conv inlining lesson).
+    // exact BIGINT (seeded 1, unnormalized), the rescale an exact
+    // integer division on the micro grid (HUGEINT product, // , cast
+    // back to BIGINT — the nbScale discipline; zero float surface).
+    // CTEs MATERIALIZED: each h_i/a_i is referenced by the next round
+    // AND the final top-k (the q_pagerank_conv inlining lesson).
     "q_hits" -> {
-      import graft.operators.GraphOps.{hitsIters, hitsTopK}
+      import graft.operators.GraphOps.{hitsIters, hitsTopK, hitsScale}
       val base =
         s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
            |sedges AS MATERIALIZED (
@@ -3522,10 +3523,10 @@ object Oracles {
            |hm AS (SELECT max(h) AS m FROM h$hitsIters),
            |am AS (SELECT max(a) AS m FROM a$hitsIters),
            |hubs AS (SELECT 'hub' AS role, node, h AS raw,
-           |    CAST(h AS DOUBLE) / CAST(m AS DOUBLE) AS score
+           |    CAST(CAST(h AS HUGEINT) * $hitsScale // m AS BIGINT) AS score
            |  FROM h$hitsIters, hm ORDER BY raw DESC, node LIMIT $hitsTopK),
            |auths AS (SELECT 'auth' AS role, node, a AS raw,
-           |    CAST(a AS DOUBLE) / CAST(m AS DOUBLE) AS score
+           |    CAST(CAST(a AS HUGEINT) * $hitsScale // m AS BIGINT) AS score
            |  FROM a$hitsIters, am ORDER BY raw DESC, node LIMIT $hitsTopK)
            |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
            |ORDER BY role, raw DESC, node""".stripMargin

@@ -627,6 +627,66 @@ object GraphOps {
   }
 
 
+  /** Direction-split substrate (VERDICT r9 item 5 prototype): the two
+    * directed halves of the mixed substrate, each CTAS'd to its own
+    * bucketed+sorted-on-src table, so a half-round consumer (q_hits)
+    * scans EXACTLY the 591M-row direction it uses instead of
+    * filtering the 1.18B-row symmetric table — if the sorted layout's
+    * row-group pruning already skips the other half, the split buys
+    * nothing and q_hits keeps the straight scans (that comparison is
+    * HitsSplitDiag's job; the r9b caching experiment was reverted on
+    * the same keep-only-if-measured rule). Derived FROM the substrate
+    * (one bucketed scan each, no lineitem rescan), memoized per
+    * (context, dir) under the substrate memo with a synthetic key so
+    * context eviction sweeps it too.
+    */
+  private def materializeDirSplit(s: SparkSession, d: String): String = {
+    val mixed = coEdgesEnc(s, d)
+    val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    def ctas(name: String, half: DataFrame): String = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        name).toString
+      graft.sinks.Layout.deleteRecursively(java.nio.file.Paths.get(loc))
+      // the source scan is already hash(src)-bucketed, so this CTAS
+      // is exchange-free: one file per (bucket task, bucket)
+      half.repartition(buckets, col("src"))
+        .write.mode("overwrite").format("parquet").option("path", loc)
+        .bucketBy(buckets, "src").sortBy("src").saveAsTable(name)
+      name
+    }
+    val sT = ctas(s"graft_sedg_$h", mixed.filter(col("src") >= lpSBit))
+    val pT = ctas(s"graft_pedg_$h", mixed.filter(col("src") < lpSBit))
+    s"$sT|$pT"
+  }
+
+  /** The split halves as (s→p, p→s) bucketed scans — same memo
+    * discipline as [[coEdgesEnc]] (lazily-run FutureTask outside the
+    * map lock; a failed materialization retries).
+    */
+  private[graft] def coEdgesDirSplit(s: SparkSession, dir: String)
+    : (DataFrame, DataFrame) = {
+    val key = (s.sparkContext, dir + "#dirsplit")
+    val fresh = new java.util.concurrent.FutureTask[String](
+      () => materializeDirSplit(s, dir))
+    val prior = substrateMemo.putIfAbsent(key, fresh)
+    val task = if (prior == null) {
+      registerEviction(s.sparkContext); fresh.run(); fresh
+    } else prior
+    val names =
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          substrateMemo.remove(key, task)
+          throw e.getCause
+      }
+    val Array(sT, pT) = names.split('|')
+    (cached(s.table(sT)), cached(s.table(pT)))
+  }
+
   def q_label_prop(s: SparkSession, dir: String): DataFrame =
     labelPropagate(coEdgesEnc(s, dir), lpIters)
       .groupBy(col("lbl"))
@@ -708,6 +768,12 @@ object GraphOps {
   private[graft] val hitsIters = 3
   private[graft] val hitsTopK = 20
 
+  /** Score grid for [[q_hits]] — micro-units (10⁶), shared verbatim
+    * with the oracle (the q_nbayes [[graft.operators.TextOps.nbScale]]
+    * discipline).
+    */
+  private[graft] val hitsScale = 1000000L
+
   /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
     * supplier→part half of the co-purchase graph: suppliers are the
     * hub side (they point at the parts they provide), parts the
@@ -720,10 +786,14 @@ object GraphOps {
     * most max-supplier-degree × max-part-degree, so after 3 rounds
     * the bound is (maxdeg_s · maxdeg_p)³ — parts are supplied by a
     * handful of suppliers (deg_p ~ tens), so even pathological
-    * degrees (2·10³ × 10²)³ = 8·10¹⁵ sit well inside Long. The one
-    * float op is the readability rescale score = raw / max(raw), a
-    * BIGINT/BIGINT IEEE division both engines compute identically
-    * (the q_pagerank nano→double discipline).
+    * degrees (2·10³ × 10²)³ = 8·10¹⁵ sit well inside Long. The
+    * readability rescale is the §2.12 micro grid, NOT IEEE: score =
+    * raw · 10⁶ div max(raw), computed on DECIMAL(38,0) (HUGEINT in
+    * the twin) so the intermediate product can't overflow — the last
+    * float surface in the graph family, removed after the round-9
+    * driver gate hash-flagged this query. Top-k ties break on the
+    * DECODED string node in BOTH engines (Spark used to tie-break on
+    * the encoded long, where 'p2' > 'p10' sorts the other way).
     *
     * Scale shape: the substrate carries BOTH edge directions bucketed
     * on `src`, so each half-round reads its direction exchange-free
@@ -742,9 +812,24 @@ object GraphOps {
     // 19.0 s (InMemoryRelation read loses to a page-cached bucketed
     // scan), sf100 596 → 492 s (inside this host's stall variance),
     // so the straight scans stay — on a cluster the substrate scan
-    // is the cheap, partition-local path.
-    val sEdges = edges.filter(col("src") >= lpSBit) // s → p
-    val pEdges = edges.filter(col("src") < lpSBit)  // p → s
+    // is the cheap, partition-local path. A second measured
+    // alternative, per-direction SPLIT TABLES (HitsSplitDiag /
+    // [[coEdgesDirSplit]]), is the r10 follow-up to the same
+    // question; q_hits switches only if the diag's two-run comparison
+    // says so.
+    hitsCore(edges.filter(col("src") >= lpSBit), // s → p
+      edges.filter(col("src") < lpSBit))         // p → s
+  }
+
+  /** q_hits over the direction-split substrate — identical output
+    * contract, measured head-to-head by HitsSplitDiag.
+    */
+  private[graft] def q_hits_split(s: SparkSession, dir: String): DataFrame = {
+    val (sEdges, pEdges) = coEdgesDirSplit(s, dir)
+    hitsCore(sEdges, pEdges)
+  }
+
+  private def hitsCore(sEdges: DataFrame, pEdges: DataFrame): DataFrame = {
     var auth = sEdges.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1L).as("a"))
     var hub: DataFrame = null
@@ -771,11 +856,15 @@ object GraphOps {
     }
     def top(scores: DataFrame, c: String, role: String): DataFrame = {
       val m = broadcast(scores.agg(max(col(c)).as("__m")))
-      scores.orderBy(col(c).desc, col("node")).limit(hitsTopK)
+      // decode BEFORE the top-k so the LIMIT tie-break is on the
+      // string node both engines order by ('p2' > 'p10' as strings,
+      // the opposite of the encoded-long order)
+      scores.select(lpDecode(col("node")).as("node"), col(c).as("raw"))
+        .orderBy(col("raw").desc, col("node")).limit(hitsTopK)
         .crossJoin(m)
-        .select(lit(role).as("role"), lpDecode(col("node")).as("node"),
-          col(c).as("raw"),
-          (col(c).cast("double") / col("__m").cast("double")).as("score"))
+        .select(lit(role).as("role"), col("node"), col("raw"),
+          expr(s"cast(raw as decimal(38,0)) * ${hitsScale}L div __m")
+            .as("score"))
     }
     top(hub, "h", "hub").unionByName(top(auth, "a", "auth"))
       .orderBy(col("role"), col("raw").desc, col("node"))

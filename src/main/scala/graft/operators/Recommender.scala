@@ -115,9 +115,7 @@ object Recommender {
     * also truncates the per-sweep lineage.
     */
   private def pin(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
-      df.localCheckpoint(true)
-    else { val c = cached(df); c.count(); c }
+    graft.Caches.pinned(df)
 
   /** Declared query: two full ALS sweeps from the v₀ ≡ 1 seed, one
     * output row per brand — the fitted item factors after each sweep
@@ -145,8 +143,15 @@ object Recommender {
     val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val rat = pin(s, alsRatings(s, dir).repartition(np, col("c")))
     def asLit(v: DataFrame): DataFrame =
-      v.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        .toDF("b", "v")
+      v.collect().map { r =>
+        // fail FAST on a degenerate sweep: a zero denominator makes
+        // non-ANSI `div` yield null, which getLong would silently
+        // read as 0 while the DuckDB twin errors on `// 0` — surface
+        // it loudly in both engines instead (ADVICE r9)
+        require(!r.isNullAt(1),
+          s"ALS v-sweep produced a null factor for brand ${r.getString(0)}")
+        (r.getString(0), r.getLong(1))
+      }.toSeq.toDF("b", "v")
     val v0 = rat.select("b").distinct()
       .select(col("b"), lit(alsScale).as("v"))
     val u1 = pin(s, usweep(rat, v0))

@@ -3378,7 +3378,10 @@ object Relational {
       .cast("long")
     val y = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
       .otherwise(0L)
-    val bins = graft.Caches.cached(t(s, dir, "orders")
+    // pinned, not just cached: five consumers (three broadcast legs
+    // of the rates triangle, the ib leg, the final join) would race a
+    // cold fill from concurrent broadcast threads (ADVICE r9)
+    val bins = graft.Caches.pinned(t(s, dir, "orders")
       .select(cents.as("cents"), y.as("y"))
       .selectExpr("least(cents * 20 div 40000000, 19) AS bin", "y")
       .groupBy("bin")
@@ -3436,7 +3439,11 @@ object Relational {
       .cast("long")
     val nlines = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
-    val oc = graft.Caches.cached(t(s, dir, "orders")
+    // pinned, not just cached: the model/gm/radius broadcast subtrees
+    // run in concurrent exchange threads and raced the cold fill,
+    // recomputing the lineitem⋈orders join (measured 7.7 s cold vs
+    // 3.3 s warm at sf1.0 — the q_als disease, smaller dose)
+    val oc = graft.Caches.pinned(t(s, dir, "orders")
       .select(col("o_orderkey").as("id"), cents.as("cents"))
       .join(nlines, col("id") === col("l_orderkey"))
       .select("id", "cents", "nl"))

@@ -3820,13 +3820,17 @@ object TextOps {
     val model = (0L until forestB.toLong).map { b =>
       def pn(feat: Int, bin: Long) =
         cells.getOrElse((b, feat, bin), (0L, 0L))
-      val totP = (0L to 10L).map(pn(1, _)._1).sum
-      val totN = (0L to 10L).map(pn(1, _)._2).sum
+      // the grid size is derived from dtreeThr (the single source of
+      // truth the SQL twin and forestBin also derive from), never
+      // hardcoded: bins run 0..thrs.size per feature (ADVICE r9)
+      val nthr1 = dtreeThr.count(_._1 == 1)
+      val totP = (0L to nthr1.toLong).map(pn(1, _)._1).sum
+      val totN = (0L to nthr1.toLong).map(pn(1, _)._2).sum
       var best: (Long, Int, Long, Int) = null
       for (j <- 1 to 2) {
         val thrs = dtreeThr.filter(_._1 == j).map(_._2)
         var belowP = 0L; var belowN = 0L
-        for (k <- 1 to 10) {
+        for (k <- 1 to thrs.size) {
           belowP += pn(j, k - 1L)._1; belowN += pn(j, k - 1L)._2
           // pol −1: predict 1 below the threshold; pol +1: at/above
           val cand = Seq((belowN + (totP - belowP), -1),

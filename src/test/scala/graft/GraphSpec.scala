@@ -312,7 +312,7 @@ class GraphSpec extends AnyFunSuite {
   test("q_hits matches a driver-side HITS reference exactly: raw " +
     "BIGINT scores, rescale, per-role top-k and ordering") {
     val got = GraphOps.q_hits(spark, TestSpark.sf0001).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // independent reference over the directed s→p pairs
     val li = Tables(spark, TestSpark.sf0001, "lineitem")
       .select("l_suppkey", "l_partkey").distinct().collect()
@@ -328,7 +328,9 @@ class GraphSpec extends AnyFunSuite {
     def top(m: Map[String, Long], role: String) = {
       val mx = m.values.max
       m.toSeq.sortBy { case (n, v) => (-v, n) }.take(GraphOps.hitsTopK)
-        .map { case (n, v) => (role, n, v, v.toDouble / mx.toDouble) }
+        .map { case (n, v) =>
+          val score = (BigInt(v) * GraphOps.hitsScale / BigInt(mx)).toLong
+          (role, n, v, score) }
     }
     val want = (top(auth, "auth") ++ top(hub, "hub"))
       .sortBy { case (role, n, v, _) => (role, -v, n) }
