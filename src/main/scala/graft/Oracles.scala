@@ -3802,6 +3802,176 @@ object Oracles {
          |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
          |FROM u ORDER BY feat""".stripMargin,
 
+    // gradient-boosted depth-2 trees twin (TextOps.q_gbt): squared
+    // loss keeps every quantity on the milli grid — residual sums are
+    // exact integers, the split score an SSE-reduction integer
+    // compared with the (j, thr) tie-break, leaf means and the nu=1/2
+    // shrinkage shifted floor divisions (all operands >= 0, where
+    // Spark div and DuckDB // agree) — so structure, leaf values,
+    // per-round SSE and the held-out confusion all hash-gate
+    "q_gbt" -> {
+      import graft.operators.TextOps.{gbtRounds, gbtScale, gbtShift}
+      val cand = graft.operators.TextOps.dtreeThr
+        .map { case (j, t) => s"($j, $t)" }.mkString(", ")
+      // SSE-reduction score over candidate (nl, sl) within node
+      // (n, sr) — maximized, HUGEINT-exact
+      def score(nl: String, sl: String, n: String, sr: String) =
+        s"(CAST($sl AS HUGEINT) * CAST($sl AS HUGEINT)" +
+          s" * (($n) - ($nl))" +
+          s" + CAST(($sr) - ($sl) AS HUGEINT)" +
+          s" * CAST(($sr) - ($sl) AS HUGEINT) * ($nl))" +
+          s" * $gbtScale // (CAST($nl AS HUGEINT) * (($n) - ($nl)))"
+      // contrib = ((s + n*shift) // n) // 2 - shift/2, operands >= 0
+      def contrib(sv: String, n: String) =
+        s"(((CAST($sv AS HUGEINT) + CAST($n AS HUGEINT) * $gbtShift)" +
+          s" // ($n)) // 2 - ${gbtShift / 2})"
+      def xsel(j: String, a: String) =
+        s"(CASE WHEN $j = 1 THEN $a.x1 ELSE $a.x2 END)"
+      // per-tree contribution of descriptor d to row a
+      def treeContrib(d: String, a: String) =
+        s"""CASE WHEN $d.root_feat > 0 AND
+           |    ${xsel(s"$d.root_feat", a)} < $d.root_thr
+           |  THEN CASE WHEN $d.left_feat > 0 AND
+           |      ${xsel(s"$d.left_feat", a)} < $d.left_thr
+           |    THEN $d.c_ll ELSE $d.c_lr END
+           |  ELSE CASE WHEN $d.right_feat > 0 AND
+           |      ${xsel(s"$d.right_feat", a)} < $d.right_thr
+           |    THEN $d.c_rl ELSE $d.c_rr END END""".stripMargin
+      def contribChain(ch: String, side: String, tot: String,
+        leftLeaf: Boolean) = {
+        val gc =
+          if (leftLeaf) contrib(s"$ch.sl", s"$ch.nl")
+          else contrib(s"$side.sr - $ch.sl", s"$side.n - $ch.nl")
+        s"""coalesce(CASE WHEN $ch.j IS NOT NULL THEN $gc END,
+           |    CASE WHEN $side.n IS NOT NULL
+           |      THEN ${contrib(s"$side.sr", s"$side.n")} END,
+           |    ${contrib(s"$tot.sr", s"$tot.n")})""".stripMargin
+      }
+      val base =
+        s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+           |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+           |  FROM documents),
+           |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+           |    nospace * 8 // greatest(n_tok, 1) AS x2,
+           |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+           |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+           |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+           |  FROM raw),
+           |g0 AS (SELECT count(*) AS n, sum(y) AS p
+           |  FROM f WHERE doc_id % 5 != 0),
+           |f0v AS MATERIALIZED (
+           |  SELECT CAST(p * $gbtScale // n AS BIGINT) AS f0 FROM g0),
+           |cand(j, thr) AS (VALUES $cand),
+           |f0t AS MATERIALIZED (SELECT f.doc_id, f.x1, f.x2, f.y,
+           |    CAST(v.f0 AS HUGEINT) AS fv
+           |  FROM f, f0v v WHERE f.doc_id % 5 != 0)""".stripMargin
+      val rounds = (1 to gbtRounds).map { m =>
+        val fp = if (m == 1) "f0t" else s"f${m - 1}"
+        s""",
+           |t$m AS MATERIALIZED (SELECT count(*) AS n,
+           |    sum(y * $gbtScale - fv) AS sr FROM $fp),
+           |s${m}0 AS (SELECT c.j, c.thr,
+           |    sum(CASE WHEN ${xsel("c.j", fp)} < c.thr
+           |      THEN 1 ELSE 0 END) AS nl,
+           |    sum(CASE WHEN ${xsel("c.j", fp)} < c.thr
+           |      THEN y * $gbtScale - fv ELSE 0 END) AS sl
+           |  FROM $fp CROSS JOIN cand c GROUP BY c.j, c.thr),
+           |rootc$m AS (SELECT s.j, s.thr FROM s${m}0 s, t$m t
+           |  WHERE s.nl > 0 AND s.nl < t.n
+           |  ORDER BY ${score("s.nl", "s.sl", "t.n", "t.sr")} DESC,
+           |    s.j, s.thr LIMIT 1),
+           |root$m AS MATERIALIZED (SELECT coalesce(r.j, 0) AS j,
+           |    coalesce(r.thr, CAST(-1 AS BIGINT)) AS thr
+           |  FROM (SELECT 1) one LEFT JOIN rootc$m r ON true),
+           |sided$m AS MATERIALIZED (SELECT t.*,
+           |    CASE WHEN r.j > 0 AND ${xsel("r.j", "t")} < r.thr
+           |    THEN 0 ELSE 1 END AS sd
+           |  FROM $fp t, root$m r),
+           |tot${m}1 AS MATERIALIZED (SELECT sd, count(*) AS n,
+           |    sum(y * $gbtScale - fv) AS sr FROM sided$m GROUP BY sd),
+           |s${m}1 AS (SELECT sd, c.j, c.thr,
+           |    sum(CASE WHEN ${xsel("c.j", s"sided$m")} < c.thr
+           |      THEN 1 ELSE 0 END) AS nl,
+           |    sum(CASE WHEN ${xsel("c.j", s"sided$m")} < c.thr
+           |      THEN y * $gbtScale - fv ELSE 0 END) AS sl
+           |  FROM sided$m CROSS JOIN cand c GROUP BY sd, c.j, c.thr),
+           |lc$m AS (SELECT s.j, s.thr, s.nl, s.sl
+           |  FROM s${m}1 s JOIN tot${m}1 t USING (sd)
+           |  WHERE s.sd = 0 AND s.nl > 0 AND s.nl < t.n
+           |  ORDER BY ${score("s.nl", "s.sl", "t.n", "t.sr")} DESC,
+           |    s.j, s.thr LIMIT 1),
+           |rc$m AS (SELECT s.j, s.thr, s.nl, s.sl
+           |  FROM s${m}1 s JOIN tot${m}1 t USING (sd)
+           |  WHERE s.sd = 1 AND s.nl > 0 AND s.nl < t.n
+           |  ORDER BY ${score("s.nl", "s.sl", "t.n", "t.sr")} DESC,
+           |    s.j, s.thr LIMIT 1),
+           |tl$m AS (SELECT * FROM tot${m}1 WHERE sd = 0),
+           |tr$m AS (SELECT * FROM tot${m}1 WHERE sd = 1),
+           |d$m AS MATERIALIZED (SELECT
+           |    r.j AS root_feat, r.thr AS root_thr,
+           |    coalesce(lc$m.j, 0) AS left_feat,
+           |    coalesce(lc$m.thr, CAST(-1 AS BIGINT)) AS left_thr,
+           |    coalesce(rc$m.j, 0) AS right_feat,
+           |    coalesce(rc$m.thr, CAST(-1 AS BIGINT)) AS right_thr,
+           |    CAST(${contribChain(s"lc$m", s"tl$m", s"t$m", leftLeaf = true)}
+           |      AS BIGINT) AS c_ll,
+           |    CAST(${contribChain(s"lc$m", s"tl$m", s"t$m", leftLeaf = false)}
+           |      AS BIGINT) AS c_lr,
+           |    CAST(${contribChain(s"rc$m", s"tr$m", s"t$m", leftLeaf = true)}
+           |      AS BIGINT) AS c_rl,
+           |    CAST(${contribChain(s"rc$m", s"tr$m", s"t$m", leftLeaf = false)}
+           |      AS BIGINT) AS c_rr
+           |  FROM (SELECT 1) one CROSS JOIN root$m r CROSS JOIN t$m
+           |    LEFT JOIN lc$m ON true LEFT JOIN rc$m ON true
+           |    LEFT JOIN tl$m ON true LEFT JOIN tr$m ON true),
+           |f$m AS MATERIALIZED (SELECT t.doc_id, t.x1, t.x2, t.y,
+           |    t.fv + (${treeContrib(s"d", "t").replace("\n", " ")}) AS fv
+           |  FROM $fp t, d$m d),
+           |sse$m AS (SELECT sum((y * $gbtScale - fv)
+           |    * (y * $gbtScale - fv)) AS sse FROM f$m)""".stripMargin
+      }.mkString
+      val contribSum = (1 to gbtRounds)
+        .map(m => s"(${treeContrib(s"d$m", "f").replace("\n", " ")})")
+        .mkString(" + ")
+      val descRows = (1 to gbtRounds).map { m =>
+        s"""SELECT CAST($m AS BIGINT) AS round,
+           |    CAST(d$m.root_feat AS BIGINT) AS root_feat,
+           |    d$m.root_thr AS root_thr,
+           |    CAST(d$m.left_feat AS BIGINT) AS left_feat,
+           |    d$m.left_thr AS left_thr,
+           |    CAST(d$m.right_feat AS BIGINT) AS right_feat,
+           |    d$m.right_thr AS right_thr,
+           |    d$m.c_ll, d$m.c_lr, d$m.c_rl, d$m.c_rr,
+           |    CAST(sse$m.sse AS BIGINT) AS train_sse
+           |  FROM d$m, sse$m""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      base + rounds +
+        s""",
+           |tst AS (SELECT f.doc_id, f.y,
+           |    CASE WHEN (SELECT f0 FROM f0v) + $contribSum
+           |      >= ${gbtScale / 2} THEN 1 ELSE 0 END AS yhat
+           |  FROM f${(1 to gbtRounds).map(m => s", d$m").mkString}
+           |  WHERE f.doc_id % 5 = 0),
+           |conf AS (SELECT count(*) AS n_test,
+           |    sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+           |    sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+           |    sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS fn,
+           |    sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS tn,
+           |    coalesce(sum(CASE WHEN yhat = 1 THEN doc_id END), 0)
+           |      AS pos_id_sum
+           |  FROM tst),
+           |descr AS ($descRows)
+           |SELECT r.round, r.root_feat, r.root_thr, r.left_feat,
+           |  r.left_thr, r.right_feat, r.right_thr,
+           |  r.c_ll, r.c_lr, r.c_rl, r.c_rr, r.train_sse,
+           |  v.f0,
+           |  CAST(c.n_test AS BIGINT) AS n_test, CAST(c.tp AS BIGINT) AS tp,
+           |  CAST(c.fp AS BIGINT) AS fp, CAST(c.fn AS BIGINT) AS fn,
+           |  CAST(c.tn AS BIGINT) AS tn,
+           |  CAST(c.pos_id_sum AS BIGINT) AS pos_id_sum
+           |FROM descr r, f0v v, conf c ORDER BY r.round""".stripMargin
+    },
+
     // bagged-stump-forest twin (TextOps.q_forest): the same md5
     // Poisson(1) weights (the q_bootstrap draw), the same fixed
     // candidate grid (dtreeThr), weighted-error argmin with the

@@ -4003,6 +4003,207 @@ object TextOps {
       .orderBy("feat")
   }
 
+  // ─────────────────── gradient-boosted trees (L78) ───────────────
+
+  /** Boosting geometry for [[q_gbt]], shared verbatim with the
+    * oracle. Labels and the boosted score F live in MILLI-units
+    * ([[gbtScale]]); every leaf value is a floor division made
+    * engine-identical by the positivity shift [[gbtShift]] (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — they agree
+    * only on non-negative operands, so every divided quantity is
+    * shifted ≥ 0 first). The residual bound that makes the shift
+    * safe: |r₀| ≤ 10³ and each round's update adds at most half the
+    * current bound plus 1 (ν = ½ with floor error ≤ 1), so after m
+    * rounds |r| ≤ 10³·1.5^m + 2 — 3 380 at [[gbtRounds]] = 3, and
+    * still under [[gbtShift]] = 8 000 through 5 rounds. The split
+    * score is milli-scaled too: maximizing S_L²/n_L + S_R²/n_R is
+    * SSE-minimization, compared as the exact integer
+    * (S_L²·n_R + S_R²·n_L)·10³ div (n_L·n_R) with the (j, thr)
+    * tie-break — bounded ≤ 3.3·10³⁶ at sf100 (|S| ≤ 4·10³·n,
+    * n ≤ 5·10⁸), inside DECIMAL(38,0) and HUGEINT alike.
+    */
+  private[graft] val gbtRounds = 3
+  private[graft] val gbtScale = 1000L
+  private[graft] val gbtShift = 8000L
+
+  /** One fitted depth-2 regression tree: feat 0 / thr −1 is the
+    * unsplittable-node sentinel (q_dtree's convention); contribs are
+    * post-shrinkage milli-unit leaf values (cLL = cLR when the left
+    * child is a leaf; root leaf ⇒ all four equal).
+    */
+  private[graft] case class GbtTree(rootFeat: Int, rootThr: Long,
+    lFeat: Int, lThr: Long, rFeat: Int, rThr: Long,
+    cLL: Long, cLR: Long, cRL: Long, cRR: Long)
+
+  /** leaf contribution = ν·mean(residual), both floor steps on
+    * shifted non-negative operands: ((S + n·shift) div n) div 2 −
+    * shift/2 ≡ (mean + shift) div 2 − shift/2 with mean ≥ −shift.
+    */
+  private def gbtContrib(sum: BigInt, n: BigInt): Long =
+    (((sum + n * gbtShift) / n) / 2 - gbtShift / 2).toLong
+
+  /** argmax of the milli-scaled SSE-reduction score over the
+    * candidate grid; None when every candidate is degenerate.
+    */
+  private def gbtBest(cells: (Int, Long) => (Long, BigInt),
+    n: Long, stot: BigInt): Option[(Int, Long)] = {
+    var best: Option[(BigInt, Int, Long)] = None
+    for ((j, thr) <- dtreeThr) {
+      val (nl, sl) = cells(j, thr)
+      val nr = n - nl
+      if (nl > 0 && nr > 0) {
+        val sr = stot - sl
+        val sc = (sl * sl * nr + sr * sr * nl) * gbtScale /
+          (BigInt(nl) * nr)
+        if (best.forall { case (bs, bj, bt) =>
+          sc > bs || (sc == bs && (j < bj || (j == bj && thr < bt))) })
+          best = Some((sc, j, thr))
+      }
+    }
+    best.map { case (_, j, thr) => (j, thr) }
+  }
+
+  /** Gradient-boosted depth-2 regression trees (Friedman's LS_Boost,
+    * "Greedy Function Approximation", Annals of Statistics 2001) —
+    * the SEVENTH trainer family and the one the stump ensembles
+    * can't imitate: each round fits a depth-2 tree to the RESIDUAL
+    * of the running model (squared loss ⇒ gradient = residual), so
+    * round 2 corrects exactly where round 1 is wrong — q_boost
+    * reweights points but its stumps stay 1-cut, q_forest averages
+    * independent stumps; only this one composes cuts ACROSS rounds.
+    * Fully oracle-gated where q_boost is rows-only: squared loss
+    * needs no exp/ln — base score, split scores, leaf means and the
+    * ν = ½ shrinkage are all shifted floor divisions on the milli
+    * grid (see [[gbtScale]]), so the whole boosted model — structure
+    * AND leaf values AND per-round train SSE — hash-matches DuckDB.
+    *
+    * Scale shape (the q_dtree discipline, per round): level 0 is ONE
+    * partial-combining 42-cell aggregate over the cached design
+    * frame, level 1 the same per root side (2 groups); split argmax
+    * is driver-side BigInt over ≤20 candidates; F is carried as a
+    * LITERAL nested-CASE column (model traffic = 10 longs per tree,
+    * no per-row state, no division anywhere in the distributed
+    * path). 3 rounds = 6 aggregate scans + 2 output passes.
+    *
+    * Output: one row per round — tree descriptor, post-shrinkage
+    * leaf contribs, exact train SSE after the round (descent:
+    * sse_m ≤ sse_{m−1} up to the ≤1 floor slack per leaf) — cross-
+    * joined with the base score and the held-out confusion of the
+    * final model at the F ≥ 500 milli-threshold (id-sum pins WHICH
+    * docs, the q_nbayes checksum discipline).
+    */
+  def q_gbt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docShape(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    val train = feats.filter(col("doc_id") % 5 =!= 0)
+    def xj(j: Int): Column = if (j == 1) col("x1") else col("x2")
+    def leftOf(j: Int, thr: Long): Column = xj(j) < lit(thr)
+
+    val g0 = train.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .collect()(0)
+    val n0 = g0.getLong(0)
+    val f0 = (BigInt(g0.getLong(1)) * gbtScale / n0).toLong
+
+    def contribCol(t: GbtTree): Column = {
+      def side(feat: Int, thr: Long, cL: Long, cR: Long): Column =
+        if (feat == 0) lit(cL)
+        else when(leftOf(feat, thr), lit(cL)).otherwise(lit(cR))
+      if (t.rootFeat == 0) lit(t.cLL)
+      else when(leftOf(t.rootFeat, t.rootThr), side(t.lFeat, t.lThr, t.cLL, t.cLR))
+        .otherwise(side(t.rFeat, t.rThr, t.cRL, t.cRR))
+    }
+    var trees = Vector.empty[GbtTree]
+    def fCol: Column =
+      trees.foldLeft(lit(f0).cast("long"))((acc, t) => acc + contribCol(t))
+
+    val idx = dtreeThr.zipWithIndex.toMap
+    for (_ <- 1 to gbtRounds) {
+      val r = col("y") * gbtScale - fCol
+      val cellAggs = Seq(count(lit(1)).cast("long").as("n"),
+        sum(r).as("sr")) ++
+        dtreeThr.zipWithIndex.flatMap { case ((j, thr), i) => Seq(
+          sum(when(leftOf(j, thr), 1L).otherwise(0L)).as(s"n$i"),
+          sum(when(leftOf(j, thr), r).otherwise(0L)).as(s"s$i")) }
+      // level 0: one bounded-cell aggregate, argmax on the driver
+      val c0 = train.agg(cellAggs.head, cellAggs.tail: _*).collect()(0)
+      def cell0(j: Int, thr: Long): (Long, BigInt) = {
+        val i = idx((j, thr))
+        (c0.getLong(2 + 2 * i), BigInt(c0.getLong(3 + 2 * i)))
+      }
+      val tree = gbtBest(cell0, c0.getLong(0), BigInt(c0.getLong(1))) match {
+        case None =>
+          val c = gbtContrib(BigInt(c0.getLong(1)), BigInt(c0.getLong(0)))
+          GbtTree(0, -1L, 0, -1L, 0, -1L, c, c, c, c)
+        case Some((rj, rt)) =>
+          // level 1: the same cells per root side (2 groups)
+          val c1 = train
+            .groupBy(when(leftOf(rj, rt), 0L).otherwise(1L).as("sd"))
+            .agg(cellAggs.head, cellAggs.tail: _*)
+            .collect().map(row => row.getLong(0) -> row).toMap
+          def childOf(sd: Long): (Int, Long, Long, Long) = {
+            val row = c1(sd)
+            def cells(j: Int, thr: Long): (Long, BigInt) = {
+              val i = idx((j, thr))
+              (row.getLong(3 + 2 * i), BigInt(row.getLong(4 + 2 * i)))
+            }
+            val n = row.getLong(1)
+            val stot = BigInt(row.getLong(2))
+            gbtBest(cells, n, stot) match {
+              case None =>
+                val c = gbtContrib(stot, BigInt(n))
+                (0, -1L, c, c)
+              case Some((j, thr)) =>
+                val (nl, sl) = cells(j, thr)
+                (j, thr, gbtContrib(sl, BigInt(nl)),
+                  gbtContrib(stot - sl, BigInt(n - nl)))
+            }
+          }
+          val (lj, lt, cll, clr) = childOf(0L)
+          val (rj2, rt2, crl, crr) = childOf(1L)
+          GbtTree(rj, rt, lj, lt, rj2, rt2, cll, clr, crl, crr)
+      }
+      trees = trees :+ tree
+    }
+
+    // per-round exact SSE in one pass (F_m is a literal expression)
+    val fAfter = (1 to gbtRounds).map(m =>
+      trees.take(m).foldLeft(lit(f0).cast("long"))(
+        (acc, t) => acc + contribCol(t)))
+    val sseAggs = fAfter.zipWithIndex.map { case (f, i) =>
+      val rm = col("y") * gbtScale - f
+      sum(rm * rm).as(s"sse${i + 1}")
+    }
+    val sseRow = train.agg(sseAggs.head, sseAggs.tail: _*).collect()(0)
+    val conf = broadcast(feats.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("y"),
+        when(fCol >= gbtScale / 2, 1L).otherwise(0L).as("yhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("y") === 1L && col("yhat") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === 0L && col("yhat") === 1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 1L && col("yhat") === 0L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(col("y") === 0L && col("yhat") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        coalesce(sum(when(col("yhat") === 1L, col("doc_id"))), lit(0L))
+          .as("pos_id_sum")))
+    trees.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, t.rootFeat.toLong, t.rootThr, t.lFeat.toLong, t.lThr,
+        t.rFeat.toLong, t.rThr, t.cLL, t.cLR, t.cRL, t.cRR,
+        sseRow.getLong(i))
+    }.toDF("round", "root_feat", "root_thr", "left_feat", "left_thr",
+      "right_feat", "right_thr", "c_ll", "c_lr", "c_rl", "c_rr",
+      "train_sse")
+      .withColumn("f0", lit(f0))
+      .crossJoin(conf)
+      .orderBy("round")
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

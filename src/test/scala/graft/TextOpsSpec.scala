@@ -1399,6 +1399,123 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_gbt matches an independent exact-integer LS-Boost reference " +
+    "tree-for-tree (SSE-reduction argmax, shifted floor-div leaves, " +
+    "nu=1/2 shrinkage), train SSE descends, and the boosted model " +
+    "beats the majority baseline on the holdout") {
+    val scale = TextOps.gbtScale
+    val shift = TextOps.gbtShift
+    val all = docShapeRef()
+    val train = all.filter(_._1 % 5 != 0)
+    val ho = all.filter(_._1 % 5 == 0)
+    def xOf(r: (Long, Long, Long, Long), j: Int) = if (j == 1) r._2 else r._3
+    def leafC(s: BigInt, n: BigInt): Long =
+      (((s + n * shift) / n) / 2 - shift / 2).toLong
+    def best(rows: Seq[((Long, Long, Long, Long), Long)])
+      : Option[(Int, Long, Long, BigInt)] = {
+      val n = rows.size.toLong
+      val stot = rows.map(r => BigInt(r._2)).sum
+      var bestv: Option[(BigInt, Int, Long, Long, BigInt)] = None
+      for ((j, thr) <- TextOps.dtreeThr) {
+        val l = rows.filter(r => xOf(r._1, j) < thr)
+        val nl = l.size.toLong
+        val sl = l.map(r => BigInt(r._2)).sum
+        val nr = n - nl
+        if (nl > 0 && nr > 0) {
+          val sr = stot - sl
+          val sc = (sl * sl * nr + sr * sr * nl) * scale / (BigInt(nl) * nr)
+          if (bestv.forall { case (bs, bj, bt, _, _) =>
+            sc > bs || (sc == bs && (j < bj || (j == bj && thr < bt))) })
+            bestv = Some((sc, j, thr, nl, sl))
+        }
+      }
+      bestv.map { case (_, j, thr, nl, sl) => (j, thr, nl, sl) }
+    }
+    val n0 = train.size.toLong
+    val f0 = (train.map(r => BigInt(r._4)).sum * scale / n0).toLong
+    var fMap = train.map(r => r._1 -> f0.toLong).toMap
+    case class T(rf: Int, rt: Long, lf: Int, lt: Long, rf2: Int, rt2: Long,
+      cll: Long, clr: Long, crl: Long, crr: Long)
+    def contrib(t: T, r: (Long, Long, Long, Long)): Long =
+      if (t.rf > 0 && xOf(r, t.rf) < t.rt) {
+        if (t.lf > 0 && xOf(r, t.lf) < t.lt) t.cll else t.clr
+      } else {
+        if (t.rf2 > 0 && xOf(r, t.rf2) < t.rt2) t.crl else t.crr
+      }
+    var refTrees = Vector.empty[T]
+    var refSses = Vector.empty[Long]
+    for (_ <- 1 to TextOps.gbtRounds) {
+      val rs = train.map(r => (r, r._4 * scale - fMap(r._1)))
+      val stot = rs.map(r => BigInt(r._2)).sum
+      val tree = best(rs) match {
+        case None =>
+          val c = leafC(stot, BigInt(n0))
+          T(0, -1L, 0, -1L, 0, -1L, c, c, c, c)
+        case Some((rj, rt, _, _)) =>
+          val lrs = rs.filter(r => xOf(r._1, rj) < rt)
+          val rrs = rs.filterNot(r => xOf(r._1, rj) < rt)
+          def child(side: Seq[((Long, Long, Long, Long), Long)])
+            : (Int, Long, Long, Long) = {
+            val sn = side.size.toLong
+            val ss = side.map(r => BigInt(r._2)).sum
+            best(side) match {
+              case None =>
+                val c = leafC(ss, BigInt(sn)); (0, -1L, c, c)
+              case Some((j, thr, nl, sl)) =>
+                (j, thr, leafC(sl, BigInt(nl)),
+                  leafC(ss - sl, BigInt(sn - nl)))
+            }
+          }
+          val (lj, lt2, cll, clr) = child(lrs)
+          val (rj2, rt2, crl, crr) = child(rrs)
+          T(rj, rt, lj, lt2, rj2, rt2, cll, clr, crl, crr)
+      }
+      refTrees = refTrees :+ tree
+      fMap = train.map(r => r._1 -> (fMap(r._1) + contrib(tree, r))).toMap
+      refSses = refSses :+ train.map { r =>
+        val d = r._4 * scale - fMap(r._1); d * d }.sum
+    }
+    val got = TextOps.q_gbt(spark, dir).collect()
+    assert(got.length == TextOps.gbtRounds)
+    got.zipWithIndex.foreach { case (row, i) =>
+      val t = refTrees(i)
+      val want = Seq(i.toLong + 1, t.rf.toLong, t.rt, t.lf.toLong, t.lt,
+        t.rf2.toLong, t.rt2, t.cll, t.clr, t.crl, t.crr, refSses(i))
+      val gotRow = (0 until 12).map(row.getLong)
+      assert(gotRow == want, s"round ${i + 1}: $gotRow vs $want")
+      assert(row.getLong(12) == f0, "f0 mismatch")
+    }
+    // descent (each leaf's floor slack can cost at most 1 milli-unit
+    // per row, so allow that much)
+    refSses.zip(refSses.tail).foreach { case (a, b) =>
+      assert(b <= a + train.size, s"SSE not descending: $refSses") }
+    // holdout confusion + baseline
+    def fOf(r: (Long, Long, Long, Long)): Long =
+      f0 + refTrees.map(contrib(_, r)).sum
+    val wantConf = ho.map { r =>
+      val yh = if (fOf(r) >= scale / 2) 1L else 0L; (r._4, yh, r._1) }
+    val tp = wantConf.count(c => c._1 == 1L && c._2 == 1L).toLong
+    val fp = wantConf.count(c => c._1 == 0L && c._2 == 1L).toLong
+    val fnc = wantConf.count(c => c._1 == 1L && c._2 == 0L).toLong
+    val tn = wantConf.count(c => c._1 == 0L && c._2 == 0L).toLong
+    val posId = wantConf.filter(_._2 == 1L).map(_._3).sum
+    val row = got.head
+    val gotConf = (14 to 18).map(row.getLong)
+    assert(gotConf == Seq(tp, fp, fnc, tn, posId),
+      s"confusion: $gotConf vs ${Seq(tp, fp, fnc, tn, posId)}")
+    assert(row.getLong(13) == ho.size.toLong)
+    val acc = (tp + tn).toDouble / ho.size
+    val majority = math.max(ho.count(_._4 == 1L),
+      ho.count(_._4 == 0L)).toDouble / ho.size
+    assert(acc >= majority,
+      s"gbt accuracy $acc below majority baseline $majority")
+    // boosting must actually compose cuts: at least one round's tree
+    // splits a child (depth 2 in use, not a stump ensemble)
+    assert(refTrees.exists(t => t.lf > 0 || t.rf2 > 0),
+      "no round used depth 2")
+    Caches.releaseAll()
+  }
+
   test("q_auc matches the brute-force pairwise Mann-Whitney count " +
     "exactly (2U = 2·#{pos>neg} + #{pos=neg}) and token count is a " +
     "genuinely predictive feature") {
