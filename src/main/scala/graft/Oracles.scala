@@ -3802,6 +3802,88 @@ object Oracles {
          |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
          |FROM u ORDER BY feat""".stripMargin,
 
+    // 5-fold cross-validated stump twin (TextOps.q_crossval): the
+    // fold-grouped cell frame, subtraction-derived train cells
+    // (train_k = global − fold_k), the q_dtree Gini objective /
+    // (score, j, thr) tie-break verbatim per fold via ROW_NUMBER,
+    // and the same ppm integer divisions — the whole selection
+    // report hash-gates
+    "q_crossval" -> {
+      val k = graft.operators.TextOps.dtreeScale
+      val nf = graft.operators.TextOps.cvFolds
+      val cand = graft.operators.TextOps.dtreeThr
+        .map { case (j, t) => s"($j, $t)" }.mkString(", ")
+      def score(nl: String, pl: String, n: String, p: String) =
+        s"2 * (CAST($pl AS HUGEINT) * (($nl) - ($pl)) * (($n) - ($nl))" +
+          s" + CAST(($p) - ($pl) AS HUGEINT)" +
+          s" * ((($n) - ($nl)) - (($p) - ($pl))) * ($nl))" +
+          s" * $k // (CAST($nl AS HUGEINT) * (($n) - ($nl)))"
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, doc_id % $nf AS fold,
+         |    n_tok AS x1, nospace * 8 // greatest(n_tok, 1) AS x2,
+         |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+         |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |cand(j, thr) AS (VALUES $cand),
+         |ft AS MATERIALIZED (
+         |  SELECT fold, count(*) AS n, sum(y) AS p FROM f GROUP BY fold),
+         |fc AS MATERIALIZED (SELECT fold, c.j, c.thr,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN 1 ELSE 0 END) AS nl,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN y ELSE 0 END) AS pl
+         |  FROM f CROSS JOIN cand c GROUP BY fold, c.j, c.thr),
+         |gt AS (SELECT sum(n) AS n, sum(p) AS p FROM ft),
+         |gc AS (SELECT j, thr, sum(nl) AS nl, sum(pl) AS pl
+         |  FROM fc GROUP BY j, thr),
+         |tc AS (SELECT ft.fold, g.j, g.thr,
+         |    g.nl - c.nl AS nl, g.pl - c.pl AS pl,
+         |    gt.n - ft.n AS n, gt.p - ft.p AS p
+         |  FROM ft CROSS JOIN gt
+         |    JOIN fc c ON c.fold = ft.fold
+         |    JOIN gc g ON g.j = c.j AND g.thr = c.thr),
+         |pick AS (SELECT fold, j, thr,
+         |    CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END AS lab_l,
+         |    CASE WHEN 2 * (p - pl) >= (n - nl) THEN 1 ELSE 0 END AS lab_r,
+         |    row_number() OVER (PARTITION BY fold
+         |      ORDER BY ${score("nl", "pl", "n", "p")}, j, thr) AS rn
+         |  FROM tc WHERE nl > 0 AND nl < n AND p > 0 AND p < n),
+         |descr AS MATERIALIZED (SELECT ft.fold,
+         |    coalesce(pk.j, 0) AS feat,
+         |    coalesce(pk.thr, CAST(-1 AS BIGINT)) AS thr,
+         |    coalesce(pk.lab_l, CASE WHEN 2 * (gt.p - ft.p) >= gt.n - ft.n
+         |      THEN 1 ELSE 0 END) AS lab_l,
+         |    coalesce(pk.lab_r, CASE WHEN 2 * (gt.p - ft.p) >= gt.n - ft.n
+         |      THEN 1 ELSE 0 END) AS lab_r
+         |  FROM ft CROSS JOIN gt
+         |    LEFT JOIN (SELECT * FROM pick WHERE rn = 1) pk
+         |      ON pk.fold = ft.fold),
+         |scored AS (SELECT f.fold, f.doc_id, f.y,
+         |    CASE WHEN d.feat > 0 AND
+         |        (CASE WHEN d.feat = 1 THEN f.x1 ELSE f.x2 END) < d.thr
+         |      THEN d.lab_l ELSE d.lab_r END AS y_hat
+         |  FROM f JOIN descr d ON d.fold = f.fold),
+         |pf AS (SELECT fold, count(*) AS n_test,
+         |    sum(CASE WHEN y = y_hat THEN 1 ELSE 0 END) AS n_correct,
+         |    sum(doc_id) AS id_sum
+         |  FROM scored GROUP BY fold)
+         |SELECT CAST(pf.fold AS BIGINT) AS fold,
+         |  CAST(d.feat AS BIGINT) AS feat, CAST(d.thr AS BIGINT) AS thr,
+         |  CAST(d.lab_l AS BIGINT) AS lab_l,
+         |  CAST(d.lab_r AS BIGINT) AS lab_r,
+         |  CAST(pf.n_test AS BIGINT) AS n_test,
+         |  CAST(pf.n_correct AS BIGINT) AS n_correct,
+         |  CAST(pf.id_sum AS BIGINT) AS id_sum,
+         |  CAST(pf.n_correct * 1000000 // pf.n_test AS BIGINT) AS acc_ppm,
+         |  CAST(sum(pf.n_correct * 1000000 // pf.n_test) OVER () // $nf
+         |    AS BIGINT) AS mean_acc_ppm
+         |FROM pf JOIN descr d ON d.fold = pf.fold
+         |ORDER BY fold""".stripMargin
+    },
+
     // gradient-boosted depth-2 trees twin (TextOps.q_gbt): squared
     // loss keeps every quantity on the milli grid — residual sums are
     // exact integers, the split score an SSE-reduction integer

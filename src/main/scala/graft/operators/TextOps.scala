@@ -4204,6 +4204,120 @@ object TextOps {
       .orderBy("round")
   }
 
+  // ──────────────── k-fold cross-validation (L79) ────────────────
+
+  /** Fold count for [[q_crossval]] — shared verbatim with the oracle. */
+  private[graft] val cvFolds = 5
+
+  /** 5-fold cross-validated stump — the model-SELECTION muscle next
+    * to the seven trainers: every fold's model is fit on the other
+    * four folds and evaluated on its own, so the reported accuracy is
+    * an out-of-sample estimate with no split spent (the L77 OOB
+    * argument, made systematic).
+    *
+    * Scale shape — the reason CV is cheap here when the naive form is
+    * k× a full fit: ONE fold-grouped 42-cell aggregate produces every
+    * fold's TRAINING cells by subtraction (train_k = global − fold_k;
+    * the grouped partial-combine is the same map-side work as one
+    * ungrouped fit, just k reduce rows), the per-fold argmin is
+    * driver-side exact BigInt over ≤20 candidates ([[dtreeBest]], the
+    * q_dtree objective verbatim), and scoring is a SECOND single scan
+    * with each doc routed to its own fold's broadcast stump — two
+    * corpus scans total for all k fits + k evals, independent of k.
+    *
+    * Output: one row per fold — stump descriptor (feature 0 /
+    * threshold −1 sentinel when a fold's train set is pure or
+    * unsplittable, labels falling back to the train majority), test
+    * count, exact correct count, id-sum checksum, accuracy in ppm
+    * (integer div), and the cross-fold mean ppm (exact integer mean
+    * of the 5 per-fold ppms) — the whole selection report hash-gates.
+    */
+  def q_crossval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docShape(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    def xj(j: Int): Column = if (j == 1) col("x1") else col("x2")
+    def below(j: Int, thr: Long): Column = xj(j) < lit(thr)
+    val foldC = (col("doc_id") % cvFolds).cast("long")
+
+    // one fold-grouped cell aggregate: cvFolds rows × (2 + 2·|grid|)
+    val cellAggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("p")) ++
+      dtreeThr.zipWithIndex.flatMap { case ((j, thr), i) => Seq(
+        sum(when(below(j, thr), 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(below(j, thr), col("y")).otherwise(0L)).as(s"p$i")) }
+    val byFold = feats.groupBy(foldC.as("fold"))
+      .agg(cellAggs.head, cellAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val idx = dtreeThr.zipWithIndex.toMap
+    def nOf(k: Long): BigInt =
+      byFold.get(k).map(r => BigInt(r.getLong(1))).getOrElse(BigInt(0))
+    def pOf(k: Long): BigInt =
+      byFold.get(k).map(r => BigInt(r.getLong(2))).getOrElse(BigInt(0))
+    def cellOf(k: Long, j: Int, thr: Long): (BigInt, BigInt) =
+      byFold.get(k).map { r =>
+        val i = idx((j, thr))
+        (BigInt(r.getLong(3 + 2 * i)), BigInt(r.getLong(4 + 2 * i)))
+      }.getOrElse((BigInt(0), BigInt(0)))
+    val folds = (0L until cvFolds.toLong).toSeq
+    val nG = folds.map(nOf).sum
+    val pG = folds.map(pOf).sum
+    def cellG(j: Int, thr: Long): (BigInt, BigInt) = {
+      val cs = folds.map(cellOf(_, j, thr))
+      (cs.map(_._1).sum, cs.map(_._2).sum)
+    }
+
+    // per-fold stump: train cells by subtraction, argmin on the driver
+    case class Stump(feat: Long, thr: Long, labL: Long, labR: Long)
+    val stumps: Map[Long, Stump] = folds.map { k =>
+      val nTr = nG - nOf(k)
+      val pTr = pG - pOf(k)
+      def trCells(j: Int, thr: Long): (BigInt, BigInt) = {
+        val (gl, gp) = cellG(j, thr)
+        val (fl, fp) = cellOf(k, j, thr)
+        (gl - fl, gp - fp)
+      }
+      k -> (dtreeBest(trCells, nTr, pTr) match {
+        case Some((j, thr)) =>
+          val (nl, pl) = trCells(j, thr)
+          Stump(j.toLong, thr, dtreeLabel(nl, pl),
+            dtreeLabel(nTr - nl, pTr - pl))
+        case None =>
+          val lab = dtreeLabel(nTr, pTr)
+          Stump(0L, -1L, lab, lab)
+      })
+    }.toMap
+
+    // scoring scan: each doc routed to its own fold's broadcast stump
+    def branch(st: Stump): Column =
+      if (st.feat == 0L) lit(st.labL)
+      else when(below(st.feat.toInt, st.thr), lit(st.labL))
+        .otherwise(lit(st.labR))
+    val yHat = folds.tail.foldLeft(
+      when(foldC === folds.head, branch(stumps(folds.head)))) {
+      (acc, k) => acc.when(foldC === k, branch(stumps(k)))
+    }
+    val perFold = feats
+      .select(foldC.as("fold"), col("doc_id"), col("y"), yHat.as("y_hat"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("y") === col("y_hat"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("doc_id")).as("id_sum"))
+    val desc = stumps.toSeq.sortBy(_._1)
+      .map { case (k, st) => (k, st.feat, st.thr, st.labL, st.labR) }
+      .toDF("fold", "feat", "thr", "lab_l", "lab_r")
+    perFold.join(broadcast(desc), Seq("fold"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_test"))
+      .withColumn("mean_acc_ppm",
+        expr(s"sum(acc_ppm) over () div $cvFolds"))
+      .select("fold", "feat", "thr", "lab_l", "lab_r", "n_test",
+        "n_correct", "id_sum", "acc_ppm", "mean_acc_ppm")
+      .orderBy("fold")
+  }
+
   def q_zipf(s: SparkSession, dir: String): DataFrame = {
     val top = docTokens(s, dir).groupBy("tok")
       .agg(count(lit(1)).as("c"))

@@ -1516,6 +1516,71 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_crossval matches an independent per-fold stump reference " +
+    "(each fold's model fit WITHOUT that fold, q_dtree objective and " +
+    "tie-breaks, exact ppm accuracies and cross-fold mean)") {
+    val k = BigInt(TextOps.dtreeScale)
+    val all = docShapeRef()
+    def xOf(r: (Long, Long, Long, Long), j: Int) = if (j == 1) r._2 else r._3
+    def labOf(rows: Seq[(Long, Long, Long, Long)]): Long =
+      if (BigInt(rows.count(_._4 == 1L)) * 2 >= BigInt(rows.size)) 1L else 0L
+    // per-fold reference: stump fit on the OTHER folds (the full
+    // candidate scan + exact BigInt Gini, q_dtree's objective), then
+    // scored on the held-out fold
+    val want = (0L until TextOps.cvFolds.toLong).flatMap { f =>
+      val train = all.filter(_._1 % TextOps.cvFolds != f)
+      val test = all.filter(_._1 % TextOps.cvFolds == f)
+      if (test.isEmpty) None
+      else {
+        val n = BigInt(train.size); val p = BigInt(train.count(_._4 == 1L))
+        val pick =
+          if (p == 0 || p == n) None
+          else TextOps.dtreeThr.flatMap { case (j, thr) =>
+            val l = train.filter(r => xOf(r, j) < thr)
+            val nl = BigInt(l.size); val pl = BigInt(l.count(_._4 == 1L))
+            if (nl == 0 || nl == n) None
+            else {
+              val pr = p - pl; val nr = n - nl
+              val m = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+              Some((2 * m * k / (nl * nr), j, thr))
+            }
+          }.sortBy(t => (t._1, t._2, t._3)).headOption
+        val (feat, thr, labL, labR) = pick match {
+          case Some((_, j, t)) =>
+            val l = train.filter(r => xOf(r, j) < t)
+            (j.toLong, t, labOf(l), labOf(train.diff(l)))
+          case None =>
+            val lab = labOf(train); (0L, -1L, lab, lab)
+        }
+        def yh(r: (Long, Long, Long, Long)): Long =
+          if (feat > 0 && xOf(r, feat.toInt) < thr) labL else labR
+        val nCorrect = test.count(r => yh(r) == r._4).toLong
+        Some((f, feat, thr, labL, labR, test.size.toLong, nCorrect,
+          test.map(_._1).sum, nCorrect * 1000000L / test.size))
+      }
+    }
+    val meanPpm = want.map(_._9).sum / TextOps.cvFolds
+    val got = TextOps.q_crossval(spark, dir).collect()
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (row, w) =>
+      val gotRow = (0 until 9).map(row.getLong)
+      val wantRow = Seq(w._1, w._2, w._3, w._4, w._5, w._6, w._7, w._8, w._9)
+      assert(gotRow == wantRow, s"fold ${w._1}: $gotRow vs $wantRow")
+      assert(row.getLong(9) == meanPpm,
+        s"mean ppm ${row.getLong(9)} vs $meanPpm")
+    }
+    // the CV estimate must be an honest out-of-sample number: every
+    // fold's accuracy beats the GLOBAL majority rate's ppm floor
+    // (the teacher is learnable by one cut only approximately, so
+    // equality would flag a degenerate constant model)
+    val majPpm = math.max(all.count(_._4 == 1L), all.count(_._4 == 0L))
+      .toLong * 1000000L / all.size
+    assert(want.forall(w => w._9 >= majPpm),
+      s"some fold under the majority floor $majPpm: ${want.map(_._9)}")
+    assert(want.exists(w => w._2 > 0), "no fold found a split")
+    Caches.releaseAll()
+  }
+
   test("q_auc matches the brute-force pairwise Mann-Whitney count " +
     "exactly (2U = 2·#{pos>neg} + #{pos=neg}) and token count is a " +
     "genuinely predictive feature") {
