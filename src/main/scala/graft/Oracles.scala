@@ -3802,6 +3802,53 @@ object Oracles {
          |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
          |FROM u ORDER BY feat""".stripMargin,
 
+    // chi-squared feature-screen twin (TextOps.q_chi2): the same
+    // 2×2 contingency cells from the fold-free cell frame, φ²·10⁶ as
+    // one exact HUGEINT floor division, ranked with the (φ² desc,
+    // j, thr) tie-break — degenerate margins pinned to the φ²=0
+    // sentinel in both engines
+    "q_chi2" -> {
+      val k = graft.operators.TextOps.chi2Scale
+      val cand = graft.operators.TextOps.dtreeThr
+        .map { case (j, t) => s"($j, $t)" }.mkString(", ")
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+         |    nospace * 8 // greatest(n_tok, 1) AS x2,
+         |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+         |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |cand(j, thr) AS (VALUES $cand),
+         |tot AS (SELECT count(*) AS n, sum(y) AS p FROM f),
+         |cells AS (SELECT c.j, c.thr,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN 1 ELSE 0 END) AS nl,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN y ELSE 0 END) AS a
+         |  FROM f CROSS JOIN cand c GROUP BY c.j, c.thr),
+         |sc AS (SELECT s.j, s.thr, s.a, s.nl - s.a AS b,
+         |    t.p - s.a AS c, (t.n - s.nl) - (t.p - s.a) AS d,
+         |    CASE WHEN s.nl = 0 OR s.nl = t.n OR t.p = 0 OR t.p = t.n
+         |      THEN CAST(0 AS HUGEINT)
+         |      ELSE (CAST(s.a AS HUGEINT) * ((t.n - s.nl) - (t.p - s.a))
+         |          - CAST(s.nl - s.a AS HUGEINT) * (t.p - s.a))
+         |        * (CAST(s.a AS HUGEINT) * ((t.n - s.nl) - (t.p - s.a))
+         |          - CAST(s.nl - s.a AS HUGEINT) * (t.p - s.a))
+         |        * $k // (CAST(s.nl AS HUGEINT) * (t.n - s.nl)
+         |          * t.p * (t.n - t.p))
+         |    END AS phi2
+         |  FROM cells s CROSS JOIN tot t)
+         |SELECT CAST(row_number() OVER (ORDER BY phi2 DESC, j, thr)
+         |    AS BIGINT) AS rank,
+         |  CAST(j AS BIGINT) AS feat, CAST(thr AS BIGINT) AS thr,
+         |  CAST(a AS BIGINT) AS n_lt_pos, CAST(b AS BIGINT) AS n_lt_neg,
+         |  CAST(c AS BIGINT) AS n_ge_pos, CAST(d AS BIGINT) AS n_ge_neg,
+         |  CAST(phi2 AS BIGINT) AS phi2_ppm
+         |FROM sc ORDER BY rank""".stripMargin
+    },
+
     // 5-fold cross-validated stump twin (TextOps.q_crossval): the
     // fold-grouped cell frame, subtraction-derived train cells
     // (train_k = global − fold_k), the q_dtree Gini objective /

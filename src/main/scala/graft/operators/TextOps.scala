@@ -4204,6 +4204,73 @@ object TextOps {
       .orderBy("round")
   }
 
+  // ──────────── chi-squared feature screening (L80) ────────────
+
+  /** Scale for [[q_chi2]]'s φ² output — ppm of the mean-square
+    * contingency (χ²/N ∈ [0,1]), shared verbatim with the oracle.
+    * φ² instead of raw χ² keeps the integer arithmetic inside
+    * HUGEINT/DECIMAL(38) bounds through sf100 (numerator
+    * (ad−bc)²·10⁶ ≤ (N²/4)²·10⁶ ≈ 4·10³⁵ at N = 5·10⁷).
+    */
+  private[graft] val chi2Scale = 1000000L
+
+  /** Chi-squared (φ²) feature screening over the fixed indicator
+    * grid — the filter-method companion of [[q_auc]]'s ranking
+    * screen: each of the 20 grid candidates (x_j < thr) forms a 2×2
+    * contingency table against the quality label, ranked by the
+    * exact mean-square contingency φ² = (ad−bc)²/(row·col margins).
+    *
+    * Scale shape: ONE 42-cell partial-combining aggregate (the
+    * q_dtree level-0 frame verbatim) reduces the corpus to the
+    * bounded cell row; φ² and the ranking are driver-side exact
+    * BigInt over ≤20 candidates, emitted as a literal report — one
+    * corpus scan total, model traffic 42 longs. Degenerate margins
+    * (constant indicator or constant label) rank last with the φ²=0
+    * sentinel, so the contract is total.
+    *
+    * Output: one row per candidate — rank (by φ² desc with the
+    * (j, thr) tie-break), feature, threshold, the four exact table
+    * cells, and φ² in ppm (integer div) — the whole screen
+    * hash-gates.
+    */
+  def q_chi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docShape(s, dir)
+    def xj(j: Int): Column = if (j == 1) col("x1") else col("x2")
+    val cellAggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("p")) ++
+      dtreeThr.zipWithIndex.flatMap { case ((j, thr), i) => Seq(
+        sum(when(xj(j) < lit(thr), 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(xj(j) < lit(thr), col("y")).otherwise(0L)).as(s"p$i")) }
+    val r = raw.agg(cellAggs.head, cellAggs.tail: _*).collect()(0)
+    val n = BigInt(r.getLong(0))
+    val p = BigInt(r.getLong(1))
+    val scored = dtreeThr.zipWithIndex.map { case ((j, thr), i) =>
+      val nl = BigInt(r.getLong(2 + 2 * i))
+      val a = BigInt(r.getLong(3 + 2 * i)) // x<thr ∧ y=1
+      val b = nl - a                       // x<thr ∧ y=0
+      val c = p - a                        // x≥thr ∧ y=1
+      val d = (n - nl) - c                 // x≥thr ∧ y=0
+      val den = nl * (n - nl) * p * (n - p)
+      val phi2 =
+        if (den == 0) BigInt(0)
+        else {
+          val diff = a * d - b * c
+          diff * diff * chi2Scale / den
+        }
+      (j.toLong, thr, a, b, c, d, phi2)
+    }
+    val ranked = scored
+      .sortBy { case (j, thr, _, _, _, _, phi2) => (-phi2, j, thr) }
+      .zipWithIndex
+      .map { case ((j, thr, a, b, c, d, phi2), i) =>
+        (i.toLong + 1, j, thr, a.toLong, b.toLong, c.toLong, d.toLong,
+          phi2.toLong)
+      }
+    ranked.toDF("rank", "feat", "thr", "n_lt_pos", "n_lt_neg",
+      "n_ge_pos", "n_ge_neg", "phi2_ppm")
+      .orderBy("rank")
+  }
+
   // ──────────────── k-fold cross-validation (L79) ────────────────
 
   /** Fold count for [[q_crossval]] — shared verbatim with the oracle. */

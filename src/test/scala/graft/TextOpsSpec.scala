@@ -1581,6 +1581,38 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_chi2 matches an independent exact contingency/phi-squared " +
+    "reference per grid candidate (BigInt, degenerate-margin sentinel, " +
+    "rank tie-breaks) and the top candidate is genuinely predictive") {
+    val all = docShapeRef()
+    def xOf(r: (Long, Long, Long, Long), j: Int) = if (j == 1) r._2 else r._3
+    val n = BigInt(all.size)
+    val p = BigInt(all.count(_._4 == 1L))
+    val want = TextOps.dtreeThr.map { case (j, thr) =>
+      val lt = all.filter(r => xOf(r, j) < thr)
+      val nl = BigInt(lt.size)
+      val a = BigInt(lt.count(_._4 == 1L))
+      val b = nl - a; val c = p - a; val d = (n - nl) - c
+      val den = nl * (n - nl) * p * (n - p)
+      val phi2 = if (den == 0) BigInt(0)
+        else { val diff = a * d - b * c; diff * diff * TextOps.chi2Scale / den }
+      (j.toLong, thr, a.toLong, b.toLong, c.toLong, d.toLong, phi2.toLong)
+    }.sortBy { case (j, thr, _, _, _, _, phi2) => (-phi2, j, thr) }
+      .zipWithIndex.map { case (t, i) => (i.toLong + 1) +: t.productIterator
+        .map(_.asInstanceOf[Long]).toSeq }
+    val got = TextOps.q_chi2(spark, dir).collect()
+      .map(r => (0 until 8).map(r.getLong))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"rank ${w.head}: $g vs $w") }
+    // the screen must separate: the top candidate's phi2 clears a
+    // real floor and the spread between best and worst is non-trivial
+    assert(want.head.last > 100000L,
+      s"top phi2_ppm ${want.head.last} too weak to rank by")
+    assert(want.head.last > want.last.last, "no spread across the grid")
+    Caches.releaseAll()
+  }
+
   test("q_auc matches the brute-force pairwise Mann-Whitney count " +
     "exactly (2U = 2·#{pos>neg} + #{pos=neg}) and token count is a " +
     "genuinely predictive feature") {
