@@ -3802,6 +3802,93 @@ object Oracles {
          |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
          |FROM u ORDER BY feat""".stripMargin,
 
+    // learning-curve twin (TextOps.q_learning_curve): per-nibble
+    // bucket cells prefix-summed per fraction, the q_dtree objective
+    // / tie-break per fraction via ROW_NUMBER, every fit scored on
+    // the same held-out split — curve, descriptors and checksums all
+    // hash-gate
+    "q_learning_curve" -> {
+      val k = graft.operators.TextOps.dtreeScale
+      val cand = graft.operators.TextOps.dtreeThr
+        .map { case (j, t) => s"($j, $t)" }.mkString(", ")
+      val fracs = graft.operators.TextOps.lcFracs
+        .map(f => s"($f)").mkString(", ")
+      def score(nl: String, pl: String, n: String, p: String) =
+        s"2 * (CAST($pl AS HUGEINT) * (($nl) - ($pl)) * (($n) - ($nl))" +
+          s" + CAST(($p) - ($pl) AS HUGEINT)" +
+          s" * ((($n) - ($nl)) - (($p) - ($pl))) * ($nl))" +
+          s" * $k // (CAST($nl AS HUGEINT) * (($n) - ($nl)))"
+      s"""WITH raw AS (SELECT doc_id, CAST(len($tokL) AS BIGINT) AS n_tok,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nospace
+         |  FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id, n_tok AS x1,
+         |    nospace * 8 // greatest(n_tok, 1) AS x2,
+         |    CASE WHEN n_tok >= 50 AND n_tok <= 1000
+         |      AND nospace >= n_tok * 3 AND nospace <= n_tok * 10
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |tr AS MATERIALIZED (SELECT f.*,
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(md5('lc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+         |      AS BIGINT) AS bkt
+         |  FROM f WHERE doc_id % 5 != 0),
+         |cand(j, thr) AS (VALUES $cand),
+         |frac(fx) AS (VALUES $fracs),
+         |bt AS MATERIALIZED (
+         |  SELECT bkt, count(*) AS n, sum(y) AS p FROM tr GROUP BY bkt),
+         |bc AS MATERIALIZED (SELECT bkt, c.j, c.thr,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN 1 ELSE 0 END) AS nl,
+         |    sum(CASE WHEN (CASE WHEN c.j = 1 THEN x1 ELSE x2 END) < c.thr
+         |      THEN y ELSE 0 END) AS pl
+         |  FROM tr CROSS JOIN cand c GROUP BY bkt, c.j, c.thr),
+         |ftot AS MATERIALIZED (SELECT fr.fx, sum(t.n) AS n, sum(t.p) AS p
+         |  FROM frac fr JOIN bt t ON t.bkt < fr.fx GROUP BY fr.fx),
+         |fcells AS (SELECT fr.fx, b.j, b.thr,
+         |    sum(b.nl) AS nl, sum(b.pl) AS pl
+         |  FROM frac fr JOIN bc b ON b.bkt < fr.fx GROUP BY fr.fx, b.j, b.thr),
+         |pick AS (SELECT s.fx, s.j, s.thr,
+         |    CASE WHEN 2 * s.pl >= s.nl THEN 1 ELSE 0 END AS lab_l,
+         |    CASE WHEN 2 * (t.p - s.pl) >= (t.n - s.nl) THEN 1 ELSE 0 END
+         |      AS lab_r,
+         |    row_number() OVER (PARTITION BY s.fx
+         |      ORDER BY ${score("s.nl", "s.pl", "t.n", "t.p")}, s.j, s.thr)
+         |      AS rn
+         |  FROM fcells s JOIN ftot t ON t.fx = s.fx
+         |  WHERE s.nl > 0 AND s.nl < t.n AND t.p > 0 AND t.p < t.n),
+         |descr AS MATERIALIZED (SELECT t.fx, t.n AS n_train,
+         |    coalesce(pk.j, 0) AS feat,
+         |    coalesce(pk.thr, CAST(-1 AS BIGINT)) AS thr,
+         |    coalesce(pk.lab_l, CASE WHEN 2 * t.p >= t.n THEN 1 ELSE 0 END)
+         |      AS lab_l,
+         |    coalesce(pk.lab_r, CASE WHEN 2 * t.p >= t.n THEN 1 ELSE 0 END)
+         |      AS lab_r
+         |  FROM ftot t
+         |    LEFT JOIN (SELECT * FROM pick WHERE rn = 1) pk
+         |      ON pk.fx = t.fx),
+         |scored AS (SELECT d.fx, e.doc_id, e.y,
+         |    CASE WHEN d.feat > 0 AND
+         |        (CASE WHEN d.feat = 1 THEN e.x1 ELSE e.x2 END) < d.thr
+         |      THEN d.lab_l ELSE d.lab_r END AS y_hat
+         |  FROM f e CROSS JOIN descr d WHERE e.doc_id % 5 = 0),
+         |pf AS (SELECT fx, count(*) AS n_test,
+         |    sum(CASE WHEN y = y_hat THEN 1 ELSE 0 END) AS n_correct,
+         |    coalesce(sum(CASE WHEN y_hat = 1 THEN doc_id END), 0)
+         |      AS pos_id_sum
+         |  FROM scored GROUP BY fx)
+         |SELECT CAST(pf.fx AS BIGINT) AS frac_x16,
+         |  CAST(d.n_train AS BIGINT) AS n_train,
+         |  CAST(d.feat AS BIGINT) AS feat, CAST(d.thr AS BIGINT) AS thr,
+         |  CAST(d.lab_l AS BIGINT) AS lab_l,
+         |  CAST(d.lab_r AS BIGINT) AS lab_r,
+         |  CAST(pf.n_test AS BIGINT) AS n_test,
+         |  CAST(pf.n_correct AS BIGINT) AS n_correct,
+         |  CAST(pf.pos_id_sum AS BIGINT) AS pos_id_sum,
+         |  CAST(pf.n_correct * 1000000 // pf.n_test AS BIGINT) AS acc_ppm
+         |FROM pf JOIN descr d ON d.fx = pf.fx
+         |ORDER BY frac_x16""".stripMargin
+    },
+
     // chi-squared feature-screen twin (TextOps.q_chi2): the same
     // 2×2 contingency cells from the fold-free cell frame, φ²·10⁶ as
     // one exact HUGEINT floor division, ranked with the (φ² desc,

@@ -152,6 +152,7 @@ object SparkEntry {
     "q_gbt" -> (TextOps.q_gbt _),
     "q_crossval" -> (TextOps.q_crossval _),
     "q_chi2" -> (TextOps.q_chi2 _),
+    "q_learning_curve" -> (TextOps.q_learning_curve _),
     "q_isotonic" -> (Relational.q_isotonic _),
     "q_conformal" -> (Relational.q_conformal _),
     "q_quality_score" -> (TextOps.q_quality_score _),

@@ -4204,6 +4204,108 @@ object TextOps {
       .orderBy("round")
   }
 
+  // ───────────────── learning curve (L81) ─────────────────
+
+  /** Cumulative training fractions for [[q_learning_curve]], in
+    * sixteenths of the md5-bucketed train pool — shared verbatim
+    * with the oracle.
+    */
+  private[graft] val lcFracs: Seq[Long] = Seq(3L, 6L, 9L, 12L, 16L)
+
+  /** Learning curve — the "is more data worth it" trainer readout
+    * (the L54 corpus-coverage marginal-utility question asked of a
+    * MODEL instead of a vocabulary): fit the stump on nested
+    * md5-bucketed subsets of the train split (3/16 … 16/16) and
+    * evaluate every fit on the SAME held-out split, so the curve
+    * isolates training-set size as the only moving part. Subsets are
+    * nested by construction (bucket < f), the property that makes the
+    * curve monotone-in-information rather than resample noise.
+    *
+    * Scale shape: ONE bucket-grouped 42-cell partial-combining
+    * aggregate (16 rows) gives every fraction's training cells as a
+    * driver-side prefix sum — all 5 fits from one scan (the
+    * q_crossval subtraction argument, with prefixes instead); the 5
+    * stumps ride ONE exploded eval scan (5× the 20 % eval split ≈
+    * one corpus-scan equivalent) into a per-fraction confusion.
+    * Driver argmin per fraction is exact BigInt over the fixed grid
+    * ([[dtreeBest]] verbatim).
+    *
+    * Output per fraction: frac_x16, exact n_train, stump descriptor
+    * (0/−1 sentinel + train-majority labels when unsplittable),
+    * n_test, n_correct, positive-prediction id-sum checksum, acc in
+    * ppm — the whole curve hash-gates.
+    */
+  def q_learning_curve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docShape(s, dir)
+    val feats =
+      if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
+        raw.localCheckpoint(false)
+      else cached(raw)
+    def xj(j: Int): Column = if (j == 1) col("x1") else col("x2")
+    def below(j: Int, thr: Long): Column = xj(j) < lit(thr)
+    // bucket = first md5 hex nibble of the salted id: 16 buckets,
+    // independent of the %-5 eval split by the salt
+    val bkt = conv(substring(md5(concat(lit("lc:"),
+      col("doc_id").cast("string"))), 1, 1), 16, 10).cast("long")
+
+    val cellAggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("p")) ++
+      dtreeThr.zipWithIndex.flatMap { case ((j, thr), i) => Seq(
+        sum(when(below(j, thr), 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(below(j, thr), col("y")).otherwise(0L)).as(s"p$i")) }
+    val byBkt = feats.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(bkt.as("bkt")).agg(cellAggs.head, cellAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val idx = dtreeThr.zipWithIndex.toMap
+
+    case class Stump(feat: Long, thr: Long, labL: Long, labR: Long)
+    val stumps: Seq[(Long, Long, Stump)] = lcFracs.map { f =>
+      val rows = (0L until f).flatMap(byBkt.get)
+      val n = rows.map(r => BigInt(r.getLong(1))).sum
+      val p = rows.map(r => BigInt(r.getLong(2))).sum
+      def cells(j: Int, thr: Long): (BigInt, BigInt) = {
+        val i = idx((j, thr))
+        (rows.map(r => BigInt(r.getLong(3 + 2 * i))).sum,
+          rows.map(r => BigInt(r.getLong(4 + 2 * i))).sum)
+      }
+      val st = dtreeBest(cells, n, p) match {
+        case Some((j, thr)) =>
+          val (nl, pl) = cells(j, thr)
+          Stump(j.toLong, thr, dtreeLabel(nl, pl),
+            dtreeLabel(n - nl, p - pl))
+        case None =>
+          val lab = dtreeLabel(n, p)
+          Stump(0L, -1L, lab, lab)
+      }
+      (f, n.toLong, st)
+    }
+
+    def branch(st: Stump): Column =
+      if (st.feat == 0L) lit(st.labL)
+      else when(below(st.feat.toInt, st.thr), lit(st.labL))
+        .otherwise(lit(st.labR))
+    // one exploded eval scan scores all fractions
+    val perF = stumps.map { case (f, _, st) =>
+      struct(lit(f).as("frac_x16"), branch(st).as("y_hat")) }
+    val conf = feats.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("y"),
+        explode(array(perF: _*)).as("e"))
+      .groupBy(col("e.frac_x16").as("frac_x16"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("y") === col("e.y_hat"), 1L).otherwise(0L))
+          .as("n_correct"),
+        coalesce(sum(when(col("e.y_hat") === 1L, col("doc_id"))), lit(0L))
+          .as("pos_id_sum"))
+    val desc = stumps
+      .map { case (f, nTr, st) => (f, nTr, st.feat, st.thr, st.labL, st.labR) }
+      .toDF("frac_x16", "n_train", "feat", "thr", "lab_l", "lab_r")
+    conf.join(broadcast(desc), Seq("frac_x16"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_test"))
+      .select("frac_x16", "n_train", "feat", "thr", "lab_l", "lab_r",
+        "n_test", "n_correct", "pos_id_sum", "acc_ppm")
+      .orderBy("frac_x16")
+  }
+
   // ──────────── chi-squared feature screening (L80) ────────────
 
   /** Scale for [[q_chi2]]'s φ² output — ppm of the mean-square

@@ -1581,6 +1581,63 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_learning_curve matches an independent prefix-bucket stump " +
+    "reference per fraction (nested subsets, q_dtree objective, exact " +
+    "ppm curve) and more data does not hurt the full-fraction fit") {
+    val k = BigInt(TextOps.dtreeScale)
+    val all = docShapeRef()
+    def xOf(r: (Long, Long, Long, Long), j: Int) = if (j == 1) r._2 else r._3
+    def labOf(rows: Seq[(Long, Long, Long, Long)]): Long =
+      if (BigInt(rows.count(_._4 == 1L)) * 2 >= BigInt(rows.size)) 1L else 0L
+    def md5Hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bktOf(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"lc:$id").substring(0, 1), 16)
+    val pool = all.filter(_._1 % 5 != 0)
+    val ev = all.filter(_._1 % 5 == 0)
+    val want = TextOps.lcFracs.map { f =>
+      val train = pool.filter(r => bktOf(r._1) < f)
+      val n = BigInt(train.size); val p = BigInt(train.count(_._4 == 1L))
+      val pick =
+        if (n == 0 || p == 0 || p == n) None
+        else TextOps.dtreeThr.flatMap { case (j, thr) =>
+          val l = train.filter(r => xOf(r, j) < thr)
+          val nl = BigInt(l.size); val pl = BigInt(l.count(_._4 == 1L))
+          if (nl == 0 || nl == n) None
+          else {
+            val pr = p - pl; val nr = n - nl
+            val m = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+            Some((2 * m * k / (nl * nr), j, thr))
+          }
+        }.sortBy(t => (t._1, t._2, t._3)).headOption
+      val (feat, thr, labL, labR) = pick match {
+        case Some((_, j, t)) =>
+          val l = train.filter(r => xOf(r, j) < t)
+          (j.toLong, t, labOf(l), labOf(train.diff(l)))
+        case None => val lab = labOf(train); (0L, -1L, lab, lab)
+      }
+      def yh(r: (Long, Long, Long, Long)): Long =
+        if (feat > 0 && xOf(r, feat.toInt) < thr) labL else labR
+      val nCorrect = ev.count(r => yh(r) == r._4).toLong
+      val posIdSum = ev.filter(r => yh(r) == 1L).map(_._1).sum
+      Seq(f, train.size.toLong, feat, thr, labL, labR, ev.size.toLong,
+        nCorrect, posIdSum, nCorrect * 1000000L / ev.size)
+    }
+    val got = TextOps.q_learning_curve(spark, dir).collect()
+      .map(r => (0 until 10).map(r.getLong))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"frac ${w.head}: $g vs $w") }
+    // nesting sanity: n_train strictly grows, and the full fit is at
+    // least as good as the smallest fraction's (monotone-ish curve;
+    // exact monotonicity is not guaranteed for a stump)
+    assert(want.map(_(1)) == want.map(_(1)).sorted)
+    assert(want.last.last >= want.head.last,
+      s"full-fraction fit worse than the smallest: ${want.map(_.last)}")
+    Caches.releaseAll()
+  }
+
   test("q_chi2 matches an independent exact contingency/phi-squared " +
     "reference per grid candidate (BigInt, degenerate-margin sentinel, " +
     "rank tie-breaks) and the top candidate is genuinely predictive") {
