@@ -3802,6 +3802,38 @@ object Oracles {
          |    / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
          |FROM u ORDER BY feat""".stripMargin,
 
+    // hashing-trick collision-audit twin (TextOps.q_feat_hash): same
+    // distinct-(doc,tok) df frame, the q_bootstrap nibble-sum u32
+    // parse mod k for the bucket, dominant term by the (df desc, tok
+    // asc) row_number — exact integers + ppm floor divisions
+    "q_feat_hash" -> {
+      val k = graft.operators.TextOps.fhBuckets
+      def hd(i: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val u = (1 to 8).map(i => s"${hd(i)}*${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($tokL) AS tok
+         |  FROM documents),
+         |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |vb AS (SELECT tok, df,
+         |    CAST($u AS BIGINT) % $k AS bucket
+         |  FROM (SELECT tok, df, md5('fh:' || tok) AS h FROM df)),
+         |top AS (SELECT bucket, tok AS top_term, df AS top_df
+         |  FROM (SELECT bucket, tok, df, row_number() OVER (
+         |      PARTITION BY bucket ORDER BY df DESC, tok) AS rn
+         |    FROM vb) WHERE rn = 1),
+         |agg AS (SELECT bucket, count(*) AS n_terms, sum(df) AS df_sum
+         |  FROM vb GROUP BY bucket)
+         |SELECT CAST(a.bucket AS BIGINT) AS bucket,
+         |  CAST(a.n_terms AS BIGINT) AS n_terms,
+         |  CAST(a.df_sum AS BIGINT) AS df_sum,
+         |  t.top_term, CAST(t.top_df AS BIGINT) AS top_df,
+         |  CAST((a.df_sum - t.top_df) * 1000000 // a.df_sum AS BIGINT)
+         |    AS conflated_ppm
+         |FROM agg a JOIN top t ON t.bucket = a.bucket
+         |ORDER BY bucket""".stripMargin
+    },
+
     // learning-curve twin (TextOps.q_learning_curve): per-nibble
     // bucket cells prefix-summed per fraction, the q_dtree objective
     // / tie-break per fraction via ROW_NUMBER, every fit scored on

@@ -4204,6 +4204,55 @@ object TextOps {
       .orderBy("round")
   }
 
+  // ──────────── hashing-trick collision audit (L82) ────────────
+
+  /** Bucket count for [[q_feat_hash]] — deliberately SMALLER than
+    * the fixture vocabulary so collisions exist to audit (the
+    * hashing trick's k is always ≪ vocab; that is its point).
+    * Shared verbatim with the oracle.
+    */
+  private[graft] val fhBuckets = 64L
+
+  /** Hashing-trick collision audit (Weinberger et al., ICML 2009) —
+    * the pre-flight a pipeline runs before committing to a hashed
+    * feature space: for each of the k buckets, how much
+    * document-frequency mass lands there, which term dominates it,
+    * and what share of the bucket's mass is NOT the dominant term
+    * (the conflated mass a downstream linear model cannot
+    * disentangle). The report answers "is k big enough" with exact
+    * numbers instead of the folklore 2^18 default.
+    *
+    * Scale shape: one corpus scan → distinct (doc, token) pairs →
+    * vocabulary-bounded df frame (the tf-idf df branch, shared
+    * cache); bucket assignment is an md5 expression, the per-bucket
+    * rollup a k-row aggregate, and the dominant term a window
+    * row_number over the vocab-bounded frame — nothing scales with
+    * corpus rows past the first scan. Output: k rows, exact integers
+    * + the deterministic (df desc, tok asc) dominant term —
+    * hash-gates.
+    */
+  def q_feat_hash(s: SparkSession, dir: String): DataFrame = {
+    val df = docTokensDistinct(s, dir)
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val bkt = pmod(conv(substring(md5(concat(lit("fh:"), col("tok"))),
+      1, 8), 16, 10).cast("long"), lit(fhBuckets))
+    val vb = df.withColumn("bucket", bkt)
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("df").desc, col("tok"))
+    val top = vb.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("tok").as("top_term"),
+        col("df").as("top_df"))
+    vb.groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"), sum("df").as("df_sum"))
+      .join(top, Seq("bucket"))
+      .withColumn("conflated_ppm",
+        expr("(df_sum - top_df) * 1000000 div df_sum"))
+      .select("bucket", "n_terms", "df_sum", "top_term", "top_df",
+        "conflated_ppm")
+      .orderBy("bucket")
+  }
+
   // ───────────────── learning curve (L81) ─────────────────
 
   /** Cumulative training fractions for [[q_learning_curve]], in

@@ -1581,6 +1581,35 @@ class TextOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_feat_hash matches an independent df/bucket/dominant-term " +
+    "reference and the fixture actually exercises collisions") {
+    def md5Hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val df = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => (id, t))
+    }.distinct.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val byBucket = df.groupBy { case (t, _) =>
+      java.lang.Long.parseLong(md5Hex(s"fh:$t").substring(0, 8), 16) %
+        TextOps.fhBuckets
+    }
+    val want = byBucket.toSeq.map { case (b, terms) =>
+      val (topT, topDf) = terms.toSeq.sortBy { case (t, d) => (-d, t) }.head
+      val dfSum = terms.values.sum
+      (b, terms.size.toLong, dfSum, topT, topDf,
+        (dfSum - topDf) * 1000000L / dfSum)
+    }.sortBy(_._1)
+    val got = TextOps.q_feat_hash(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"${got.take(3)}... vs ${want.take(3)}...")
+    assert(want.exists(_._2 > 1), "no bucket has a collision to audit")
+    assert(want.exists(_._6 > 0), "no conflated mass anywhere")
+    Caches.releaseAll()
+  }
+
   test("q_learning_curve matches an independent prefix-bucket stump " +
     "reference per fraction (nested subsets, q_dtree objective, exact " +
     "ppm curve) and more data does not hurt the full-fraction fit") {
