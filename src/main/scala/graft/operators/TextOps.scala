@@ -4232,8 +4232,11 @@ object TextOps {
     * hash-gates.
     */
   def q_feat_hash(s: SparkSession, dir: String): DataFrame = {
-    val df = docTokensDistinct(s, dir)
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // cache the VOCAB-bounded df frame: both consumers (bucket rollup
+    // and dominant-term window) would otherwise each re-aggregate the
+    // corpus-sized distinct-pairs frame
+    val df = cached(docTokensDistinct(s, dir)
+      .groupBy("tok").agg(count(lit(1)).as("df")))
     val bkt = pmod(conv(substring(md5(concat(lit("fh:"), col("tok"))),
       1, 8), 16, 10).cast("long"), lit(fhBuckets))
     val vb = df.withColumn("bucket", bkt)
