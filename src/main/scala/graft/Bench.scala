@@ -45,6 +45,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing should respect the target partition size
+      // instead of splitting shuffles into per-core slivers: with
+      // parallelismFirst (the default) every tiny post-shuffle stage
+      // fans out to `cpus` near-empty tasks — the Spark docs
+      // themselves recommend false for non-interactive workloads
+      // (guide §2.2: fewer, larger reduce partitions). Scale-neutral:
+      // the advisory size (64 MB default) governs at any SF.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      // the generated-class cache defaults to 100 entries — a
+      // 256-query session compiles thousands of codegen fragments,
+      // so by the time a query is re-run (the min-of-passes
+      // protocol, or any production re-submission) its classes are
+      // long evicted and every pass pays full janino recompilation.
+      // Sized for this workload; a few-hundred-KB per entry.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       // shuffle/spill scratch on tmpfs: the VM's block device shows
       // multi-second I/O stalls (high iowait, zero GC) that dwarf the
       // actual query work at these data sizes

@@ -27,4 +27,16 @@ object Checkpoints {
   def ckpt(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Lazy variant for loops where a driver-side action immediately
+    * follows the checkpoint anyway (q_pagerank_conv's convergence
+    * aggregate): the action materializes the checkpoint inside its own
+    * job, so the loop pays ONE job per iteration instead of two
+    * (eager materialization + the action). Same lineage truncation —
+    * both forms wrap the plan in a LogicalRDD.
+    */
+  def ckptLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

@@ -147,8 +147,11 @@ object GraphOps {
       // the previous rank is joined INTO the checkpointed frame, so
       // one job materializes (node, nr, prev) and the convergence
       // test is a scan-only aggregate of the checkpoint — not a
-      // second |V|⋈|V| shuffle join per iteration
-      val next = Checkpoints.ckpt(contrib
+      // second |V|⋈|V| shuffle join per iteration. LAZY checkpoint:
+      // the delta collect below is the materializing action, so each
+      // iteration schedules ONE job, not two (guide §1.2 — the loop's
+      // cost at bench scale is per-iteration job overhead, not data)
+      val next = Checkpoints.ckptLazy(contrib
         .select(col("dst").as("node"),
           expr(s"${prTeleportNano}L div ${n}L" +
             s" + (${prDampNum}L * sc) div ${prDampDen}L").as("nr"))
@@ -550,6 +553,36 @@ object GraphOps {
     * table overwrites any stale copy from a previous JVM, so at most
     * one substrate per data dir ever exists on disk.
     */
+  /** Scale-adaptive bucket count for the edge substrate: the
+    * session's shuffle-partition setting as the parallelism FLOOR
+    * (the graph loops are depth-bounded sequential, so per-iteration
+    * parallelism is the only parallelism they get — a 1-bucket layout
+    * at bench scale measured q_pagerank_conv 12 → 16 s), growing with
+    * the SOURCE table's bytes at ~64 MB per bucket (guide §2.2/§6:
+    * partitions in the 100 MB–1 GB range) and capped at 4× the floor.
+    * The previous constant (= shuffle.partitions exactly) was the
+    * floor with no growth: at the fifth decade the substrate is
+    * hundreds of GB and 32 buckets would be multi-GB single-task
+    * sorts — this derivation grows with data while leaving the
+    * measured local behavior unchanged.
+    */
+  private def substrateBuckets(s: SparkSession, d: String): Int = {
+    val src = java.nio.file.Paths.get(d, "lineitem.parquet")
+    val bytes =
+      try {
+        if (java.nio.file.Files.isDirectory(src)) {
+          val walk = java.nio.file.Files.walk(src)
+          try walk.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally walk.close()
+        } else java.nio.file.Files.size(src)
+      } catch { case _: Throwable => 0L }
+    val floor = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val perBucket = 64L << 20
+    val sized = (bytes + perBucket - 1) / perBucket
+    math.max(floor.toLong, math.min(4L * floor, sized)).toInt
+  }
+
   private def materializeSubstrate(s: SparkSession, d: String): String = {
     // the distinct-pair aggregate carries the min-quantity edge
     // weight along (same shuffle as the bare distinct — groupBy on
@@ -578,7 +611,7 @@ object GraphOps {
     val tbl = "graft_edges_" + java.security.MessageDigest
       .getInstance("MD5").digest(d.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val buckets = substrateBuckets(s, d)
     // a previous JVM may have left the same table's files without a
     // catalog entry (the catalog is in-memory); drop + delete so the
     // CTAS never trips over a non-empty location
@@ -642,7 +675,7 @@ object GraphOps {
     */
   private def materializeDirSplit(s: SparkSession, d: String): String = {
     val mixed = coEdgesEnc(s, d)
-    val buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val buckets = substrateBuckets(s, d)
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     def ctas(name: String, half: DataFrame): String = {

@@ -2981,7 +2981,11 @@ object Relational {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
       .select(col("o_custkey"), (col("s") * 100).cast("long").as("cents"))
       .withColumn("g", lit(1))
-    val dec = ScalableRank.withNtile(spend, 32, "g",
+    // partition count from the session conf, not a local constant
+    // (rank/ntile output is exact and partition-count-invariant, so
+    // this only sets parallelism — scale-adaptive per the brief)
+    val dec = ScalableRank.withNtile(spend,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, "g",
       Seq("cents", "o_custkey"), 10, "decile")
     val perDec = dec.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))

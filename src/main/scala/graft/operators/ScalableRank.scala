@@ -56,7 +56,12 @@ object ScalableRank {
   def withRank(df: DataFrame, numPartitions: Int, grpCol: String,
                ordCols: Seq[String], rankName: String): DataFrame = {
     val keys = (grpCol +: ordCols).map(col)
-    val keyed = graft.Caches.cached(
+    // pinned, not just cached (beyond the SAME-id-assignment argument
+    // above): the offset frame is BROADCAST into the final join, so
+    // its exchange thread races the stream side's cold fill and both
+    // recompute the range shuffle (the q_als/q_conformal disease —
+    // ADVICE r9's pin discipline applied here too)
+    val keyed = graft.Caches.pinned(
       df.repartitionByRange(numPartitions, keys: _*)
         .sortWithinPartitions(keys: _*)
         .withColumn("__pid", spark_partition_id().cast("long"))

@@ -480,7 +480,7 @@ object VectorOps {
     */
   def q_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (cells, cent) = kmeansCells(e, ivfLloydIters)
+    val (cells, cent) = kmeansCellsFor(s, dir, ivfLloydIters)
     // residual frame, named like an embedding so pqSubvectors applies
     // array<float> like the raw embeddings: CentroidAgg's input
     // encoder is Seq[Float] (the codebook precision is floats anyway)
@@ -604,15 +604,21 @@ object VectorOps {
     // every vector (the old crossJoin shape produced an empty frame).
     // Unreachable from kmeansCells (seeding always yields ≥1 cell) but
     // fail loudly rather than silently null-routing all vectors.
-    require(!cent.isEmpty, "assignToCells: centroid frame is empty")
+    // Expressed IN the projection (the lpEnc raise_error idiom), not
+    // as a driver-side `cent.isEmpty`: that guard was a whole extra
+    // JOB executing the centroid lineage once per assign call — three
+    // redundant corpus passes per kmeansCells invocation (guide §1.2).
     val centArr = cent.agg(
       collect_list(struct(col("cell"), col("centroid"))).as("cents"))
     e.crossJoin(broadcast(centArr))
       .select(col("vec_id"),
-        array_max(transform(col("cents"), c =>
-          struct(cosine(col("embedding"), c.getField("centroid")).as("cc"),
-            c.getField("cell").as("cell"))))
-          .getField("cell").as("cell"),
+        when(size(col("cents")) > 0,
+          array_max(transform(col("cents"), c =>
+            struct(cosine(col("embedding"), c.getField("centroid")).as("cc"),
+              c.getField("cell").as("cell"))))
+            .getField("cell"))
+          .otherwise(raise_error(
+            lit("assignToCells: centroid frame is empty"))).as("cell"),
         col("embedding"))
   }
 
@@ -621,17 +627,59 @@ object VectorOps {
     def assign(cent: DataFrame): DataFrame = assignToCells(e, cent)
     var cent = e.groupBy(col("label").as("cell"))
       .agg(centroidOf(col("embedding")).as("centroid"))
+    // each Lloyd round is checkpointed (k rows — trivial at any SF):
+    // without the cut, round i's plan re-derived rounds 1..i−1 from
+    // the corpus on every action, so `iters` rounds cost a quadratic
+    // number of corpus passes (the q_dedup_cluster lineage lesson).
+    // The final round's checkpoint doubles as the shared
+    // materialization both return values hang off (previously a
+    // separate post-loop ckpt). Checkpoints.ckpt: reliable mode when
+    // a checkpoint dir is configured (cluster), local otherwise.
     for (_ <- 1 to iters)
-      cent = assign(cent).groupBy("cell")
-        .agg(centroidOf(col("embedding")).as("centroid"))
-    // materialize the (k-row) final centroids: both return values hang
-    // off them, and without this each consumer re-runs the whole
-    // seed + iters×(assign+update) chain — 2× three corpus-wide
-    // passes for q_ann_ivf's (probes, cells) pair. Checkpoints.ckpt:
-    // reliable mode when a checkpoint dir is configured (cluster),
-    // local otherwise.
-    val centF = Checkpoints.ckpt(cent)
+      cent = Checkpoints.ckpt(assign(cent).groupBy("cell")
+        .agg(centroidOf(col("embedding")).as("centroid")))
+    val centF = if (iters >= 1) cent else Checkpoints.ckpt(cent)
     (assign(centF), centF)
+  }
+
+  /** Per-(session, dir, iters) memo of the embedding-table k-means:
+    * q_ann_ivf and q_ann_ivfpq each build the identical coarse
+    * quantizer, and the per-round checkpoints mint fresh LogicalRDDs,
+    * so CacheManager plan-dedup can never unify the two Lloyd chains
+    * (the bpeTrain lesson). FutureTask outside the map lock — the
+    * coEdgesEnc discipline.
+    */
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int),
+    java.util.concurrent.FutureTask[(DataFrame, DataFrame)]]()
+
+  private val kmeansEvict = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, Unit]()
+
+  private[graft] def kmeansCellsFor(s: SparkSession, dir: String,
+    iters: Int): (DataFrame, DataFrame) = {
+    kmeansEvict.computeIfAbsent(s.sparkContext, { sc =>
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          kmeansMemo.keySet.removeIf(_._1.sparkContext eq sc)
+          kmeansEvict.remove(sc)
+          sc.removeSparkListener(this)
+        }
+      })
+      ()
+    })
+    val key = (s, dir, iters)
+    val fresh = new java.util.concurrent.FutureTask[(DataFrame, DataFrame)](
+      () => kmeansCells(t(s, dir, "embeddings"), iters))
+    val prior = kmeansMemo.putIfAbsent(key, fresh)
+    val task = if (prior == null) { fresh.run(); fresh } else prior
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        kmeansMemo.remove(key, task)
+        throw e.getCause
+    }
   }
 
   /** Cells probed per query — the standard IVF recall/cost dial: a
@@ -669,7 +717,7 @@ object VectorOps {
 
   def q_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (cells, cent) = kmeansCells(e, ivfLloydIters)
+    val (cells, cent) = kmeansCellsFor(s, dir, ivfLloydIters)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     ivfCandidates(cells, cent, q, 0, ivfNProbe)
       .orderBy(col("sim").desc, col("vec_id"))
@@ -708,7 +756,12 @@ object VectorOps {
       .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     val wCand = Window.partitionBy("qid")
       .orderBy(col("rel").desc, col("vec_id"))
-    val cand = graft.Caches.cached(
+    // pinned, not just cached: with the lazy step checkpoints below,
+    // step 1's selection, the anti-join legs and the simmat build all
+    // become parallel stages of ONE job, and a cold `cand` fill would
+    // race (the q_als disease — each leg recomputes the corpus scan +
+    // window). One eager fill, everything downstream reads warm.
+    val cand = graft.Caches.pinned(
       e.filter(col("vec_id") >= mmrQueries).crossJoin(qs)
         .select(col("qid"), col("vec_id"),
           cosine(col("embedding"), col("qe")).as("rel"), col("embedding"))
@@ -723,7 +776,11 @@ object VectorOps {
         .select(col("qid"), col("a_id"), col("b_id"),
           cosine(col("ea"), col("eb")).as("sim")))
     val candSlim = cand.drop("embedding")
-    var sel = Checkpoints.ckpt(
+    // lazy checkpoints: no driver decision separates the k greedy
+    // steps, so the final action materializes the whole chain as one
+    // job cascade instead of k eager checkpoint jobs (guide §1.2 —
+    // the steps run over ≤ q·C-row frames; scheduling dominated)
+    var sel = Checkpoints.ckptLazy(
       candSlim.withColumn("rn", row_number().over(wCand))
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id"), col("rel"),
@@ -746,7 +803,7 @@ object VectorOps {
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id"), col("rel"),
           lit(k.toLong).as("step"), col("mmr"))
-      sel = Checkpoints.ckpt(sel.union(pick))
+      sel = Checkpoints.ckptLazy(sel.union(pick))
     }
     sel.select(col("qid"), col("step"), col("vec_id"),
       round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))

@@ -1197,10 +1197,36 @@ object Streams {
     * declared streaming twin; the evidence is read from progress, it
     * never changes execution).
     */
+  /** Per-drain scratch root (checkpoint + emission landing): tmpfs
+    * when available, else java.io.tmpdir, overridable via
+    * `SPARK_GRAFT_STREAM_SCRATCH`. Rationale (guide §6 + the repo's
+    * documented host pathology): a drain writes per-partition state
+    * deltas, commit logs and the landing parquet per micro-batch —
+    * dozens of tiny files whose fsync latency on this VM's stalling
+    * block device dwarfed the state machine's compute, exactly why
+    * Bench already puts spark.local.dir on /dev/shm. These dirs are
+    * per-invocation scratch, deleted after the drain — a PRODUCTION
+    * streaming job instead checkpoints to reliable storage (that knob
+    * is this env var; the KV/LWW sink paths take explicit checkpoint
+    * locations already).
+    */
+  private def scratchTempDir(prefix: String): java.nio.file.Path = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+      .map(Paths.get(_))
+      .orElse {
+        val shm = Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm))
+          Some(shm.resolve("graft-stream")) else None
+      }
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix)
+  }
+
   private[graft] def drainWithEvidence[T](spark: SparkSession,
     stream: Dataset[T], mode: OutputMode, tag: String)
     (project: DataFrame => DataFrame): (DataFrame, Seq[BatchEvidence]) = {
-    val ck = Files.createTempDirectory(s"ck_$tag")
+    val ck = scratchTempDir(s"ck_$tag")
     // Emissions land in a temp PARQUET dir via foreachBatch (which
     // accepts every output mode), NOT a memory sink: the memory sink
     // serializes EVERY emission to the driver, which is exactly the
@@ -1209,7 +1235,7 @@ object Streams {
     // projection ever ran. With a file landing zone the emissions
     // stay on executors/disk and `project` runs as a distributed
     // aggregation; only its bounded result is collected.
-    val land = Files.createTempDirectory(s"emit_$tag")
+    val land = scratchTempDir(s"emit_$tag")
     val emitSchema = stream.schema
     // one OVERWRITTEN subdir per batchId: foreachBatch is
     // at-least-once, so a replayed batch must land idempotently (a
