@@ -45,15 +45,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing should respect the target partition size
-      // instead of splitting shuffles into per-core slivers: with
-      // parallelismFirst (the default) every tiny post-shuffle stage
-      // fans out to `cpus` near-empty tasks — the Spark docs
-      // themselves recommend false for non-interactive workloads
-      // (guide §2.2: fewer, larger reduce partitions). Scale-neutral:
-      // the advisory size (64 MB default) governs at any SF.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+      // AQE coalescing stays at the parallelism-first default:
+      // respecting the 64 MB advisory size instead
+      // (parallelismFirst=false, the docs' batch-ETL suggestion) was
+      // MEASURED here and reverted — at bench scale it coalesces
+      // every post-shuffle stage to ONE partition, serializing
+      // sort/window/state-heavy operators (A/B, min of 3:
+      // q_window_frame 1.0 → 3.2 s, q_agg_quantile 1.6 → 3.4 s,
+      // q_stream_psi 1.8 → 7.6 s, q_pagerank_conv 12.6 → 19.0 s).
       // the generated-class cache defaults to 100 entries — a
       // 256-query session compiles thousands of codegen fragments,
       // so by the time a query is re-run (the min-of-passes

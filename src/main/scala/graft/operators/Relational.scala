@@ -805,6 +805,12 @@ object Relational {
     // jobs, ~0.1 s scheduling each) stays CONSTANT as data grows —
     // at any SF the corpus contributes one aggregate pass, the
     // recursion a fixed 24 steps
+    // coalesce(1): the spine is ≤ 24 calendar rows, and every one of
+    // the 24 recursion steps below joins the 1-row frontier against
+    // it — materializing it as one partition makes each step a
+    // single-task stage instead of shuffle.partitions near-empty
+    // tasks (calendar-bounded at ANY corpus size, so this is not a
+    // local-only constant)
     Checkpoints.ckpt(s.sql(
       s"""SELECT mon, rev_cents,
         |  CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i
@@ -814,7 +820,7 @@ object Relational {
         |  FROM $ov GROUP BY 1)
         |WHERE mon >= add_months(
         |  (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
-        |   FROM $ov), -23)""".stripMargin))
+        |   FROM $ov), -23)""".stripMargin).coalesce(1))
       .createOrReplaceTempView(iv)
     s.sql(s"""WITH RECURSIVE bal(i, mon, rev_cents, balance_cents) AS (
       |  SELECT i, mon, rev_cents, rev_cents FROM $iv WHERE i = 1

@@ -601,9 +601,10 @@ object Streams {
     val boundary2 = b.getLong(0) + b.getLong(1)
     val ref = batch.filter(col("e") * 2 <= boundary2)
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c_ref"))
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, currentHistSnapshots(s, events, boundary2),
-      OutputMode.Update, "stream_psi") { sink =>
+      OutputMode.Update, "stream_psi", Seq(evDir)) { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("rev").desc)
       val cur = sink.withColumn("rn", row_number().over(w))
@@ -963,9 +964,10 @@ object Streams {
     * exact by construction.
     */
   def q_stream_funnel(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, funnelStages(s, events),
-      OutputMode.Update, "stream_funnel") { sink =>
+      OutputMode.Update, "stream_funnel", Seq(evDir)) { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("rev").desc)
       val last = sink.withColumn("rn", row_number().over(w))
@@ -1188,9 +1190,47 @@ object Streams {
     stateRowsTotal: Long, stateRowsUpdated: Long, batchDurationMs: Long)
 
   private def drainAndProject[T](spark: SparkSession, stream: Dataset[T],
-    mode: OutputMode, tag: String)(project: DataFrame => DataFrame)
+    mode: OutputMode, tag: String, srcDirs: Seq[String] = Nil)
+    (project: DataFrame => DataFrame)
     : DataFrame =
-    drainWithEvidence(spark, stream, mode, tag)(project)._1
+    drainWithEvidence(spark, stream, mode, tag, srcDirs)(project)._1
+
+  /** Scale-adaptive shuffle-partition count for a drain: stateful
+    * streaming parallelism IS the shuffle-partition count (every
+    * partition is a state store with fixed per-batch commit cost, and
+    * AQE cannot coalesce stateful exchanges), so it must track the
+    * stream's volume, not the batch session's core count — at bench
+    * scale 32 state stores over a 2 MB source measured 2.3× the
+    * drain cost of 4 (q_stream_join 9.3 → 4.0 s, q_stream_markov
+    * 2.1 → 1.4 s, min of 2). ~32 MB of source per partition, floor 4
+    * (state-store parallelism never collapses to one), capped at the
+    * session setting (cluster-sized sessions keep cluster
+    * parallelism; a real deployment pins this per-job the same way —
+    * the partition count is baked into the checkpoint).
+    */
+  private def streamShuffleParts(spark: SparkSession,
+    srcDirs: Seq[String]): Option[Int] =
+    if (srcDirs.isEmpty) None
+    else {
+      val bytes = srcDirs.map { d =>
+        try {
+          val p = Paths.get(d)
+          if (Files.isDirectory(p)) {
+            val walk = Files.walk(p)
+            try walk.filter(Files.isRegularFile(_))
+              .mapToLong(Files.size(_)).sum()
+            finally walk.close()
+          } else Files.size(p)
+        } catch { case _: Throwable => 0L }
+      }.sum
+      if (bytes <= 0L) None
+      else {
+        val sess = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val per = 32L << 20
+        val sized = math.max(4L, (bytes + per - 1) / per)
+        Some(math.min(sess.toLong, sized).toInt)
+      }
+    }
 
   /** [[drainAndProject]] plus the per-batch [[BatchEvidence]] trail —
     * the multi-batch scale-evidence path (same code path as every
@@ -1224,8 +1264,16 @@ object Streams {
   }
 
   private[graft] def drainWithEvidence[T](spark: SparkSession,
-    stream: Dataset[T], mode: OutputMode, tag: String)
+    stream: Dataset[T], mode: OutputMode, tag: String,
+    srcDirs: Seq[String] = Nil)
     (project: DataFrame => DataFrame): (DataFrame, Seq[BatchEvidence]) = {
+    // stateful-stream parallelism (see [[streamShuffleParts]]): set
+    // for the drain, restored before the batch projection below —
+    // the conf is read once at query start and the fresh checkpoint
+    // pins it, so this is exactly the per-job state-partition choice
+    // a production deployment makes
+    val partsOverride = streamShuffleParts(spark, srcDirs)
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
     val ck = scratchTempDir(s"ck_$tag")
     // Emissions land in a temp PARQUET dir via foreachBatch (which
     // accepts every output mode), NOT a memory sink: the memory sink
@@ -1243,16 +1291,25 @@ object Streams {
     // re-emits the WHOLE aggregate each batch, so only the last
     // batch's subdir may be read — the memory sink's skip-committed
     // and truncate semantics, reproduced on files
-    val q = stream.toDF().writeStream
-      .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("overwrite")
-          .parquet(s"$land/b${"%09d".format(id)}")
+    partsOverride.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val q =
+      try {
+        val started = stream.toDF().writeStream
+          .outputMode(mode)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(s"$land/b${"%09d".format(id)}")
+          }
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally {
+        if (partsOverride.isDefined)
+          spark.conf.set("spark.sql.shuffle.partitions", sessParts)
       }
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     val evidence = q.recentProgress.toSeq
       .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
       .groupBy(_.batchId).map(_._2.last).toSeq.sortBy(_.batchId)
@@ -1303,9 +1360,10 @@ object Streams {
     * separately in StreamingSpec.
     */
   def q_stream_markov(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, markovTransitions(s, events),
-      OutputMode.Append, "stream_markov") { sink =>
+      OutputMode.Append, "stream_markov", Seq(evDir)) { sink =>
       val tr = sink.groupBy("src_type", "dst_type")
         .agg(count(lit(1)).as("cnt"))
       // per-source total via window, not the batch twin's broadcast
@@ -1329,9 +1387,10 @@ object Streams {
     * delivery contract.
     */
   def q_stream_paths(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, pathTrigrams(s, events),
-      OutputMode.Append, "stream_paths") { sink =>
+      OutputMode.Append, "stream_paths", Seq(evDir)) { sink =>
       sink.groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(20)
@@ -1347,9 +1406,10 @@ object Streams {
     * sessions).
     */
   def q_stream_retention(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, retentionSnapshots(s, events),
-      OutputMode.Update, "stream_retention") { sink =>
+      OutputMode.Update, "stream_retention", Seq(evDir)) { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("rev").desc)
       sink.withColumn("rn", row_number().over(w))
@@ -1381,7 +1441,7 @@ object Streams {
     maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
     val events = eventsStream(s, eventsDir, maxFiles)
     drainWithEvidence(s, sessionSnapshots(s, events),
-      OutputMode.Update, "stream_sessionize") { sink =>
+      OutputMode.Update, "stream_sessionize", Seq(eventsDir)) { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id", "session_id").orderBy(col("rev").desc)
       sink.withColumn("rn", row_number().over(w))
@@ -1408,9 +1468,10 @@ object Streams {
     * is calendar-bounded (hours × types).
     */
   def q_stream_windowed(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, windowedCounts(events),
-      OutputMode.Complete, "stream_windowed") { sink =>
+      OutputMode.Complete, "stream_windowed", Seq(evDir)) { sink =>
       sink.orderBy("bucket", "event_type")
     }
   }
@@ -1481,7 +1542,7 @@ object Streams {
     maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
     val events = eventsStream(s, eventsDir, maxFiles)
     drainWithEvidence(s, asofEnrich(s, events),
-      OutputMode.Append, "stream_asof") { sink =>
+      OutputMode.Append, "stream_asof", Seq(eventsDir)) { sink =>
       sink.select("event_id", "prev_purchase_id").orderBy("event_id")
     }
   }
@@ -1529,9 +1590,10 @@ object Streams {
     * machine must reproduce the global sort's head exactly.
     */
   def q_stream_topk(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, streamableDir(s"$dir/events.parquet"))
+    val evDir = streamableDir(s"$dir/events.parquet")
+    val events = eventsStream(s, evDir)
     drainAndProject(s, topkPerType(s, events),
-      OutputMode.Update, "stream_topk") { sink =>
+      OutputMode.Update, "stream_topk", Seq(evDir)) { sink =>
       val byType = org.apache.spark.sql.expressions.Window
         .partitionBy("_1").orderBy(col("_2").desc)
       sink.withColumn("rn", row_number().over(byType))
@@ -1585,7 +1647,7 @@ object Streams {
     val r = s.readStream.schema(docsRawSchema)
     maxFiles.foreach(n => r.option("maxFilesPerTrigger", n))
     drainWithEvidence(s, dedupState(s, r.parquet(docsDir)),
-      OutputMode.Update, "stream_dedup") { sink =>
+      OutputMode.Update, "stream_dedup", Seq(docsDir)) { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("_1").orderBy(col("_3").desc)
       sink.withColumn("rn", row_number().over(w))
@@ -1606,7 +1668,7 @@ object Streams {
     maxFiles: Option[Int]): (DataFrame, Seq[BatchEvidence]) = {
     val events = eventsStream(s, eventsDir, maxFiles)
     drainWithEvidence(s, statefulLww(s, events),
-      OutputMode.Update, "stream_lww") { sink =>
+      OutputMode.Update, "stream_lww", Seq(eventsDir)) { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       sink.withColumn("rn", row_number().over(w))
@@ -1657,8 +1719,8 @@ object Streams {
     val pairs = followupJoin(
       eventsStream(s, eventsDir, maxFiles).select("event_id", "ts", "user_id"),
       eventsStream(s, eventsDir, maxFiles).select("event_id", "ts", "user_id"))
-    drainWithEvidence(s, pairs, OutputMode.Append, "stream_join")(
-      followupProject)
+    drainWithEvidence(s, pairs, OutputMode.Append, "stream_join",
+      Seq(eventsDir))(followupProject)
   }
 
   def q_stream_join(s: SparkSession, dir: String): DataFrame =
