@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped once-per-key computation memo — the shared
+  * implementation of the pattern the graph substrate established
+  * (GraphOps.substrateMemo) and that bpeTrain / kmeansCells /
+  * connectedComponents consumers need too: a multi-job derivation
+  * whose per-step checkpoints mint fresh LogicalRDDs, so
+  * CacheManager plan-dedup can never unify two invocations and each
+  * consumer would otherwise pay the whole build again.
+  *
+  * Discipline (the r8 lessons, verbatim from coEdgesEnc):
+  *  - the value is a lazily-RUN FutureTask memoized with putIfAbsent,
+  *    so the build executes OUTSIDE any map lock (a build that runs
+  *    Spark jobs inside a CHM bin lock blocks unrelated keys and can
+  *    deadlock on re-entry); losers block on the future;
+  *  - a failed build removes its entry so a later call retries
+  *    instead of caching the exception forever;
+  *  - entries evict when the owning SparkContext ends (one listener
+  *    per context, self-unregistering).
+  *
+  * This memoizes PLANS/frames within one session — never results
+  * across runs: every action over the memoized value still computes
+  * from the parquet inputs.
+  */
+final class SessionMemo[K, V] {
+  private val map = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, K), java.util.concurrent.FutureTask[V]]()
+  private val hooks =
+    new java.util.concurrent.ConcurrentHashMap[SparkContext, Unit]()
+
+  private def registerEviction(sc: SparkContext): Unit =
+    hooks.computeIfAbsent(sc, { _ =>
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          map.keySet.removeIf(_._1.sparkContext eq sc)
+          hooks.remove(sc)
+          sc.removeSparkListener(this)
+        }
+      })
+      ()
+    })
+
+  def get(s: SparkSession, key: K)(build: => V): V = {
+    registerEviction(s.sparkContext)
+    val k = (s, key)
+    val fresh = new java.util.concurrent.FutureTask[V](() => build)
+    val prior = map.putIfAbsent(k, fresh)
+    val task = if (prior == null) { fresh.run(); fresh } else prior
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        map.remove(k, task)
+        throw e.getCause
+    }
+  }
+}

@@ -930,8 +930,21 @@ object TextOps {
     labels
   }
 
+  /** The minhash near-dup component labels, once per session: FOUR
+    * declared queries (q_dedup_cluster, q_dedup_canonical,
+    * q_cluster_stats-family, q_dup_share-family) consume the same
+    * labeling, and the per-iteration checkpoints inside
+    * [[connectedComponents]] defeat plan-dedup, so each consumer
+    * re-ran the whole pointer-jumping loop (the bpeTrain lesson).
+    */
+  private val ccMinhashMemo = new SessionMemo[String, DataFrame]
+
+  private def minhashComponents(s: SparkSession, dir: String): DataFrame =
+    ccMinhashMemo.get(s, dir)(
+      connectedComponents(minhashCandidatePairs(s, dir)))
+
   def q_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+    val labels = minhashComponents(s, dir)
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -1004,7 +1017,7 @@ object TextOps {
     * candidate-capped upstream) + one aggregate.
     */
   def q_dedup_canonical(s: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+    val labels = minhashComponents(s, dir)
       .withColumnRenamed("id", "doc_id")
     val assign = t(s, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
@@ -2402,41 +2415,11 @@ object TextOps {
     * rounds ran TWICE per session. Same within-session sharing the
     * graph substrate uses; entries evict with the owning context.
     */
-  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
-    java.util.concurrent.FutureTask[(DataFrame, DataFrame)]]()
-
-  private val bpeEvict = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.SparkContext, Unit]()
+  private val bpeMemo = new SessionMemo[String, (DataFrame, DataFrame)]
 
   private[graft] def bpeTrain(s: SparkSession, dir: String)
-    : (DataFrame, DataFrame) = {
-    bpeEvict.computeIfAbsent(s.sparkContext, { sc =>
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          bpeMemo.keySet.removeIf(_._1.sparkContext eq sc)
-          bpeEvict.remove(sc)
-          sc.removeSparkListener(this)
-        }
-      })
-      ()
-    })
-    // lazily-RUN FutureTask outside any map lock (the coEdgesEnc
-    // discipline): the trainer runs Spark jobs, which must never
-    // execute inside a CHM bin lock
-    val key = (s, dir)
-    val fresh = new java.util.concurrent.FutureTask[(DataFrame, DataFrame)](
-      () => bpeTrainImpl(s, dir))
-    val prior = bpeMemo.putIfAbsent(key, fresh)
-    val task = if (prior == null) { fresh.run(); fresh } else prior
-    try task.get()
-    catch {
-      case e: java.util.concurrent.ExecutionException =>
-        bpeMemo.remove(key, task)
-        throw e.getCause
-    }
-  }
+    : (DataFrame, DataFrame) =
+    bpeMemo.get(s, dir)(bpeTrainImpl(s, dir))
 
   private def bpeTrainImpl(s: SparkSession, dir: String)
     : (DataFrame, DataFrame) = {
@@ -2960,7 +2943,7 @@ object TextOps {
     * broadcast-scale join + one 5-row aggregate.
     */
   def q_dup_share(s: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+    val labels = minhashComponents(s, dir)
     t(s, dir, "documents").select(col("doc_id"), col("source"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
         "left_outer")
@@ -2989,7 +2972,7 @@ object TextOps {
     * one 3-row aggregate.
     */
   def q_quality_vs_dup(s: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(minhashCandidatePairs(s, dir))
+    val labels = minhashComponents(s, dir)
     val scored = withToks(t(s, dir, "documents"), col("doc_id"),
       nospaceC.as("__nospace"))
       .select(col("doc_id"),

@@ -649,38 +649,13 @@ object VectorOps {
     * (the bpeTrain lesson). FutureTask outside the map lock — the
     * coEdgesEnc discipline.
     */
-  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int),
-    java.util.concurrent.FutureTask[(DataFrame, DataFrame)]]()
-
-  private val kmeansEvict = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.SparkContext, Unit]()
+  private val kmeansMemo =
+    new SessionMemo[(String, Int), (DataFrame, DataFrame)]
 
   private[graft] def kmeansCellsFor(s: SparkSession, dir: String,
-    iters: Int): (DataFrame, DataFrame) = {
-    kmeansEvict.computeIfAbsent(s.sparkContext, { sc =>
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          kmeansMemo.keySet.removeIf(_._1.sparkContext eq sc)
-          kmeansEvict.remove(sc)
-          sc.removeSparkListener(this)
-        }
-      })
-      ()
-    })
-    val key = (s, dir, iters)
-    val fresh = new java.util.concurrent.FutureTask[(DataFrame, DataFrame)](
-      () => kmeansCells(t(s, dir, "embeddings"), iters))
-    val prior = kmeansMemo.putIfAbsent(key, fresh)
-    val task = if (prior == null) { fresh.run(); fresh } else prior
-    try task.get()
-    catch {
-      case e: java.util.concurrent.ExecutionException =>
-        kmeansMemo.remove(key, task)
-        throw e.getCause
-    }
-  }
+    iters: Int): (DataFrame, DataFrame) =
+    kmeansMemo.get(s, (dir, iters))(
+      kmeansCells(t(s, dir, "embeddings"), iters))
 
   /** Cells probed per query — the standard IVF recall/cost dial: a
     * query near a cell boundary has true neighbors in the adjacent
