@@ -114,6 +114,16 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
     for (pass <- 1 to fullPasses) {
+      // charge EVERY pass cold (r10 verdict item 3): without this
+      // release, pass 2 re-read every session cache/SessionMemo warm,
+      // so the recorded per-query min excluded the one-time shared
+      // builds (minhash pair list, components, BPE trainer, k-means
+      // quantizer, shingle index) entirely. Caches.releaseAll() also
+      // sweeps the SessionMemos via their release hooks; within a
+      // pass, shared builds are still charged once to their first
+      // consumer (query order is identical across passes, so mins
+      // stay comparable).
+      if (pass > 1) Caches.releaseAll()
       var total = 0.0
       SparkEntry.queries.foreach { case (name, fn) =>
         val dt = timed(name, fn, s"pass$pass")
@@ -166,6 +176,11 @@ object Bench {
     for (pass <- fullPasses + 1 to fullPasses + 2) {
       val slow = best.filter { case (n, v) => v >= 0 && stallSuspect(n, v) }
         .keys.toSeq
+      // retries follow the same cold-pass rule as full passes: a
+      // retried query pays its own shared builds (min() folds, so a
+      // warm-looking retry could otherwise beat an honestly-charged
+      // pass min)
+      if (slow.nonEmpty) Caches.releaseAll()
       slow.foreach { name =>
         // fold ONLY a successful retry into the min: a retry that fails
         // (transient OOM in a stall burst) returns the -1 sentinel, and

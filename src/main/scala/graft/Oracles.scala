@@ -3503,6 +3503,14 @@ object Oracles {
     // back to BIGINT — the nbScale discipline; zero float surface).
     // CTEs MATERIALIZED: each h_i/a_i is referenced by the next round
     // AND the final top-k (the q_pagerank_conv inlining lesson).
+    // Each round's sum is CAST back to BIGINT: DuckDB widens
+    // sum(BIGINT) to HUGEINT, and an exposed HUGEINT column converts
+    // to float64 on the pandas fetch path (4001210615380 →
+    // "4.001211e+12") — the r9/r10 driver hash mismatch on `raw` while
+    // rows/schema matched and the fetchall-based repo comparator
+    // passed. Values are unchanged (3-round scores bound ≈8·10¹⁵ ≪
+    // 2⁶³, see the q_hits scaladoc); only the declared result type
+    // narrows to what the Spark dump already writes (int64).
     "q_hits" -> {
       import graft.operators.GraphOps.{hitsIters, hitsTopK, hitsScale}
       val base =
@@ -3513,9 +3521,11 @@ object Oracles {
            |  SELECT DISTINCT dst AS node, CAST(1 AS BIGINT) AS a FROM sedges)""".stripMargin
       val rounds = (1 to hitsIters).map { i =>
         s""",
-           |h$i AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+           |h$i AS MATERIALIZED (SELECT e.src AS node,
+           |  CAST(sum(a.a) AS BIGINT) AS h
            |  FROM sedges e JOIN a${i - 1} a ON e.dst = a.node GROUP BY e.src),
-           |a$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+           |a$i AS MATERIALIZED (SELECT e.dst AS node,
+           |  CAST(sum(h.h) AS BIGINT) AS a
            |  FROM sedges e JOIN h$i h ON e.src = h.node GROUP BY e.dst)""".stripMargin
       }.mkString
       base + rounds +

@@ -21,15 +21,32 @@ import org.apache.spark.sql.SparkSession
   *  - entries evict when the owning SparkContext ends (one listener
   *    per context, self-unregistering).
   *
+  * Two r10-verdict fixes on top:
+  *  - the key includes the context's CHECKPOINT DIR at build time: a
+  *    memoized frame bakes in the checkpoint mode its build ran under
+  *    (localCheckpoint vs reliable `checkpoint()`), so returning it
+  *    after `sc.setCheckpointDir(...)` silently kept executor-pinned
+  *    localCheckpoint lineage — exactly the cluster-survivability
+  *    property ReliableCheckpointSpec exists to protect. Keying on
+  *    the dir makes a mode change a cache miss, never a stale hit;
+  *  - every instance registers with [[graft.Caches.addReleaseHook]]
+  *    at construction, so `Caches.releaseAll()` (the end-of-measured-
+  *    run sweep, and the between-bench-passes cold reset) drops memo
+  *    entries together with the Spark caches they shadow. Without it
+  *    the bench's min-of-passes protocol recorded warm-memo numbers:
+  *    pass 2 never re-paid the shared builds.
+  *
   * This memoizes PLANS/frames within one session — never results
   * across runs: every action over the memoized value still computes
   * from the parquet inputs.
   */
 final class SessionMemo[K, V] {
   private val map = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, K), java.util.concurrent.FutureTask[V]]()
+    (SparkSession, Option[String], K), java.util.concurrent.FutureTask[V]]()
   private val hooks =
     new java.util.concurrent.ConcurrentHashMap[SparkContext, Unit]()
+
+  graft.Caches.addReleaseHook(() => map.clear())
 
   private def registerEviction(sc: SparkContext): Unit =
     hooks.computeIfAbsent(sc, { _ =>
@@ -46,7 +63,7 @@ final class SessionMemo[K, V] {
 
   def get(s: SparkSession, key: K)(build: => V): V = {
     registerEviction(s.sparkContext)
-    val k = (s, key)
+    val k = (s, s.sparkContext.getCheckpointDir, key)
     val fresh = new java.util.concurrent.FutureTask[V](() => build)
     val prior = map.putIfAbsent(k, fresh)
     val task = if (prior == null) { fresh.run(); fresh } else prior

@@ -1212,17 +1212,12 @@ object Streams {
     srcDirs: Seq[String]): Option[Int] =
     if (srcDirs.isEmpty) None
     else {
-      val bytes = srcDirs.map { d =>
-        try {
-          val p = Paths.get(d)
-          if (Files.isDirectory(p)) {
-            val walk = Files.walk(p)
-            try walk.filter(Files.isRegularFile(_))
-              .mapToLong(Files.size(_)).sum()
-            finally walk.close()
-          } else Files.size(p)
-        } catch { case _: Throwable => 0L }
-      }.sum
+      // Hadoop-FS sizing (r10 verdict item 5): the java.nio walk this
+      // replaces threw on hdfs://‌/s3a:// URIs, was swallowed to 0,
+      // and the scale-adaptive sizing collapsed to its floor exactly
+      // where it matters
+      val bytes =
+        srcDirs.map(graft.sinks.Layout.sourceBytes(spark, _)).sum
       if (bytes <= 0L) None
       else {
         val sess = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

@@ -137,4 +137,19 @@ class LayoutSpec extends AnyFunSuite {
     // nothing lost in the reshape
     assert(spark.read.parquet(zPath).count() == ev.count())
   }
+
+  test("sourceBytes resolves through the Hadoop FileSystem API " +
+    "(URI paths size correctly; missing paths are 0, not an error)") {
+    val plain = s"$dir/lineitem.parquet"
+    val bytes = Layout.sourceBytes(spark, plain)
+    assert(bytes > 0, s"local sizing broke: $plain -> $bytes")
+    // a scheme-qualified URI is what an object-store deployment
+    // passes (hdfs://, s3a://). java.nio.Paths.get treated the scheme
+    // as a relative path component and sized it 0 — the r10 silent
+    // floor-collapse; the Hadoop Path must resolve it identically to
+    // the plain form
+    assert(Layout.sourceBytes(spark, s"file:$plain") == bytes,
+      "scheme-qualified URI sized differently from the plain path")
+    assert(Layout.sourceBytes(spark, s"$dir/no_such.parquet") == 0L)
+  }
 }
