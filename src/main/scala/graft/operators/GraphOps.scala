@@ -113,6 +113,21 @@ object GraphOps {
   private[graft] val prConvThetaDen = 100L
   private[graft] val prConvMaxIters = 40
 
+  /** Sub-iterations chained per driver-synced job in
+    * [[q_pagerank_conv]]. The r10 measurement showed the query is
+    * per-iteration scheduling-floor-bound (12.2 s for 32 iterations,
+    * 8-vs-32-core scaling ratio 1.02): each driver round trip costs
+    * ~0.4 s regardless of data. Batching trades ≤ k−1 sub-iterations
+    * of overshoot compute (the convergence test now runs every k) for
+    * ⌈iters/k⌉ jobs instead of `iters` — and the oracle twin unrolls
+    * ALL [[prConvMaxIters]] rounds unconditionally, so overshoot can
+    * never diverge from it. k=4: at the observed crossing depth (~32
+    * at every SF — θ is scale-free) that is 8 jobs and zero expected
+    * overshoot, while capping wasted |E|-join work at 3 rounds if a
+    * fixture crosses mid-batch.
+    */
+  private[graft] val prConvBatch = 8
+
   /** Run-to-convergence PageRank — the production form of
     * [[q_pagerank]] (fixed 3 iterations is the oracle-gated demo;
     * real link analysis iterates until the rank vector stops moving).
@@ -122,12 +137,16 @@ object GraphOps {
     * observable in the output (`n_iters` — every row carries it).
     *
     * Scale shape: one |E| join + partial-combining aggregate per
-    * iteration against the bucketed substrate (exchange-free on the
-    * edge side), a |V|-row checkpoint per iteration (the
+    * sub-iteration against the bucketed substrate (exchange-free on
+    * the edge side), a |V|-row checkpoint per sub-iteration (the
     * q_dedup_cluster lineage-truncation discipline — without it the
-    * plan tree doubles per round), and ONE driver-side scalar per
-    * iteration (the convergence test — canonical distributed
-    * iterate-until-converge; the collect is a single BIGINT).
+    * plan tree doubles per round), and ONE driver-side action per
+    * [[prConvBatch]] sub-iterations: the batch's per-sub-iteration
+    * exact L1 deltas are unioned (k single-row aggregates over the
+    * chained lazily-checkpointed rank frames) and collected together,
+    * so the driver still observes EVERY delta and stops at the exact
+    * first iteration under θ — identical n_iters and ranks to the
+    * one-job-per-iteration form, at ⌈depth/k⌉ driver syncs.
     */
   def q_pagerank_conv(s: SparkSession, dir: String): DataFrame = {
     val edges = coEdgesEnc(s, dir)
@@ -135,34 +154,98 @@ object GraphOps {
     val degN = deg.withColumnRenamed("src", "node")
     val n = deg.count()
     val theta = prScale / prConvThetaDen
-    var rank = degN.select(col("node"), lit(prScale / n).as("nr"))
-    var iters = 0
-    var delta = Long.MaxValue
-    while (iters < prConvMaxIters && delta >= theta) {
-      val msg = rank.join(degN, "node")
-        .select(col("node").as("src"), expr("nr div deg").as("m"))
-      val contrib = edges.join(msg.hint("shuffle_hash"), "src")
-        .select(col("dst"), col("m").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("sc"))
-      // the previous rank is joined INTO the checkpointed frame, so
-      // one job materializes (node, nr, prev) and the convergence
-      // test is a scan-only aggregate of the checkpoint — not a
-      // second |V|⋈|V| shuffle join per iteration. LAZY checkpoint:
-      // the delta collect below is the materializing action, so each
-      // iteration schedules ONE job, not two (guide §1.2 — the loop's
-      // cost at bench scale is per-iteration job overhead, not data)
-      val next = Checkpoints.ckptLazy(contrib
-        .select(col("dst").as("node"),
-          expr(s"${prTeleportNano}L div ${n}L" +
-            s" + (${prDampNum}L * sc) div ${prDampDen}L").as("nr"))
-        .join(rank.select(col("node"), col("nr").as("prev")), "node"))
-      delta = next
-        .agg(sum(abs(col("nr") - col("prev"))).as("d"))
-        .collect()(0).getLong(0)
-      rank = next.select("node", "nr")
-      iters += 1
+    // |V|-sized shuffle-partition override for the loop (restored in
+    // the finally): stack sampling showed the iteration floor is the
+    // bypass-merge shuffle writer's per-partition file churn — every
+    // tiny |V| exchange wrote session-parallelism² blocks per
+    // iteration (32 maps × 32 reducers at bench scale) and the mmap
+    // concat of those ~KB files dominated executor time. The rank
+    // frame is |V| rows (~24 B each), so partitions derive from |V|
+    // (~250k rows ≈ 6 MB per partition, floor 4, capped at the
+    // session setting so cluster-sized sessions keep cluster
+    // parallelism — the streamShuffleParts discipline). The |E| side
+    // is untouched: the bucketed substrate join keeps its own bucket
+    // count, so per-iteration edge parallelism is unchanged.
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions", "32")
+    val vParts = math.max(4L,
+      math.min(sessParts.toInt.toLong, n / 250000L + 1)).toInt
+    // deg RIDES THE RANK FRAME: every node receives mass every round
+    // (symmetric substrate ⇒ deg ≥ 1 and no dangling nodes), so the
+    // node set is invariant and deg can be carried through each
+    // checkpoint instead of re-joined — the per-iteration
+    // rank ⋈ degN message join (one |V| exchange + join stage per
+    // round, 32 rounds) disappears; msg becomes a pure projection of
+    // the checkpointed frame. Arithmetic is unchanged.
+    var rank = degN.select(col("node"), lit(prScale / n).as("nr"),
+      col("deg"))
+    var iters = 0      // first iteration index where delta < θ, once found
+    var converged = false
+    s.conf.set("spark.sql.shuffle.partitions", vParts.toString)
+    try {
+    while (!converged && iters < prConvMaxIters) {
+      val batch = math.min(prConvBatch, prConvMaxIters - iters)
+      // chain `batch` sub-iterations lazily: each next_j carries its
+      // own prev column, so its delta is a scan-only aggregate of the
+      // (lazily local-checkpointed) frame — materialized inside the
+      // single collect below, never by a per-sub-iteration job
+      val nexts = new Array[DataFrame](batch)
+      var cur = rank
+      for (j <- 0 until batch) {
+        // ONE shared exchange per sub-iteration: the checkpoint's
+        // LogicalRDD scan reports UnknownPartitioning (verified in the
+        // r11 plan dumps — even eager checkpoints lose it under AQE),
+        // so the msg branch and the prev branch each re-keyed the rank
+        // frame separately (hash(src) exchange + shuffle→broadcast,
+        // ~5 AQE stage-jobs per iteration at ~100 ms scheduling floor
+        // each). An explicit repartition(node) is ONE exchange that
+        // both branches reuse (ReuseExchange unifies the identical
+        // subplans), the bucketed edge join reads the alias-rewritten
+        // hash(node→src) side exchange-free, and the prev join is
+        // co-partitioned with the groupBy(dst) output — no broadcast
+        // stage. (A persist-based cut would keep partitioning without
+        // the explicit exchange, but each iteration references the
+        // prior frame TWICE, so an un-truncated plan string grows
+        // 2^depth — the stringification hang is why the checkpoint
+        // stays.)
+        val curP = cur.repartition(col("node"))
+        val msg = curP
+          .select(col("node").as("src"), expr("nr div deg").as("m"))
+        val contrib = edges.join(msg.hint("shuffle_hash"), "src")
+          .select(col("dst"), col("m").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        val next = Checkpoints.ckptLazy(contrib
+          .select(col("dst").as("node"),
+            expr(s"${prTeleportNano}L div ${n}L" +
+              s" + (${prDampNum}L * sc) div ${prDampDen}L").as("nr"))
+          .join(curP.select(col("node"), col("nr").as("prev"),
+            col("deg")).hint("shuffle_hash"), "node"))
+        nexts(j) = next
+        cur = next.select("node", "nr", "deg")
+      }
+      // ONE action per batch, ONE aggregate for ALL k deltas: a
+      // tagged union into a single groupBy(j) replaces k separate
+      // SinglePartition exchanges (k−1 fewer tiny AQE stages per
+      // batch); the explicit index is what the stopping rule reads
+      val deltas = nexts.zipWithIndex.map { case (df, j) =>
+        df.select(lit(j).as("j"), col("nr"), col("prev"))
+      }.reduce(_ union _)
+        .groupBy("j").agg(sum(abs(col("nr") - col("prev"))).as("d"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val firstUnder = (0 until batch).find(j => deltas(j) < theta)
+      firstUnder match {
+        case Some(j) =>
+          converged = true
+          iters += j + 1
+          rank = nexts(j).select("node", "nr", "deg")
+        case None =>
+          iters += batch
+          rank = nexts(batch - 1).select("node", "nr", "deg")
+      }
     }
-    rank.join(degN, "node")
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
+    // deg already rides the rank frame — no final degN join either
+    rank
       .select(col("node"), col("deg"),
         (col("nr").cast("double") / lit(prScale).cast("double"))
           .as("pagerank"),
@@ -290,8 +373,19 @@ object GraphOps {
     * degree-oriented enumeration.
     */
   def q_triangles(s: SparkSession, dir: String): DataFrame =
-    triangleCounts(cached(
-      graft.operators.TextOps.minhashCandidatePairs(s, dir)))
+    // plan-TRUNCATED pair list (r11): triangleCounts references its
+    // input ~6 times (two degree joins, the orientation, both wedge
+    // legs, the closing join), and each reference re-embeds the whole
+    // nested LSH subtree — the printed plan was 3679 lines with 95
+    // parquet-scan subtrees, and q_triangles spent ~3.5 s PLANNING a
+    // 826-pair graph (TriSkewDiag: skew absent — max outdeg 12,
+    // 2374 wedge rows; the wedge join itself is trivial here). ckpt
+    // collapses the input to one leaf, exactly why q_kcore (which
+    // already ckpt's the same pairs) ran 4× faster on the same input.
+    // Eager, so the shared family cache fills here as before;
+    // reliable mode upgrades automatically.
+    triangleCounts(Checkpoints.ckpt(cached(
+      graft.operators.TextOps.minhashCandidatePairs(s, dir))))
       .orderBy(col("n_tri").desc, col("cc").desc, col("node"))
       .limit(50)
 
@@ -567,16 +661,12 @@ object GraphOps {
     * measured local behavior unchanged.
     */
   private def substrateBuckets(s: SparkSession, d: String): Int = {
-    val src = java.nio.file.Paths.get(d, "lineitem.parquet")
-    val bytes =
-      try {
-        if (java.nio.file.Files.isDirectory(src)) {
-          val walk = java.nio.file.Files.walk(src)
-          try walk.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-          finally walk.close()
-        } else java.nio.file.Files.size(src)
-      } catch { case _: Throwable => 0L }
+    // Hadoop-FS sizing (r10 verdict item 5): the java.nio walk this
+    // replaces threw on hdfs://‌/s3a:// URIs and silently fell back to
+    // the floor exactly at cluster scale. lineitem IS the substrate's
+    // source table (the edge list is derived from it alone).
+    val bytes = graft.sinks.Layout.sourceBytes(
+      s, d.stripSuffix("/") + "/lineitem.parquet")
     val floor = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val perBucket = 64L << 20
     val sized = (bytes + perBucket - 1) / perBucket

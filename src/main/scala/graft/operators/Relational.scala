@@ -811,7 +811,20 @@ object Relational {
     // single-task stage instead of shuffle.partitions near-empty
     // tasks (calendar-bounded at ANY corpus size, so this is not a
     // local-only constant)
-    Checkpoints.ckpt(s.sql(
+    // r11: the recursive CTE executed one Spark job per step (24
+    // driver-synced ~0.1 s jobs over a ≤24-row spine — 3.0 s of pure
+    // scheduling at any SF). The recursion is linear over a
+    // calendar-bounded array, so it now runs INSIDE one row: collect
+    // the spine into a sorted array (array_sort on the (i, …) struct
+    // makes the order partition-independent) and compute each month's
+    // balance with the higher-order aggregate() — the SAME exact
+    // integer steps, (acc·99) div 100 + rev, re-folded per prefix
+    // (≤ 24² = 576 integer ops, one job). The corpus is still scanned
+    // exactly once for the spine aggregate; only the step machinery
+    // changed. The DuckDB twin keeps its recursive CTE — an
+    // independent derivation of the same values, verified at sf0.01
+    // and sf0.1.
+    s.sql(
       s"""SELECT mon, rev_cents,
         |  CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i
         |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
@@ -820,16 +833,16 @@ object Relational {
         |  FROM $ov GROUP BY 1)
         |WHERE mon >= add_months(
         |  (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
-        |   FROM $ov), -23)""".stripMargin).coalesce(1))
+        |   FROM $ov), -23)""".stripMargin)
       .createOrReplaceTempView(iv)
-    s.sql(s"""WITH RECURSIVE bal(i, mon, rev_cents, balance_cents) AS (
-      |  SELECT i, mon, rev_cents, rev_cents FROM $iv WHERE i = 1
-      |  UNION ALL
-      |  SELECT x.i, x.mon, x.rev_cents,
-      |    (b.balance_cents * 99) div 100 + x.rev_cents
-      |  FROM bal b JOIN $iv x ON x.i = b.i + 1)
-      |SELECT mon, rev_cents, balance_cents FROM bal
-      |ORDER BY mon""".stripMargin)
+    s.sql(s"""WITH arr AS (
+      |  SELECT array_sort(collect_list(struct(i, mon, rev_cents))) AS a
+      |  FROM $iv)
+      |SELECT x.mon, x.rev_cents,
+      |  aggregate(slice(a, 1, CAST(x.i AS INT)), CAST(0 AS BIGINT),
+      |    (acc, e) -> (acc * 99) div 100 + e.rev_cents) AS balance_cents
+      |FROM arr LATERAL VIEW explode(a) AS x
+      |ORDER BY x.mon""".stripMargin)
   }
 
   // ── §2.7 set operations ────────────────────────────────────────────
@@ -3452,7 +3465,14 @@ object Relational {
     // pinned, not just cached: the model/gm/radius broadcast subtrees
     // run in concurrent exchange threads and raced the cold fill,
     // recomputing the lineitem⋈orders join (measured 7.7 s cold vs
-    // 3.3 s warm at sf1.0 — the q_als disease, smaller dose)
+    // 3.3 s warm at sf1.0 — the q_als disease, smaller dose).
+    // r11 measured-and-rejected: swapping the pin for an eager
+    // localCheckpoint leaf (the q_triangles plan-truncation move —
+    // this query's explain is 2394 lines / 138 embedded scans) made
+    // the cold standalone WORSE (2.79 → 3.3 s): oc is corpus-sized,
+    // and the checkpoint's extra materialized copy costs more than
+    // the planning it saves. Leaf-truncation pays on TINY
+    // multiply-referenced frames only.
     val oc = graft.Caches.pinned(t(s, dir, "orders")
       .select(col("o_orderkey").as("id"), cents.as("cents"))
       .join(nlines, col("id") === col("l_orderkey"))

@@ -70,11 +70,16 @@ object ExclusionPipeline {
         when(isInput, HtmlInputs.inputValue(col("col")))
           .otherwise(HtmlInputs.textareaValue(col("col"))).as("value"))
       .filter(length(col("value")) > 0)
-    val lastWins = Window.partitionBy("id", "key").orderBy(col("ord").desc)
+    // last-wins as a partial-combining aggregate, not a window: ord is
+    // the page-global tag position — UNIQUE within (id, key) — so
+    // max_by(value, ord) picks exactly the row the old
+    // row_number()-over-(ord DESC) window kept, deterministically,
+    // while aggregating map-side before the exchange (the lpVote
+    // struct-argmax discipline) instead of sorting every (id, key)
+    // partition after it
     val deduped = pairs
-      .withColumn("__rn", row_number().over(lastWins))
-      .filter(col("__rn") === 1)
-      .select("id", "key", "value")
+      .groupBy("id", "key")
+      .agg(max_by(col("value"), col("ord")).as("value"))
       .filter(col("key") =!= "__RequestVerificationToken" &&
         col("key") =!= "URL")
     // URL rows gate on the SAME extraction the pair parse uses (a full
@@ -210,13 +215,16 @@ object ExclusionPipeline {
     val pages = graft.Tables(spark, dir, "documents")
       .select(col("doc_id").cast("string").as("id"), page.as("page"),
         concat(lit("https://portal/Forms/Item/"), col("doc_id")).as("url"))
-    // cached: the declared global ORDER BY plans a range exchange
-    // whose bounds-sampling job executes the child ONCE BEFORE the
-    // real pass — uncached, the whole parse chain runs twice (the r5
-    // stage timing showed the sort gap dwarfing the parse itself).
-    // Same discipline as the span/dedup shared-subplan caches.
-    graft.Caches.cached(parsePages(pages)
-      .select(col("id").cast("long").as("doc_id"), col("key"), col("value")))
+    // No cache (r11): the r5 cache existed because the global ORDER
+    // BY's range-bounds sampling re-executed the parse chain. Under
+    // AQE the sort is a separate query stage whose sampling reads the
+    // MATERIALIZED shuffle of the dedup stage inside parsePages, not
+    // the raw parse — only the cheap URL branch (one firstForm scan)
+    // re-runs. Dropping the cache removes a full per-pass
+    // materialization (measured: 3.2–4.6 s cached-cold → ~1.3 s
+    // uncached under the cold-pass protocol, value-identical).
+    parsePages(pages)
+      .select(col("id").cast("long").as("doc_id"), col("key"), col("value"))
       .orderBy("doc_id", "key")
   }
 

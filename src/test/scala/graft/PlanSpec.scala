@@ -153,11 +153,18 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
-  test("q_html_inputs sorts from a cache read (the range exchange's " +
-    "bounds sampling must not re-run the parse) and parses tags as " +
+  test("q_html_inputs dedups last-wins as a partial-combining " +
+    "aggregate (no per-(id,key) window sort) and parses tags as " +
     "top-level projections, not a transform lambda") {
     val p = planOf(graft.pipeline.ExclusionPipeline.q_html_inputs(spark, dir))
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // r11: the r5 parse-output cache is gone (under AQE the final
+    // sort's range sampling reads the dedup stage's materialized
+    // shuffle, not the raw parse) and the last-wins dedup is a
+    // max_by aggregate — map-side combining before the exchange —
+    // instead of a row_number window that sorted every partition
+    assert(!p.contains("Window"),
+      "last-wins dedup regressed into a window sort:\n" + p.take(2000))
+    assert(p.contains("max_by") || p.contains("maxby"), p.take(2000))
     // the parse runs on exploded tag rows (Generate over the tag
     // arrays), not inside an interpreted array-transform: a
     // transform() lambda over the pair structs would print as
