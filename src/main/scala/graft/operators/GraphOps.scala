@@ -121,10 +121,12 @@ object GraphOps {
     * of overshoot compute (the convergence test now runs every k) for
     * ⌈iters/k⌉ jobs instead of `iters` — and the oracle twin unrolls
     * ALL [[prConvMaxIters]] rounds unconditionally, so overshoot can
-    * never diverge from it. k=4: at the observed crossing depth (~32
-    * at every SF — θ is scale-free) that is 8 jobs and zero expected
-    * overshoot, while capping wasted |E|-join work at 3 rounds if a
-    * fixture crosses mid-batch.
+    * never diverge from it. k=8: at the observed crossing depth (~32
+    * at every SF — θ is scale-free) that is 4 driver actions and zero
+    * expected overshoot, capping wasted |E|-join work at 7 rounds if
+    * a fixture crosses mid-batch; k=4 measured 11.0 s, k=8 10.5 s,
+    * k=16 REGRESSED to 14.0 s (AQE re-optimizes the whole remaining
+    * chain at every stage materialization — O(k²) in batch depth).
     */
   private[graft] val prConvBatch = 8
 
@@ -750,66 +752,6 @@ object GraphOps {
   }
 
 
-  /** Direction-split substrate (VERDICT r9 item 5 prototype): the two
-    * directed halves of the mixed substrate, each CTAS'd to its own
-    * bucketed+sorted-on-src table, so a half-round consumer (q_hits)
-    * scans EXACTLY the 591M-row direction it uses instead of
-    * filtering the 1.18B-row symmetric table — if the sorted layout's
-    * row-group pruning already skips the other half, the split buys
-    * nothing and q_hits keeps the straight scans (that comparison is
-    * HitsSplitDiag's job; the r9b caching experiment was reverted on
-    * the same keep-only-if-measured rule). Derived FROM the substrate
-    * (one bucketed scan each, no lineitem rescan), memoized per
-    * (context, dir) under the substrate memo with a synthetic key so
-    * context eviction sweeps it too.
-    */
-  private def materializeDirSplit(s: SparkSession, d: String): String = {
-    val mixed = coEdgesEnc(s, d)
-    val buckets = substrateBuckets(s, d)
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    def ctas(name: String, half: DataFrame): String = {
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = java.nio.file.Paths.get(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-        name).toString
-      graft.sinks.Layout.deleteRecursively(java.nio.file.Paths.get(loc))
-      // the source scan is already hash(src)-bucketed, so this CTAS
-      // is exchange-free: one file per (bucket task, bucket)
-      half.repartition(buckets, col("src"))
-        .write.mode("overwrite").format("parquet").option("path", loc)
-        .bucketBy(buckets, "src").sortBy("src").saveAsTable(name)
-      name
-    }
-    val sT = ctas(s"graft_sedg_$h", mixed.filter(col("src") >= lpSBit))
-    val pT = ctas(s"graft_pedg_$h", mixed.filter(col("src") < lpSBit))
-    s"$sT|$pT"
-  }
-
-  /** The split halves as (s→p, p→s) bucketed scans — same memo
-    * discipline as [[coEdgesEnc]] (lazily-run FutureTask outside the
-    * map lock; a failed materialization retries).
-    */
-  private[graft] def coEdgesDirSplit(s: SparkSession, dir: String)
-    : (DataFrame, DataFrame) = {
-    val key = (s.sparkContext, dir + "#dirsplit")
-    val fresh = new java.util.concurrent.FutureTask[String](
-      () => materializeDirSplit(s, dir))
-    val prior = substrateMemo.putIfAbsent(key, fresh)
-    val task = if (prior == null) {
-      registerEviction(s.sparkContext); fresh.run(); fresh
-    } else prior
-    val names =
-      try task.get()
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          substrateMemo.remove(key, task)
-          throw e.getCause
-      }
-    val Array(sT, pT) = names.split('|')
-    (cached(s.table(sT)), cached(s.table(pT)))
-  }
-
   def q_label_prop(s: SparkSession, dir: String): DataFrame =
     labelPropagate(coEdgesEnc(s, dir), lpIters)
       .groupBy(col("lbl"))
@@ -942,14 +884,6 @@ object GraphOps {
     // says so.
     hitsCore(edges.filter(col("src") >= lpSBit), // s → p
       edges.filter(col("src") < lpSBit))         // p → s
-  }
-
-  /** q_hits over the direction-split substrate — identical output
-    * contract, measured head-to-head by HitsSplitDiag.
-    */
-  private[graft] def q_hits_split(s: SparkSession, dir: String): DataFrame = {
-    val (sEdges, pEdges) = coEdgesDirSplit(s, dir)
-    hitsCore(sEdges, pEdges)
   }
 
   private def hitsCore(sEdges: DataFrame, pEdges: DataFrame): DataFrame = {

@@ -3316,7 +3316,23 @@ object TextOps {
     // graph substrate fixed. The matrix is bounded (5 doubles/doc),
     // nothing like the exploded shingle table the `none` mode exists
     // for, so a lazy localCheckpoint is safe at any declared scale.
-    val raw = logregFeatures(s, dir)
+    // the staged matrix is repartitioned to its own (tiny) size before
+    // caching (r11, verdict item 9): each of the k gradient steps is a
+    // whole job whose stage ran session-parallelism tasks over a few
+    // hundred KB of cached doubles — scheduling floor, not compute.
+    // Sizing partitions from the matrix bytes (~32 MB each, floor 1,
+    // session cap) makes each step a near-single-task stage locally
+    // while cluster-sized corpora keep cluster parallelism. The
+    // gradient sums are 9-dp-rounded DECIMAL(38,9) — order- and
+    // partitioning-independent by construction — so the fitted
+    // weights are bit-identical (TextOpsSpec pins them). The
+    // tokenization itself still runs at full parallelism; only the
+    // staged 5-column matrix is narrowed.
+    val matBytes = 40L * t(s, dir, "documents").count() // 5 doubles/doc
+    val parts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+      matBytes / (32L << 20) + 1)).toInt
+    val raw = logregFeatures(s, dir).repartition(parts)
     val feats =
       if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
         raw.localCheckpoint(false)
