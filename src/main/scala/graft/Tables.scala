@@ -47,9 +47,30 @@ object Tables {
     * (a `newSession()` re-resolves — its confs may differ); entries
     * evict when the owning context ends (the GraphOps substrate-memo
     * discipline).
+    *
+    * STATIC-TABLES ASSUMPTION (ADVICE r10): the memo pins the file
+    * listing and inferred schema at first read, so a table directory
+    * that changes mid-session goes unseen until [[invalidate]] is
+    * called (or the context ends). The driver's fixtures are
+    * immutable per run, which is the deployment shape this loader
+    * declares; a pipeline over mutating directories must call
+    * [[invalidate]] after each external write — the moral equivalent
+    * of `REFRESH TABLE`. Sessions are held strongly until context
+    * end: bounded for the driver's one-session-per-JVM mains, and
+    * `newSession()`-churning tests share one context whose end sweeps
+    * everything.
     */
   private val planMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
+
+  /** Drop memoized plans (all, or one dir's) so the next [[apply]]
+    * re-lists and re-infers — the explicit refresh path for anything
+    * that rewrites a fixture directory in place.
+    */
+  def invalidate(dir: Option[String] = None): Unit = dir match {
+    case Some(d) => planMemo.keySet.removeIf(_._2 == d)
+    case None    => planMemo.clear()
+  }
 
   private val evictionHook = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext, Unit]()

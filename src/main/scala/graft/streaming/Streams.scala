@@ -1258,6 +1258,19 @@ object Streams {
     Files.createTempDirectory(base, prefix)
   }
 
+  /** NOTE (ADVICE r10, documented assumption): the partition override
+    * below mutates the session-global `spark.sql.shuffle.partitions`
+    * for the drain's duration and restores it in the finally — a
+    * query running CONCURRENTLY on the same SparkSession would pick
+    * up the stream's partition count. Every declared entry point
+    * (Bench, Verify, the specs) runs queries sequentially on one
+    * session, which is the contract this code declares; a deployment
+    * that multiplexes concurrent jobs must give each drain its own
+    * `spark.newSession()` WITH the streams built on that session
+    * (the override is read at query start from the stream's own
+    * session, so cloning here — after the caller already built the
+    * stream on the shared session — would not isolate anything).
+    */
   private[graft] def drainWithEvidence[T](spark: SparkSession,
     stream: Dataset[T], mode: OutputMode, tag: String,
     srcDirs: Seq[String] = Nil)
