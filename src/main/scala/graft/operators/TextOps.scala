@@ -3316,23 +3316,17 @@ object TextOps {
     // graph substrate fixed. The matrix is bounded (5 doubles/doc),
     // nothing like the exploded shingle table the `none` mode exists
     // for, so a lazy localCheckpoint is safe at any declared scale.
-    // the staged matrix is repartitioned to its own (tiny) size before
-    // caching (r11, verdict item 9): each of the k gradient steps is a
-    // whole job whose stage ran session-parallelism tasks over a few
-    // hundred KB of cached doubles — scheduling floor, not compute.
-    // Sizing partitions from the matrix bytes (~32 MB each, floor 1,
-    // session cap) makes each step a near-single-task stage locally
-    // while cluster-sized corpora keep cluster parallelism. The
-    // gradient sums are 9-dp-rounded DECIMAL(38,9) — order- and
-    // partitioning-independent by construction — so the fitted
-    // weights are bit-identical (TextOpsSpec pins them). The
-    // tokenization itself still runs at full parallelism; only the
-    // staged 5-column matrix is narrowed.
-    val matBytes = 40L * t(s, dir, "documents").count() // 5 doubles/doc
-    val parts = math.max(1L, math.min(
-      s.conf.get("spark.sql.shuffle.partitions", "32").toLong,
-      matBytes / (32L << 20) + 1)).toInt
-    val raw = logregFeatures(s, dir).repartition(parts)
+    // r11 verdict item 9, measured and REJECTED twice: (a) batching
+    // two gradient steps per job needs the BigDecimal HALF_UP weight
+    // update re-expressed in Spark decimal SQL, whose division
+    // double-rounds (type-rule scale, then 12 dp) — the bit-identical
+    // spec pin would ride on rounding-boundary luck; (b) repartitioning
+    // the staged matrix to its byte size (single-task step stages)
+    // measured −9..15% on SpotBench pairs but +0.2 s in the full
+    // cold-protocol bench (the sizing count() job and the extra
+    // exchange eat the stage-floor saving) — both inside host noise,
+    // so the simpler shape stays.
+    val raw = logregFeatures(s, dir)
     val feats =
       if (s.conf.get(graft.Caches.modeKey, "persist") == "none")
         raw.localCheckpoint(false)
